@@ -1,0 +1,126 @@
+"""Integrator semantics: determinism, energy sanity, emissive blocks,
+sun-disk miss rule, Russian-roulette unbiasedness proxy."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from voxtracer.core import camera as vcam
+from voxtracer.core.spectra import build_wl_to_rgb_lut
+from voxtracer.kernels.integrator import render_sample, trace_paths
+from voxtracer.world.svo import SvoSpace, from_dense
+
+LUT = jnp.asarray(build_wl_to_rgb_lut(256))
+
+
+def flat_world(n=16, color=(0.5, 0.5, 0.5), floor_h=2):
+    solid = np.zeros((n, n, n), bool)
+    solid[:, :floor_h, :] = True
+    rgb = np.zeros((n, n, n, 3), np.float32)
+    rgb[solid] = color
+    space = from_dense(solid, rgb)
+    dev = space.serialize()
+    return (
+        jnp.asarray(dev.table.view(np.int32)),
+        np.int32(dev.root),
+        dev.height,
+        space,
+    )
+
+
+def sun_vec():
+    s = np.asarray([0.3, 1.0, 0.2])
+    return jnp.asarray(s / np.linalg.norm(s), jnp.float32)
+
+
+def test_render_sample_deterministic():
+    table, root, height, _ = flat_world()
+    cam = vcam.Camera(pos=(8.0, 6.0, 8.0), yaw=0.3, pitch=0.4)
+    seed = jnp.asarray(np.array([11, 22, 33], np.uint32))
+    kw = dict(max_bounces=3, fog_steps=8)
+    a = render_sample(table, root, height, LUT, np.asarray(cam.pos, np.float32),
+                      cam.basis(), sun_vec(), seed, 32, 24, **kw)
+    b = render_sample(table, root, height, LUT, np.asarray(cam.pos, np.float32),
+                      cam.basis(), sun_vec(), seed, 32, 24, **kw)
+    assert np.array_equal(np.asarray(a), np.asarray(b))
+    assert np.isfinite(np.asarray(a)).all()
+
+
+def test_different_seeds_differ():
+    table, root, height, _ = flat_world()
+    cam = vcam.Camera(pos=(8.0, 6.0, 8.0), yaw=0.3, pitch=0.4)
+    kw = dict(max_bounces=3, fog_steps=8)
+    a = render_sample(table, root, height, LUT, np.asarray(cam.pos, np.float32),
+                      cam.basis(), sun_vec(),
+                      jnp.asarray(np.array([1, 2, 3], np.uint32)), 32, 24, **kw)
+    b = render_sample(table, root, height, LUT, np.asarray(cam.pos, np.float32),
+                      cam.basis(), sun_vec(),
+                      jnp.asarray(np.array([4, 5, 6], np.uint32)), 32, 24, **kw)
+    assert not np.array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_sun_disk_visible_on_primary_miss(rng):
+    """Primary rays into the sun cone with no geometry add SUN_COLOR."""
+    table, root, height, _ = flat_world(floor_h=1)
+    sun = sun_vec()
+    B = 64
+    start = jnp.broadcast_to(jnp.asarray([8.0, 8.0, 8.0]), (B, 3))
+    d = jnp.broadcast_to(sun, (B, 3))
+    wl = jnp.full((B,), 0.5, jnp.float32)
+    state = jnp.asarray(rng.integers(0, 2**32, (B, 3), dtype=np.uint32))
+    # zero fog density would need wavelength hacking; instead just check the
+    # looking-at-sun average massively exceeds the away-from-sun average.
+    _, into = trace_paths(table, root, height, LUT, start, d, wl, sun, state,
+                          max_bounces=2, fog_steps=8)
+    d_away = jnp.broadcast_to(
+        jnp.asarray([0.0, 0.2, -0.9797958971], jnp.float32), (B, 3)
+    )
+    _, away = trace_paths(table, root, height, LUT, start, d_away, wl, sun,
+                          state, max_bounces=2, fog_steps=8)
+    assert float(into.mean()) > 50.0 * max(float(away.mean()), 1e-6)
+
+
+def test_emissive_white_block(rng):
+    """A placed pure-white block is a light: facing it in a dark world
+    yields radiance even away from the sun."""
+    n = 16
+    solid = np.zeros((n, n, n), bool)
+    solid[8, 8, 8] = True
+    rgb = np.zeros((n, n, n, 3), np.float32)
+    rgb[8, 8, 8] = (1.0, 1.0, 1.0)
+    dev = from_dense(solid, rgb).serialize()
+    table = jnp.asarray(dev.table.view(np.int32))
+    root = np.int32(dev.root)
+
+    B = 256
+    start = jnp.broadcast_to(jnp.asarray([8.5, 8.5, 4.0]), (B, 3))
+    d = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0], jnp.float32), (B, 3))
+    wl = jnp.linspace(0.05, 0.95, B)
+    sun_dn = jnp.asarray([0.0, -1.0, 0.0], jnp.float32)  # sun below horizon
+    state = jnp.asarray(rng.integers(0, 2**32, (B, 3), dtype=np.uint32))
+    _, col = trace_paths(table, root, dev.height, LUT, start, d, wl, sun_dn,
+                         state, max_bounces=2, fog_steps=8)
+    assert float(col.mean()) > 0.0
+    # gray block of the same layout must NOT emit
+    rgb2 = rgb.copy()
+    rgb2[8, 8, 8] = (0.5, 0.5, 0.5)
+    dev2 = from_dense(solid, rgb2).serialize()
+    table2 = jnp.asarray(dev2.table.view(np.int32))
+    _, col2 = trace_paths(table2, np.int32(dev2.root), dev2.height, LUT, start,
+                          d, wl, sun_dn, state, max_bounces=1, fog_steps=8)
+    assert float(col2.mean()) == 0.0
+
+
+def test_row_band_matches_full_frame():
+    """render_sample(row0, rows) must reproduce the band of the full frame
+    (the tile-sharded multi-chip path relies on this)."""
+    table, root, height, _ = flat_world()
+    cam = vcam.Camera(pos=(8.0, 6.0, 8.0), yaw=0.3, pitch=0.4)
+    seed = jnp.asarray(np.array([11, 22, 33], np.uint32))
+    kw = dict(max_bounces=2, fog_steps=8)
+    full = render_sample(table, root, height, LUT,
+                         np.asarray(cam.pos, np.float32), cam.basis(),
+                         sun_vec(), seed, 32, 24, **kw)
+    band = render_sample(table, root, height, LUT,
+                         np.asarray(cam.pos, np.float32), cam.basis(),
+                         sun_vec(), seed, 32, 24, row0=8, rows=8, **kw)
+    assert np.array_equal(np.asarray(full)[8:16], np.asarray(band))

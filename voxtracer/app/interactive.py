@@ -1,0 +1,147 @@
+"""Terminal interactive session — the fly-camera/editor counterpart of
+the reference's winit app (main.rs:149-309), adapted to a headless TPU
+host: a REPL drives the camera, edits blocks, and writes a progressive
+preview PNG after each command.
+
+Command mapping (reference keys in parens):
+  w/a/s/d N   move forward/left/back/right N voxels (WASD fly movement)
+  up/down N   vertical movement (Space/Shift)
+  look DY DP  adjust yaw/pitch in radians (mouse look, main.rs:295-308)
+  fast        toggle 100x speed (Ctrl, main.rs:94-97)
+  g           teleport up by world_size/8 (G key's +100000, main.rs:251-253)
+  r           step the sun along the day arc by 0.05 (R key, main.rs:254-263)
+  del         delete the block under the crosshair (left click)
+  place       place an emissive white block on the face under the
+              crosshair (right click -> [1.0; 3], main.rs:281-284)
+  pose        print camera pose (Esc print, main.rs:241)
+  spp N       set preview samples per frame
+  save PATH   save the current accumulation as PNG
+  q           quit
+
+Picking uses the device traversal on the view-center ray — the same
+cast the reference does CPU-side (software::raycast, main.rs:273)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from voxtracer.core import camera as vcam
+
+
+def run_interactive(args, input_fn=input, log=print):
+    import jax.numpy as jnp
+
+    from voxtracer.app.cli import _build_world, _camera
+    from voxtracer.kernels.traverse import svo_raycast
+    from voxtracer.render.driver import Renderer, rotate_sun
+
+    space = _build_world(args, log=log)
+    cam = _camera(args)
+    pos = np.asarray(cam.pos, np.float64)
+    yaw, pitch = cam.yaw, cam.pitch
+    sun = np.asarray(args.sun, np.float64)
+    sun /= np.linalg.norm(sun)
+    renderer = Renderer(
+        space.serialize(), args.width, args.height,
+        max_bounces=args.max_bounces, fog_steps=args.fog_steps, seed=args.seed,
+    )
+    spp = args.spp
+    fast = False
+    preview = "preview.png"
+
+    def center_pick():
+        basis = np.asarray(vcam.camera_basis(yaw, pitch))
+        d = basis @ np.array([0.0, 0.0, 1.0])
+        dev = space.serialize()
+        table = jnp.asarray(dev.table.view(np.int32))
+        root = np.int32(dev.root if dev.root != 0xFFFFFFFF else -1)
+        r = svo_raycast(
+            table, root, dev.height,
+            jnp.asarray(pos[None, :], jnp.float32),
+            jnp.asarray(d[None, :], jnp.float32),
+            skip_t0=False,
+        )
+        if not bool(np.asarray(r["hit"])[0]):
+            return None
+        return (
+            np.asarray(r["voxel"])[0],
+            np.asarray(r["normal"])[0].astype(np.int64),
+        )
+
+    def refresh():
+        c = vcam.Camera(pos=tuple(pos), yaw=yaw, pitch=pitch)
+        for _ in range(spp):
+            renderer.sample(c, sun)
+        renderer.save_png(preview)
+        log(f"[{renderer.acc.samples} samples] -> {preview}")
+
+    refresh()
+    while True:
+        try:
+            line = input_fn("> ").strip()
+        except EOFError:
+            return
+        if not line:
+            refresh()
+            continue
+        parts = line.split()
+        cmd, rest = parts[0].lower(), parts[1:]
+        speed = 1000.0 if fast else 10.0
+        basis = np.asarray(vcam.camera_basis(yaw, 0.0))
+        fwd = basis @ np.array([0.0, 0.0, 1.0])
+        right = basis @ np.array([1.0, 0.0, 0.0])
+        amt = float(rest[0]) if rest else speed
+
+        if cmd == "q":
+            return
+        elif cmd == "w":
+            pos += fwd * amt
+        elif cmd == "s":
+            pos -= fwd * amt
+        elif cmd == "a":
+            pos -= right * amt
+        elif cmd == "d":
+            pos += right * amt
+        elif cmd == "up":
+            pos[1] += amt
+        elif cmd == "down":
+            pos[1] -= amt
+        elif cmd == "look" and len(rest) >= 2:
+            yaw += float(rest[0])
+            pitch = float(np.clip(pitch + float(rest[1]), -np.pi / 2, np.pi / 2))
+        elif cmd == "fast":
+            fast = not fast
+            log(f"fast={'on' if fast else 'off'}")
+        elif cmd == "g":
+            pos[1] += (1 << args.log2_size) / 8.0
+        elif cmd == "r":
+            sun = rotate_sun(sun, 0.05)
+            log(f"sun={sun}")
+        elif cmd in ("del", "place"):
+            picked = center_pick()
+            if picked is None:
+                log("no block under crosshair")
+            else:
+                voxel, normal = picked
+                if cmd == "del":
+                    space.set(tuple(voxel), None)
+                    log(f"deleted {tuple(voxel)}")
+                else:
+                    target = tuple(voxel + normal)
+                    space.set(target, (1.0, 1.0, 1.0))
+                    log(f"placed emissive block at {target}")
+                renderer.update_space(space.serialize())
+        elif cmd == "pose":
+            log(f"pos={tuple(pos)} yaw={yaw} pitch={pitch}")
+            continue
+        elif cmd == "spp":
+            spp = int(rest[0])
+        elif cmd == "save" and rest:
+            renderer.save_png(rest[0])
+            log(f"wrote {rest[0]}")
+            continue
+        else:
+            log("commands: w/a/s/d/up/down [N], look DY DP, fast, g, r, "
+                "del, place, pose, spp N, save PATH, q")
+            continue
+        refresh()

@@ -1,0 +1,108 @@
+"""Multi-chip render steps via shard_map over an ICI mesh.
+
+Two sharding strategies (SURVEY.md §2.9 "Multi-chip" row):
+
+* **sample sharding** — every chip traces the whole frame with its own
+  RNG seed; one ``psum`` over ICI merges the per-chip samples into an
+  N-sample accumulation step. Embarrassingly parallel; the collective
+  moves one frame of f32 per step.
+* **tile sharding** — each chip owns a horizontal band (height/N rows):
+  zero inter-chip traffic during tracing; the banded output is already
+  the sharded frame (gather only at save time). Preferred at 4K where a
+  full-frame psum would dominate.
+
+The SVO table and LUT are replicated (read-only world in each chip's
+HBM, exactly like the reference keeps its node buffer device-resident,
+fragment.rs:292-298).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding
+from jax.sharding import PartitionSpec as P
+
+from voxtracer.kernels.integrator import render_sample
+
+
+def sample_sharded_step(
+    mesh: Mesh,
+    table,
+    root,
+    height: int,
+    lut,
+    width_px: int,
+    height_px: int,
+    max_bounces: int = 8,
+    fog_steps: int = 64,
+    axis: str = "dp",
+):
+    """Build a jitted step: (seeds (ndev, 3) u32, cam_pos, cam_basis, sun)
+    -> summed radiance (H, W, 3) of ndev samples (replicated)."""
+
+    def step(seeds, cam_pos, cam_basis, sun):
+        def shard_fn(seeds, cam_pos, cam_basis, sun):
+            s = render_sample(
+                table, root, height, lut, cam_pos, cam_basis, sun,
+                seeds[0], width_px, height_px,
+                max_bounces=max_bounces, fog_steps=fog_steps,
+            )
+            return jax.lax.psum(s, axis)
+
+        return jax.shard_map(
+            shard_fn,
+            mesh=mesh,
+            in_specs=(P(axis), P(), P(), P()),
+            out_specs=P(),
+            check_vma=False,
+        )(seeds, cam_pos, cam_basis, sun)
+
+    return jax.jit(step)
+
+
+def tile_sharded_step(
+    mesh: Mesh,
+    table,
+    root,
+    height: int,
+    lut,
+    width_px: int,
+    height_px: int,
+    max_bounces: int = 8,
+    fog_steps: int = 64,
+    axis: str = "dp",
+):
+    """Build a jitted step: each chip renders its horizontal band; the
+    output (H, W, 3) is sharded across rows (no collectives)."""
+    ndev = mesh.shape[axis]
+    assert height_px % ndev == 0, "height must divide evenly across chips"
+    rows = height_px // ndev
+
+    def step(seed, cam_pos, cam_basis, sun):
+        def shard_fn(seed, cam_pos, cam_basis, sun):
+            band = jax.lax.axis_index(axis)
+            return render_sample(
+                table, root, height, lut, cam_pos, cam_basis, sun,
+                seed, width_px, height_px,
+                row0=band * rows, rows=rows,
+                max_bounces=max_bounces, fog_steps=fog_steps,
+            )
+
+        return jax.shard_map(
+            shard_fn,
+            mesh=mesh,
+            in_specs=(P(), P(), P(), P()),
+            out_specs=P(axis),
+            check_vma=False,
+        )(seed, cam_pos, cam_basis, sun)
+
+    return jax.jit(step)
+
+
+def replicate_world(mesh: Mesh, table, lut):
+    """Pin the read-only world/LUT to every chip (replicated sharding)."""
+    rep = NamedSharding(mesh, P())
+    return jax.device_put(table, rep), jax.device_put(lut, rep)

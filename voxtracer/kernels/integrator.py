@@ -1,0 +1,206 @@
+"""The spectral path-tracing integrator — the heart of the renderer.
+
+One call traces one spectral path per ray in lockstep (wavefront form):
+a bounded bounce loop over the whole batch with per-lane alive masks
+replaces the reference's divergent per-thread loop. Per bounce
+(behavioral reference: ``raytrace``, raytrace.wgsl:329-413):
+
+1. cast planet/fog (atmosphere.raycast_planet) and the SVO capped at the
+   fog event distance; the nearer event wins (raytrace.wgsl:342-347),
+2. on miss: primary rays looking into the sun cone add the sun radiance;
+   all missing rays terminate (raytrace.wgsl:349-355),
+3. next-event estimation toward the sun disk: one planet cast + one SVO
+   shadow cast; unshadowed surfaces add
+   light * SUN_COLOR * albedo * brdf * (n·l) * 2pi * SUN_WEIGHT
+   (raytrace.wgsl:362-383),
+4. emissive rule: a hit whose rgba == (1,1,1,1) — i.e. a placed pure-white
+   block — adds light * 10 * rgb * a (raytrace.wgsl:386-389),
+5. cosine-hemisphere indirect bounce, light *= albedo * brdf * pi
+   (raytrace.wgsl:390-397),
+6. Russian roulette below throughput 0.5 (raytrace.wgsl:401-409).
+
+The bounce loop is a bounded fori_loop (default 24; the reference's loop
+is unbounded but Russian roulette makes survival past ~20 bounces
+astronomically unlikely — truncation bias < 0.5^20).
+
+RNG discipline: every stochastic stage consumes draws unconditionally
+(masked lanes burn state) so jnp and Pallas backends agree bit-exactly.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from voxtracer.core import rng as vrng
+from voxtracer.core import sampling
+from voxtracer.core.sampling import COS_SUN_RADIUS, PI, SUN_COLOR, SUN_WEIGHT
+from voxtracer.core.spectra import fog_density, spectral_throughput
+from voxtracer.core.vecmath import dot
+from voxtracer.kernels import atmosphere
+from voxtracer.kernels.traverse import FAR, leaf_rgb, svo_raycast
+
+
+@partial(jax.jit, static_argnames=("height", "max_bounces", "fog_steps"))
+def trace_paths(
+    table,
+    root,
+    height: int,
+    lut,
+    start,
+    direction,
+    wavelength,
+    sun,
+    state,
+    max_bounces: int = 24,
+    fog_steps: int = 64,
+):
+    """Trace one spectral path per ray; returns (state, radiance (...,3)).
+
+    Args:
+      table/root/height: flat SVO (kernels.traverse conventions).
+      lut: (L, 3) wavelength->linear-RGB table.
+      start: (...,3) ray origins; direction: (...,3) unit directions.
+      wavelength: (...,) normalized wavelength in [0,1).
+      sun: (3,) unit sun direction.
+      state: (...,3) uint32 RNG state.
+    """
+    density = fog_density(wavelength)
+    light = spectral_throughput(lut, wavelength)
+    color = jnp.zeros_like(light)
+    alive = jnp.ones(wavelength.shape, jnp.bool_)
+    pos = jnp.broadcast_to(start, direction.shape).astype(jnp.float32)
+    d = direction
+
+    def bounce(i, carry):
+        state, pos, d, light, color, alive = carry
+
+        state, planet = atmosphere.raycast_planet(
+            state, pos, d, density, n_steps=fog_steps
+        )
+        cap = jnp.where(planet["hit"], planet["t"], FAR)
+        svo = svo_raycast(table, root, height, pos, d, distance=cap)
+
+        hit_any = planet["hit"] | svo["hit"]
+        use_svo = svo["hit"]
+        svo_rgb = leaf_rgb(table, svo["node"])
+        rgba = jnp.where(
+            use_svo[..., None],
+            jnp.concatenate([svo_rgb, jnp.ones_like(svo_rgb[..., :1])], -1),
+            planet["rgba"],
+        )
+        t_hit = jnp.where(use_svo, svo["t"], planet["t"])
+        normal = jnp.where(use_svo[..., None], svo["normal"], planet["normal"])
+
+        # miss: primary rays see the sun disk directly (raytrace.wgsl:349-352)
+        sun_disk = (i == 0) & (dot(d, sun) > COS_SUN_RADIUS)
+        color = color + jnp.where(
+            (alive & ~hit_any & sun_disk)[..., None], light * SUN_COLOR, 0.0
+        )
+
+        pos = jnp.where(
+            (alive & hit_any)[..., None], pos + d * t_hit[..., None], pos
+        )
+
+        # --- next-event estimation toward the sun ---
+        state, sun_dir = sampling.sample_sun(state, sun)
+        facing = dot(sun_dir, normal) > 0.0
+        state, sun_planet = atmosphere.raycast_planet(
+            state, pos, sun_dir, density, n_steps=fog_steps
+        )
+        sun_svo = svo_raycast(table, root, height, pos, sun_dir)
+        sun_visible = ~sun_planet["hit"] & ~sun_svo["hit"]
+        nee = (
+            SUN_COLOR
+            * rgba[..., :3]
+            * sampling.brdf(d, sun_dir, normal)
+            * (dot(normal, sun_dir) * 2.0 * PI * SUN_WEIGHT)[..., None]
+        )
+        color = color + jnp.where(
+            (alive & hit_any & facing & sun_visible)[..., None], light * nee, 0.0
+        )
+
+        # --- emissive (pure-white placed blocks; raytrace.wgsl:386-389) ---
+        emissive = jnp.all(rgba == 1.0, axis=-1)
+        color = color + jnp.where(
+            (alive & hit_any & emissive)[..., None],
+            light * 10.0 * rgba[..., :3] * rgba[..., 3:4],
+            0.0,
+        )
+
+        # --- indirect bounce ---
+        state, ind_dir = sampling.cos_hemisphere(state, normal)
+        light = jnp.where(
+            (alive & hit_any)[..., None],
+            light * rgba[..., :3] * (sampling.brdf(d, ind_dir, normal) * PI),
+            light,
+        )
+        d = jnp.where((alive & hit_any)[..., None], ind_dir, d)
+
+        # --- Russian roulette (raytrace.wgsl:401-409) ---
+        T = 0.5
+        state, rr = vrng.random3(state)
+        rr_active = alive & hit_any & jnp.all(light < T, axis=-1)
+        survive = rr[..., 0] < T
+        light = jnp.where(
+            (rr_active & survive)[..., None], light * (1.0 / T), light
+        )
+        alive = alive & hit_any & (~rr_active | survive)
+
+        return (state, pos, d, light, color, alive)
+
+    state, _, _, _, color, _ = jax.lax.fori_loop(
+        0, max_bounces, bounce, (state, pos, d, light, color, alive)
+    )
+    return state, color
+
+
+@partial(jax.jit, static_argnames=("height", "width_px", "height_px",
+                                   "rows", "max_bounces", "fog_steps"))
+def render_sample(
+    table,
+    root,
+    height: int,
+    lut,
+    cam_pos,
+    cam_basis,
+    sun,
+    frame_seed,
+    width_px: int,
+    height_px: int,
+    row0=0,
+    rows: int | None = None,
+    max_bounces: int = 24,
+    fog_steps: int = 64,
+):
+    """One progressive sample: 1 spectral path per pixel (raytrace.wgsl:415-430).
+
+    Per pixel: seed RNG from (frame_seed, pixel coords), draw one vec3 —
+    xy is the sub-pixel jitter, z the wavelength — build the camera ray,
+    trace. Returns the (rows, W, 3) radiance of this sample (the
+    accumulator adds it). ``row0``/``rows`` select a horizontal band of
+    the frame (used by the tile-sharded multi-chip path; the camera
+    mapping is always relative to the full height_px frame).
+    """
+    from voxtracer.core import camera as vcam
+
+    if rows is None:
+        rows = height_px
+    py, px = jnp.meshgrid(
+        jnp.asarray(row0, jnp.int32) + jnp.arange(rows, dtype=jnp.int32),
+        jnp.arange(width_px, dtype=jnp.int32),
+        indexing="ij",
+    )
+    state = vrng.seed_pixels(frame_seed, px, py)
+    state, rnd = vrng.random3(state)
+    ld = vcam.pixel_ndc(px, py, width_px, height_px)
+    d = vcam.ray_directions(cam_basis, ld, jitter=rnd[..., :2], height=height_px)
+    wavelength = rnd[..., 2]
+    pos = jnp.broadcast_to(jnp.asarray(cam_pos, jnp.float32), d.shape)
+    _, radiance = trace_paths(
+        table, root, height, lut, pos, d, wavelength, sun, state,
+        max_bounces=max_bounces, fog_steps=fog_steps,
+    )
+    return radiance

@@ -1,0 +1,201 @@
+"""Frame drivers: progressive rendering, the headless day-cycle batch
+job, and the movie combine job.
+
+Behavioral reference:
+* headless cadence — every `frame_samples` samples, dump an EXR named
+  ``frames/{iter:04}-{seq:03}.exr``, rotate the sun one day-cycle step,
+  print paths/px/sec, start a new iter when the sun sets (sun.y < -0.3),
+  and stop after one full cycle (main.rs:112-145).
+* sun schedule — the rotation axis is the arc from (0.8, 1.0, 3.7) to
+  (0.8, 0.0, 3.7) (normalized), stepped by 0.0025 of the arc angle's
+  sign per frame (main.rs:115-122); the interactive R key uses the same
+  axis with a 0.05 step (main.rs:254-263).
+* combine — group ``frames/*.exr`` by seq, average in linear space,
+  sRGB-encode, write ``movie/{seq}.png`` (main.rs:312-370).
+"""
+
+from __future__ import annotations
+
+import random
+import time
+from pathlib import Path
+
+import jax.numpy as jnp
+import numpy as np
+
+from voxtracer.core import camera as vcam
+from voxtracer.core import rng as vrng
+from voxtracer.core.color import srgb_encode
+from voxtracer.core.spectra import build_wl_to_rgb_lut
+from voxtracer.kernels.integrator import render_sample
+from voxtracer.render import film
+from voxtracer.render.accumulator import Accumulator
+
+SUN_ARC_FROM = np.array([0.8, 1.0, 3.7])
+SUN_ARC_TO = np.array([0.8, 0.0, 3.7])
+SUN_START = np.array([0.8, 10.2743, 3.7])  # main.rs:381
+DAY_STEP = 0.0025  # main.rs:120
+KEY_STEP = 0.05  # main.rs:260
+
+
+def _rotation_arc_axis_angle(a, b):
+    a = a / np.linalg.norm(a)
+    b = b / np.linalg.norm(b)
+    axis = np.cross(a, b)
+    s = np.linalg.norm(axis)
+    angle = float(np.arctan2(s, np.dot(a, b)))
+    return axis / max(s, 1e-12), angle
+
+
+def rotate_sun(sun: np.ndarray, step: float = DAY_STEP) -> np.ndarray:
+    """One sun step: rotate by `step * sign(arc angle)` about the day axis
+    (Rodrigues rotation; equivalent to the reference's quaternion)."""
+    axis, angle = _rotation_arc_axis_angle(SUN_ARC_FROM, SUN_ARC_TO)
+    th = step * np.sign(angle)
+    k = axis
+    v = np.asarray(sun, np.float64)
+    rot = (
+        v * np.cos(th)
+        + np.cross(k, v) * np.sin(th)
+        + k * np.dot(k, v) * (1 - np.cos(th))
+    )
+    return rot.astype(np.float64)
+
+
+class Renderer:
+    """Progressive spectral path tracer over a device-resident SVO world.
+
+    The world table/LUT are uploaded once and stay in HBM; per sample the
+    only host->device traffic is the fresh frame seed (the reference
+    uploads a uniform buffer each sample, fragment.rs:365-385)."""
+
+    def __init__(
+        self,
+        device_svo,
+        width: int,
+        height: int,
+        max_bounces: int = 24,
+        fog_steps: int = 64,
+        seed: int | None = None,
+    ):
+        self.table = jnp.asarray(device_svo.table.view(np.int32))
+        self.root = np.int32(
+            device_svo.root if device_svo.root != 0xFFFFFFFF else -1
+        )
+        self.tree_height = device_svo.height
+        self.lut = jnp.asarray(build_wl_to_rgb_lut())
+        self.width = width
+        self.height = height
+        self.max_bounces = max_bounces
+        self.fog_steps = fog_steps
+        self.acc = Accumulator(width, height)
+        self.host_rng = random.Random(seed)
+
+    def update_space(self, device_svo):
+        """Re-upload the node table after world edits (fragment.rs:274-313)."""
+        self.table = jnp.asarray(device_svo.table.view(np.int32))
+        self.root = np.int32(
+            device_svo.root if device_svo.root != 0xFFFFFFFF else -1
+        )
+        self.tree_height = device_svo.height
+        self.acc.invalidate()
+
+    def sample(self, cam: vcam.Camera, sun: np.ndarray):
+        """One progressive sample (1 spectral path/pixel)."""
+        sun = np.asarray(sun, np.float64)
+        sun_unit = (sun / np.linalg.norm(sun)).astype(np.float32)
+        self.acc.begin_sample(cam.pos, cam.yaw, cam.pitch, sun_unit)
+        seed = vrng.host_frame_seed(self.host_rng)
+        sample = render_sample(
+            self.table,
+            self.root,
+            self.tree_height,
+            self.lut,
+            np.asarray(cam.pos, np.float32),
+            cam.basis(),
+            jnp.asarray(sun_unit),
+            jnp.asarray(seed),
+            self.width,
+            self.height,
+            max_bounces=self.max_bounces,
+            fog_steps=self.fog_steps,
+        )
+        self.acc.add(sample)
+
+    def render(self, cam, sun, spp: int):
+        for _ in range(spp):
+            self.sample(cam, sun)
+        return self.acc.mean()
+
+    def save_exr(self, path):
+        mean = self.acc.mean()
+        film.save_exr(path, mean)
+
+    def save_png(self, path):
+        film.save_png(path, self.acc.mean())
+
+
+def headless_run(
+    renderer: Renderer,
+    cam: vcam.Camera,
+    out_dir="frames",
+    frame_samples: int = 1000,
+    sun_start=SUN_START,
+    max_iters: int = 1,
+    max_frames: int | None = None,
+    log=print,
+):
+    """Day-cycle batch render (main.rs:112-145, 402-408)."""
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    sun = np.asarray(sun_start, np.float64)
+    sun = sun / np.linalg.norm(sun)
+    seq, it = 0, 0
+    frames_done = 0
+    frame_start = time.monotonic()
+    while True:
+        for _ in range(frame_samples):
+            renderer.sample(cam, sun)
+        renderer.save_exr(out / f"{it:04d}-{seq:03d}.exr")
+        seq += 1
+        sun = rotate_sun(sun, DAY_STEP)
+        now = time.monotonic()
+        log(
+            f"{frame_samples / (now - frame_start):>7.1f} paths/px/sec"
+            f"    iter {it:>2} frame {seq:>3}"
+        )
+        frame_start = now
+        frames_done += 1
+        if max_frames is not None and frames_done >= max_frames:
+            return
+        if sun[1] < -0.3:
+            it += 1
+            sun = SUN_START / np.linalg.norm(SUN_START)
+            seq = 0
+            log(f"Finished iter {it - 1}")
+            if it >= max_iters:
+                return
+
+
+def combine(frames_dir="frames", movie_dir="movie", log=print):
+    """Average frames across iters per seq, tonemap, write movie PNGs
+    (main.rs:312-370)."""
+    frames = Path(frames_dir)
+    movie = Path(movie_dir)
+    movie.mkdir(parents=True, exist_ok=True)
+    groups: dict[int, list[Path]] = {}
+    for p in sorted(frames.glob("*.exr")):
+        seq = int(p.stem.split("-")[1])
+        groups.setdefault(seq, []).append(p)
+    for seq, paths in sorted(groups.items()):
+        acc = None
+        for p in paths:
+            img = film.load_exr(p)[..., :3].astype(np.float64)
+            acc = img if acc is None else acc + img
+        mean = acc / len(paths)
+        out = np.asarray(srgb_encode(jnp.asarray(np.clip(mean, 0.0, 1.0))))
+        u8 = np.clip(out * 255.0 + 0.5, 0, 255).astype(np.uint8)
+        from PIL import Image
+
+        Image.fromarray(u8).save(movie / f"{seq}.png")
+        log(f"movie/{seq}.png <- {len(paths)} frames")
