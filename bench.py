@@ -56,7 +56,9 @@ def main():
 
     # --- headline: primary-ray frame at 1080p ---
     frame = jax.jit(
-        lambda o, d: shade.svo_primary_frame(table, root, dev.height, o, d, sun_j)
+        lambda o, d: shade.svo_primary_frame(
+            table, root, dev.height, o, d, sun_j, tiles=135
+        )
     )
     img = frame(o, d)
     img.block_until_ready()  # compile + warm
@@ -76,7 +78,7 @@ def main():
         lambda seed: render_sample(
             table, root, dev.height, lut,
             np.asarray(cam.pos, np.float32), cam.basis(), sun_j, seed,
-            W, H, max_bounces=8, fog_steps=64,
+            W, H, max_bounces=8, fog_steps=64, row_tiles=27,
         )
     )
     try:

@@ -43,8 +43,11 @@ GROUND_RGBA = (0.25, 0.25, 0.25, 0.0)  # raytrace.wgsl:300
 FOG_RGBA = (1.0, 1.0, 1.0, 0.0)  # raytrace.wgsl:320
 
 
-@partial(jax.jit, static_argnames=("n_steps",))
-def raycast_planet(state, start, direction, sea_level_density, n_steps: int = 64):
+@partial(jax.jit, static_argnames=("n_steps", "backend"))
+def raycast_planet(
+    state, start, direction, sea_level_density, n_steps: int = 64,
+    backend: str = "auto",
+):
     """Vectorized planet/fog cast.
 
     Args:
@@ -52,10 +55,17 @@ def raycast_planet(state, start, direction, sea_level_density, n_steps: int = 64
       start, direction: (..., 3) float32 (direction unit-length).
       sea_level_density: (...,) per-ray fog density (wavelength-dependent).
       n_steps: static march segment count.
+      backend: 'jnp' (the XLA oracle path), 'pallas' (the fused TPU march
+        kernel, kernels/pallas/fog.py), or 'auto' (pallas on TPU).
 
     Returns (new_state, result) where result has hit (...,), t (...,),
     rgba (...,4), normal (...,3).
     """
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() == "tpu" else "jnp"
+    if backend == "pallas":
+        return _raycast_planet_pallas(state, start, direction,
+                                      sea_level_density, n_steps)
     p = start + jnp.asarray([0.0, PLANET_RADIUS, 0.0], jnp.float32)
     b = 2.0 * dot(p, direction)
     c = dot(p, p) - FOG_RADIUS * FOG_RADIUS
@@ -123,6 +133,45 @@ def raycast_planet(state, start, direction, sea_level_density, n_steps: int = 64
     rgba = jnp.where(found[..., None], jnp.asarray(FOG_RGBA, jnp.float32), rgba)
 
     return state, dict(hit=hit, t=t_hit, rgba=rgba, normal=normal)
+
+
+def _raycast_planet_pallas(state, start, direction, sea_level_density, n_steps):
+    """Pallas-backed variant: RNG draws and result assembly stay in XLA
+    (identical draw order to the jnp path); the march runs fused in VMEM."""
+    from voxtracer.kernels.pallas.fog import fog_march
+
+    batch_shape = direction.shape[:-1]
+    start_b = jnp.broadcast_to(start, direction.shape).reshape(-1, 3)
+    dir_b = direction.reshape(-1, 3)
+    dens_b = jnp.broadcast_to(sea_level_density, batch_shape).reshape(-1)
+
+    state, r = vrng.random3(state)
+    y0 = -jnp.log(1.0 - r[..., 0]).reshape(-1)
+    code, t = fog_march(start_b, dir_b, dens_b, y0, n_steps=n_steps)
+    code = code.reshape(batch_shape)
+    t = t.reshape(batch_shape)
+
+    state, scatter_dir = cos_hemisphere(state, direction)
+
+    surf = code == 1
+    found = code == 2
+    hit = code > 0
+    p = start + jnp.asarray([0.0, PLANET_RADIUS, 0.0], jnp.float32)
+    normal = jnp.where(
+        surf[..., None],
+        normalize(p + direction * t[..., None]),
+        jnp.where(found[..., None], scatter_dir, jnp.zeros_like(direction)),
+    )
+    rgba = jnp.where(
+        surf[..., None],
+        jnp.asarray(GROUND_RGBA, jnp.float32),
+        jnp.where(
+            found[..., None],
+            jnp.asarray(FOG_RGBA, jnp.float32),
+            jnp.zeros((4,), jnp.float32),
+        ),
+    )
+    return state, dict(hit=hit, t=t, rgba=rgba, normal=normal)
 
 
 def transmittance_to_escape(start, direction, sea_level_density, n_steps=256):

@@ -74,8 +74,8 @@ def trace_paths(
     pos = jnp.broadcast_to(start, direction.shape).astype(jnp.float32)
     d = direction
 
-    def bounce(i, carry):
-        state, pos, d, light, color, alive = carry
+    def bounce(carry):
+        i, state, pos, d, light, color, alive = carry
 
         state, planet = atmosphere.raycast_planet(
             state, pos, d, density, n_steps=fog_steps
@@ -149,16 +149,21 @@ def trace_paths(
         )
         alive = alive & hit_any & (~rr_active | survive)
 
-        return (state, pos, d, light, color, alive)
+        return (i + 1, state, pos, d, light, color, alive)
 
-    state, _, _, _, color, _ = jax.lax.fori_loop(
-        0, max_bounces, bounce, (state, pos, d, light, color, alive)
+    # early-exit bounce loop: stop as soon as every lane has terminated
+    # (the reference loop is per-thread unbounded, raytrace.wgsl:341)
+    _, state, _, _, _, color, _ = jax.lax.while_loop(
+        lambda c: (c[0] < max_bounces) & jnp.any(c[6]),
+        bounce,
+        (jnp.int32(0), state, pos, d, light, color, alive),
     )
     return state, color
 
 
 @partial(jax.jit, static_argnames=("height", "width_px", "height_px",
-                                   "rows", "max_bounces", "fog_steps"))
+                                   "rows", "max_bounces", "fog_steps",
+                                   "row_tiles"))
 def render_sample(
     table,
     root,
@@ -174,6 +179,7 @@ def render_sample(
     rows: int | None = None,
     max_bounces: int = 24,
     fog_steps: int = 64,
+    row_tiles: int = 1,
 ):
     """One progressive sample: 1 spectral path per pixel (raytrace.wgsl:415-430).
 
@@ -199,8 +205,29 @@ def render_sample(
     d = vcam.ray_directions(cam_basis, ld, jitter=rnd[..., :2], height=height_px)
     wavelength = rnd[..., 2]
     pos = jnp.broadcast_to(jnp.asarray(cam_pos, jnp.float32), d.shape)
-    _, radiance = trace_paths(
-        table, root, height, lut, pos, d, wavelength, sun, state,
-        max_bounces=max_bounces, fog_steps=fog_steps,
+    if row_tiles <= 1:
+        _, radiance = trace_paths(
+            table, root, height, lut, pos, d, wavelength, sun, state,
+            max_bounces=max_bounces, fog_steps=fog_steps,
+        )
+        return radiance
+
+    # Row-band tiling: each band gets its own lockstep loops, so finished
+    # bands (sky, nearby geometry) stop iterating early instead of riding
+    # the whole frame's worst-case lane.
+    assert rows % row_tiles == 0
+    rt = rows // row_tiles
+
+    def tile_fn(args):
+        pos_t, d_t, wl_t, st_t = args
+        _, c = trace_paths(
+            table, root, height, lut, pos_t, d_t, wl_t, sun, st_t,
+            max_bounces=max_bounces, fog_steps=fog_steps,
+        )
+        return c
+
+    split = lambda a: a.reshape((row_tiles, rt) + a.shape[1:])
+    radiance = jax.lax.map(
+        tile_fn, (split(pos), split(d), split(wavelength), split(state))
     )
-    return radiance
+    return radiance.reshape((rows, width_px, 3))

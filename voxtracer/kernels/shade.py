@@ -12,8 +12,6 @@ parity tests between backends.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 
@@ -79,12 +77,26 @@ def shade_shadow(cast, start, d, sun, shadow_eps: float = 1.0e-3):
     return jnp.where(hit[..., None], surface, sky_color(d, sun))
 
 
-def svo_primary_frame(table, root, height: int, start, d, sun):
-    return shade_primary(_svo_cast(table, root, height), start, d, sun)
+def _tiled(frame_fn, start, d, tiles: int):
+    """Run a frame function over row bands via lax.map, so each band's
+    lockstep traversal exits as soon as that band is done."""
+    if tiles <= 1:
+        return frame_fn(start, d)
+    h = d.shape[0]
+    assert h % tiles == 0
+    split = lambda a: a.reshape((tiles, h // tiles) + a.shape[1:])
+    out = jax.lax.map(lambda ab: frame_fn(ab[0], ab[1]), (split(start), split(d)))
+    return out.reshape(d.shape[:-1] + (3,))
 
 
-def svo_shadow_frame(table, root, height: int, start, d, sun):
-    return shade_shadow(_svo_cast(table, root, height), start, d, sun)
+def svo_primary_frame(table, root, height: int, start, d, sun, tiles: int = 1):
+    cast = _svo_cast(table, root, height)
+    return _tiled(lambda s, dd: shade_primary(cast, s, dd, sun), start, d, tiles)
+
+
+def svo_shadow_frame(table, root, height: int, start, d, sun, tiles: int = 1):
+    cast = _svo_cast(table, root, height)
+    return _tiled(lambda s, dd: shade_shadow(cast, s, dd, sun), start, d, tiles)
 
 
 def dense_primary_frame(solid, rgb, size: int, start, d, sun):

@@ -67,6 +67,16 @@ def svo_raycast(table, root, height: int, start, d, distance=FAR, skip_t0: bool 
     Returns dict of (...)-shaped arrays: hit (bool), t, normal (...,3),
     node (int32 leaf slot, -1 if miss), voxel (...,3 int32, un-mirrored
     integer coords of the hit voxel).
+
+    Implementation notes (HBM-lean wavefront design): the only per-level
+    stack is the node-id stack; everything the reference keeps per level
+    (midplane t's, cell offsets, exit t's, subvoxel bits —
+    raytrace.wgsl:94-98) is recomputed per iteration from three packed
+    *subvoxel bit-words*: bit m of word W holds the subvoxel bit of the
+    level-(m+1) cell, so the cell offset at level h is literally
+    ``W & ~((1<<h)-1)`` reinterpreted as an integer coordinate. This cuts
+    the while-loop carry from ~420 to ~60 bytes/ray, which is what bounds
+    throughput (the loop is HBM-bound on carry traffic, SURVEY.md §7.3).
     """
     assert height >= 1
     batch_shape = d.shape[:-1]
@@ -76,7 +86,7 @@ def svo_raycast(table, root, height: int, start, d, distance=FAR, skip_t0: bool 
     distance = jnp.broadcast_to(jnp.asarray(distance, jnp.float32), batch_shape).reshape(B)
 
     H = height
-    S = H + 2  # stack slots 0..H, plus one scratch slot for masked writes
+    S = H + 1  # node-stack slots 0..H
     bound = jnp.float32(1 << H)
     levels = jnp.arange(S, dtype=jnp.int32)[None, :]  # (1, S)
 
@@ -84,51 +94,45 @@ def svo_raycast(table, root, height: int, start, d, distance=FAR, skip_t0: bool 
     d_sign = jnp.sign(d_in)
     mirror = to_bits(flip)  # (B,)
     dd = jnp.maximum(jnp.abs(d_in), EPS)
+    inv_d = 1.0 / dd
     s0 = jnp.where(flip, bound - start, start)
 
-    enter = -s0 / dd
+    enter = -s0 * inv_d
     t0 = jnp.maximum(hmax(enter), 0.0)
     ed_x = enter[:, 0] == t0
     ed_y = ~ed_x & (enter[:, 1] == t0)
     ed_z = ~ed_x & ~ed_y & (enter[:, 2] == t0)
-    enter_dir0 = jnp.stack([ed_x, ed_y, ed_z], axis=-1)
+    # enter axis: 0/1/2, 3 = none (t0 == 0 inside the volume)
+    axis0 = jnp.where(ed_x, 0, jnp.where(ed_y, 1, jnp.where(ed_z, 2, 3)))
 
     flat_table = table.reshape(-1)  # (N*8,) int32
 
-    # Stacks: (B, S[, 3]).
-    node_stk = jnp.full((B, S), -1, jnp.int32)
-    tmid_stk = jnp.zeros((B, S, 3), jnp.float32)
-    sub_stk = jnp.zeros((B, S, 3), jnp.bool_)
-    tend_stk = jnp.zeros((B, S), jnp.float32)
-    off_stk = jnp.zeros((B, S, 3), jnp.float32)
-
     root_b = jnp.broadcast_to(jnp.asarray(root, jnp.int32), (B,))
-    node_stk = node_stk.at[:, H].set(root_b)
-    tend_root = jnp.minimum(hmin((bound - s0) / dd), distance)
-    tend_stk = tend_stk.at[:, H].set(tend_root)
-    tmid_root = (jnp.float32(1 << (H - 1)) - s0) / dd
-    tmid_stk = tmid_stk.at[:, H].set(tmid_root)
-    sub_stk = sub_stk.at[:, H].set(tmid_root < t0[:, None])
+    node_stk = jnp.where(levels == H, root_b[:, None], -1)  # (B, S) i32
+
+    tend_root = jnp.minimum(hmin((bound - s0) * inv_d), distance)
+    tmid_root = (jnp.float32(1 << (H - 1)) - s0) * inv_d
+    sub_root = tmid_root < t0[:, None]  # subv[H] -> bit H-1 of the words
+    words0 = sub_root.astype(jnp.int32) << (H - 1)  # (B, 3) packed bit-words
 
     alive = (root_b >= 0) & (tend_root >= t0)
     h0 = jnp.full((B,), H - 1, jnp.int32)
 
     state = dict(
         t=t0,
-        enter_dir=enter_dir0,
+        axis=axis0.astype(jnp.int32),
         h=h0,
+        words=words0,
         node_stk=node_stk,
-        tmid_stk=tmid_stk,
-        sub_stk=sub_stk,
-        tend_stk=tend_stk,
-        off_stk=off_stk,
         alive=alive,
         hit=jnp.zeros((B,), jnp.bool_),
         hit_t=jnp.zeros((B,), jnp.float32),
         hit_node=jnp.full((B,), -1, jnp.int32),
-        hit_normal=jnp.zeros((B, 3), jnp.float32),
+        hit_axis=jnp.full((B,), 3, jnp.int32),
         hit_voxel=jnp.zeros((B, 3), jnp.int32),
     )
+
+    axis_onehot = jnp.arange(3, dtype=jnp.int32)[None, :]  # (1, 3)
 
     def cond(st):
         return jnp.any(st["alive"])
@@ -137,18 +141,29 @@ def svo_raycast(table, root, height: int, start, d, distance=FAR, skip_t0: bool 
         h = st["h"]
         t = st["t"]
         alive = st["alive"]
-        oh = levels == h[:, None]  # (B, S) one-hot at current level
-        ohp = levels == (h[:, None] + 1)  # parent level
+        words = st["words"]  # (B, 3) int32
+        hc = jnp.clip(h, 0, H)
+        oh = levels == hc[:, None]  # (B, S) one-hot at current level
 
         cur = _onehot_read(st["node_stk"], oh)
         descend = cur == -1
 
-        # ---- descend: resolve the child octant of the parent cell -----
-        sub_p = _onehot_read(st["sub_stk"], ohp)
-        off_p = _onehot_read(st["off_stk"], ohp)
+        # shared geometry for level h, from the packed subvoxel words:
+        # offset(h) = words & ~((1<<h)-1); midplane = offset + 2^(h-1);
+        # cell end = offset + 2^h. (The reference caches all of these per
+        # level, raytrace.wgsl:94-98; recompute is ~20 flops.)
+        low_mask = (jnp.int32(1) << hc) - 1
+        off_i = words & ~low_mask[:, None]
+        offset = off_i.astype(jnp.float32)
         cell = jnp.exp2(h.astype(jnp.float32))[:, None]  # 2^h
-        offset = off_p + jnp.where(sub_p, cell, 0.0)
-        parent = _onehot_read(st["node_stk"], ohp)
+        mid = cell * 0.5
+        tmid = (offset + mid - s0) * inv_d
+        tend = jnp.minimum(hmin((offset + cell - s0) * inv_d), distance)
+
+        # ---- descend: resolve the child octant of the parent cell -----
+        sub_p = ((words >> hc[:, None]) & 1) == 1  # subv[h+1]
+        parent_oh = levels == jnp.clip(hc + 1, 0, H)[:, None]
+        parent = _onehot_read(st["node_stk"], parent_oh)
         child_idx = to_bits(sub_p) ^ mirror
         gidx = jnp.clip(parent, 0, None) * 8 + child_idx
         child = jnp.where(parent >= 0, flat_table[gidx], -1)
@@ -165,9 +180,7 @@ def svo_raycast(table, root, height: int, start, d, distance=FAR, skip_t0: bool 
         pop_d = descend & (child_empty | leaf_skip)
 
         # ---- advance: next midplane crossing or exit the cell ---------
-        tmid = _onehot_read(st["tmid_stk"], oh)
-        tend = _onehot_read(st["tend_stk"], oh)
-        sub = _onehot_read(st["sub_stk"], oh)
+        sub = ((words >> jnp.maximum(hc - 1, 0)[:, None]) & 1) == 1  # subv[h]
         t_next = jnp.where(sub, tend[:, None], tmid)
         m = hmin(t_next)
         pop_a = ~descend & (m == tend)
@@ -175,75 +188,69 @@ def svo_raycast(table, root, height: int, start, d, distance=FAR, skip_t0: bool 
         cx = t_next[:, 0] == m
         cy = ~cx & (t_next[:, 1] == m)
         cz = ~cx & ~cy & (t_next[:, 2] == m)
-        cross_axis = jnp.stack([cx, cy, cz], axis=-1)  # (B,3)
+        cross_axis_i = jnp.where(cx, 0, jnp.where(cy, 1, 2)).astype(jnp.int32)
 
-        # ---- state updates (all masked by alive) -----------------------
+        # ---- record hits -----------------------------------------------
         rec = leaf_hit & alive
         hit = st["hit"] | rec
         hit_t = jnp.where(rec, t, st["hit_t"])
         hit_node = jnp.where(rec, child, st["hit_node"])
-        normal = -jnp.where(st["enter_dir"], d_sign, 0.0)
-        hit_normal = jnp.where(rec[:, None], normal, st["hit_normal"])
-        voxel_m = offset.astype(jnp.int32)
-        voxel = jnp.where(
-            flip, (jnp.int32(1 << H) - voxel_m - 1), voxel_m
-        )
+        hit_axis = jnp.where(rec, st["axis"], st["hit_axis"])
+        # leaf voxel (mirrored) = offset(0) of the leaf cell; at h == 0 the
+        # words already carry the full bit pattern (bit 0 = the leaf octant).
+        voxel_m = off_i
+        voxel = jnp.where(flip, jnp.int32(1 << H) - voxel_m - 1, voxel_m)
         hit_voxel = jnp.where(rec[:, None], voxel, st["hit_voxel"])
 
-        # push: write child cell state at level h, then descend to h-1
-        mid = cell * 0.5
-        tmid_new = (offset + mid - s0) / dd
-        tend_new = jnp.minimum(hmin((offset + 2.0 * mid - s0) / dd), distance)
-        sub_new = tmid_new < t[:, None]
-        w_push = do_push & alive
-        node_stk = _onehot_write(st["node_stk"], oh, w_push, child)
-        tmid_stk = _onehot_write(st["tmid_stk"], oh, w_push, tmid_new)
-        tend_stk = _onehot_write(st["tend_stk"], oh, w_push, tend_new)
-        off_stk = _onehot_write(st["off_stk"], oh, w_push, offset)
-        sub_stk = _onehot_write(st["sub_stk"], oh, w_push, sub_new)
-
-        # cross: set the crossed axis bit at level h, update t/enter_dir
-        w_cross = cross & alive
-        sub_stk = _onehot_write(
-            sub_stk, oh, w_cross, sub | cross_axis
+        # ---- push: set subv[h] bits (tmid < t) at word bit h-1 ---------
+        bit = jnp.int32(1) << jnp.maximum(hc - 1, 0)[:, None]
+        sub_new = tmid < t[:, None]
+        w_push = (do_push & alive)[:, None]
+        words = jnp.where(
+            w_push, (words & ~bit) | jnp.where(sub_new, bit, 0), words
         )
-        t_new = jnp.where(w_cross, m, t)
-        enter_dir = jnp.where(w_cross[:, None], cross_axis, st["enter_dir"])
 
-        # height bookkeeping: pops go up, push/cross go down
+        # ---- cross: set the crossed axis's subv[h] bit ------------------
+        w_cross = cross & alive
+        set_axis = w_cross[:, None] & (axis_onehot == cross_axis_i[:, None])
+        words = jnp.where(set_axis, words | bit, words)
+        t_new = jnp.where(w_cross, m, t)
+        axis_new = jnp.where(w_cross, cross_axis_i, st["axis"])
+
+        # ---- stack + height bookkeeping ---------------------------------
         pop = (pop_d | pop_a) & alive
         down = (do_push | cross) & alive
+        node_stk = _onehot_write(st["node_stk"], oh, do_push & alive, child)
+        ohd = levels == jnp.clip(hc - 1, 0, H)[:, None]
+        node_stk = _onehot_write(node_stk, ohd, down,
+                                 jnp.full((B,), -1, jnp.int32))
         h_new = jnp.where(pop, h + 1, jnp.where(down, h - 1, h))
-        # entering a fresh level below: mark it unexplored
-        ohd = levels == (h[:, None] - 1)
-        node_stk = _onehot_write(node_stk, ohd, down, jnp.full((B,), -1, jnp.int32))
-
         alive = alive & ~rec & (h_new <= H)
 
         return dict(
             t=t_new,
-            enter_dir=enter_dir,
+            axis=axis_new,
             h=h_new,
+            words=words,
             node_stk=node_stk,
-            tmid_stk=tmid_stk,
-            sub_stk=sub_stk,
-            tend_stk=tend_stk,
-            off_stk=off_stk,
             alive=alive,
             hit=hit,
             hit_t=hit_t,
             hit_node=hit_node,
-            hit_normal=hit_normal,
+            hit_axis=hit_axis,
             hit_voxel=hit_voxel,
         )
 
     st = jax.lax.while_loop(cond, body, state)
+    normal = jnp.where(
+        st["hit_axis"][:, None] == axis_onehot, -d_sign, 0.0
+    ) * st["hit"][:, None]
     rs = lambda a: a.reshape(batch_shape + a.shape[1:])
     return dict(
         hit=rs(st["hit"]),
         t=rs(st["hit_t"]),
         node=rs(st["hit_node"]),
-        normal=rs(st["hit_normal"]),
+        normal=rs(normal),
         voxel=rs(st["hit_voxel"]),
     )
 

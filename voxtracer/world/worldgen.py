@@ -199,18 +199,38 @@ def build_octree(
     return space
 
 
-def generate(log2_size: int = REFERENCE_LOG2_SIZE, verbose: bool = True) -> SvoSpace:
-    """Full worldgen (worldgen.rs:10-59): heightmap + pyramid + octree."""
+def generate(
+    log2_size: int = REFERENCE_LOG2_SIZE,
+    verbose: bool = True,
+    backend: str = "auto",
+):
+    """Full worldgen (worldgen.rs:10-59): heightmap + pyramid + octree.
+
+    backend: 'native' (C++ builder), 'python', or 'auto' (native when the
+    library is available). Both produce identical octrees; the native
+    path also does the pyramid internally.
+    """
     t0 = time.monotonic()
     h = heightmap(log2_size)
-    mins, maxs = minmax_pyramid(h)
     t1 = time.monotonic()
     if verbose:
         print(f"heightmaps in {t1 - t0:.3f}s")
-    space = build_octree(mins, maxs)
+
+    if backend == "auto":
+        from voxtracer.world import native
+
+        backend = "native" if native.available() else "python"
+    if backend == "native":
+        from voxtracer.world.native import NativeSvoSpace
+
+        space = NativeSvoSpace()
+        space.build_terrain(h)
+    else:
+        mins, maxs = minmax_pyramid(h)
+        space = build_octree(mins, maxs)
     t2 = time.monotonic()
     if verbose:
-        print(f"octree in {t2 - t1:.3f}s")
+        print(f"octree in {t2 - t1:.3f}s [{backend}]")
         print(f"worldgen in {t2 - t0:.3f}s")
         print(f"world size: {space.mem_usage() / 1024 / 1024:.0f} mib "
               f"({space.num_nodes()} nodes)")
