@@ -385,6 +385,32 @@ void vx_set(void* h, uint32_t x, uint32_t y, uint32_t z, int has_color,
     s->set_root(new_node);
 }
 
+// Fill out (capacity i32) with the uniform solid-leaf id per node: for a
+// node whose subtree is entirely solid with one color, the id of that
+// leaf block; else -1. (Level-ascending DP; used by the beam traversal.)
+void vx_solid_leaf(void* h, int32_t* out) {
+    Space* s = (Space*)h;
+    size_t cap = s->nodes.size();
+    std::vector<uint32_t> order(cap);
+    for (size_t i = 0; i < cap; i++) order[i] = (uint32_t)i;
+    std::sort(order.begin(), order.end(), [&](uint32_t a, uint32_t b) {
+        return s->nodes[a].level < s->nodes[b].level;
+    });
+    for (size_t i = 0; i < cap; i++) out[i] = -1;
+    for (uint32_t id : order) {
+        const Node& n = s->nodes[id];
+        if (n.kind == BLOCK) {
+            out[id] = (int32_t)id;
+        } else if (n.kind == CHILDREN) {
+            int32_t sl = n.payload[0] == EMPTY ? -1 : out[n.payload[0]];
+            bool ok = sl >= 0;
+            for (int c = 1; ok && c < 8; c++)
+                ok = n.payload[c] != EMPTY && out[n.payload[c]] == sl;
+            out[id] = ok ? sl : -1;
+        }
+    }
+}
+
 // Serialize into out_table (capacity * 8 u32, caller-allocated). Dead
 // slots become all-EMPTY rows (fragment.rs:274-290 layout). Returns root.
 uint32_t vx_serialize(void* h, uint32_t* out_table) {

@@ -1,0 +1,103 @@
+"""Beam traversal vs per-ray traversal: exact parity on full frames,
+including overflow fallback, inside-solid starts, and axis-aligned views."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from voxtracer.core import camera as vcam
+from voxtracer.kernels.beam import beam_primary_frame_cast, build_aug_table
+from voxtracer.kernels.traverse import leaf_rgb, svo_raycast
+from voxtracer.world.svo import from_dense
+
+
+def _check(space, campos, yaw, pitch, K=64, W=64, H=40):
+    dev = space.serialize()
+    table = jnp.asarray(dev.table.view(np.int32))
+    root = np.int32(dev.root)
+    aug = jnp.asarray(build_aug_table(dev.table, dev.solid_leaf))
+    cam = vcam.Camera(pos=campos, yaw=yaw, pitch=pitch)
+    _, d = vcam.generate_rays(cam, W, H)
+    op = np.asarray(campos, np.float32)
+    rb = beam_primary_frame_cast(table, aug, root, dev.height, op, d, tile=8,
+                                 K=K, bands=H // 8 if H % 8 == 0 else 1)
+    rr = svo_raycast(table, root, dev.height, jnp.asarray(op), d)
+    hb, hr = np.asarray(rb["hit"]), np.asarray(rr["hit"])
+    assert np.array_equal(hb, hr)
+    both = hb
+    assert np.allclose(np.asarray(rb["t"])[both], np.asarray(rr["t"])[both],
+                       rtol=1e-4, atol=1e-3)
+    assert np.array_equal(np.asarray(rb["normal"])[both],
+                          np.asarray(rr["normal"])[both])
+    assert np.array_equal(np.asarray(rb["voxel"])[both],
+                          np.asarray(rr["voxel"])[both])
+    assert np.allclose(np.asarray(rb["rgb"])[both],
+                       np.asarray(leaf_rgb(table, rr["node"]))[both])
+
+
+@pytest.fixture(scope="module")
+def clutter():
+    rng = np.random.default_rng(5)
+    n = 32
+    solid = rng.random((n, n, n)) < 0.2
+    rgb = rng.random((n, n, n, 3)).astype(np.float32)
+    rgb[~solid] = 0
+    return from_dense(solid, rgb)
+
+
+def test_beam_clutter_front(clutter):
+    _check(clutter, (16.0, 16.0, -10.0), 0.0, 0.0)
+
+
+def test_beam_clutter_oblique(clutter):
+    _check(clutter, (-5.0, 40.0, -5.0), 0.7, 0.5)
+
+
+def test_beam_inside_geometry(clutter):
+    _check(clutter, (16.5, 16.5, 16.5), 0.3, -0.2)
+
+
+def test_beam_overflow_fallback(clutter):
+    # K=4 forces overflow on nearly every tile -> per-ray fallback
+    _check(clutter, (16.0, 16.0, -10.0), 0.0, 0.0, K=4)
+
+
+def test_beam_solid_world_inside():
+    n = 16
+    solid = np.ones((n, n, n), bool)
+    rgb = np.full((n, n, n, 3), 0.5, np.float32)
+    _check(from_dense(solid, rgb), (8.3, 8.3, 8.3), 0.1, 0.1)
+
+
+def test_beam_axis_aligned_down():
+    n = 32
+    solid = np.zeros((n, n, n), bool)
+    solid[:, :3, :] = True
+    rgb = np.zeros((n, n, n, 3), np.float32)
+    rgb[solid] = 0.5
+    _check(from_dense(solid, rgb), (16.0, 30.0, 16.0), 0.0,
+           np.pi / 2 - 1e-4)
+
+
+def test_beam_terrain_frame():
+    from voxtracer.world import worldgen
+
+    space = worldgen.generate(log2_size=6, verbose=False, backend="python")
+    s = 64 / 8192
+    _check(space,
+           tuple(np.asarray(vcam.DEFAULT_POSE.pos) * s),
+           vcam.DEFAULT_POSE.yaw, vcam.DEFAULT_POSE.pitch, W=96, H=56)
+
+
+def test_solid_leaf_annotation():
+    n = 16
+    solid = np.ones((n, n, n), bool)
+    rgb = np.full((n, n, n, 3), 0.5, np.float32)
+    dev = from_dense(solid, rgb).serialize()
+    # fully solid world: every live node's subtree is solid
+    assert dev.solid_leaf[dev.root] >= 0
+    # two-color world: the root must NOT be solid-uniform
+    rgb2 = rgb.copy()
+    rgb2[0, 0, 0] = (1.0, 0.0, 0.0)
+    dev2 = from_dense(solid, rgb2).serialize()
+    assert dev2.solid_leaf[dev2.root] == -1

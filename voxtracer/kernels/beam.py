@@ -1,0 +1,503 @@
+"""Beam-accelerated primary visibility — the TPU-native answer to
+per-ray octree pointer chasing.
+
+Motivation (measured on v5e, see PERF.md): XLA gathers cost ~10 ns per
+*row* no matter the row width, so traversal must (a) amortize tree
+walking over pixel tiles and (b) fetch fat rows. This module does both:
+
+1. **Augmented node rows** — serialize-time side table (N, 40) u32:
+   ``[children(8) | child_solid_leaf(8) | child_rgb(8x3)]``. One row
+   gather delivers everything needed to expand a node.
+2. **Beam walk** — one conservative interval-arithmetic octree traversal
+   per pixel tile (e.g. 8x8): each iteration expands one interior node —
+   all 8 children are slab-tested against the beam's origin/direction
+   bounds at once; solid children (incl. solid *subtrees*, via
+   DeviceSvo.solid_leaf) are emitted as candidate boxes in the same
+   iteration, interior children become pending stack entries. A solid
+   cell that provably covers the whole beam caps further collection.
+3. **Dense resolve** — every pixel slab-tests its ray against its tile's
+   K candidate boxes (a fori running-min, nothing K-sized materializes)
+   and takes the nearest: pure VPU math, zero gathers.
+4. **Banding** — the frame is processed in horizontal bands
+   (walk + resolve + per-ray fallback per band under lax.map), so sky
+   bands exit in a handful of iterations instead of riding the worst
+   beam of the whole frame.
+5. **Fallback** — tiles that overflow K candidates, exceed the step
+   budget, or straddle a direction-sign change are re-cast with the
+   exact per-ray traversal (kernels.traverse.svo_raycast, active-masked).
+
+The result matches svo_raycast's hit/t/normal/voxel semantics exactly
+(identical slab arithmetic and x>y>z tie priority); candidate cells are
+disjoint octree cells so nearest-entry equals first-hit. Rays starting
+inside a solid candidate reproduce the t==0-skip rule by hitting the
+next unit-grid plane within the box.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from voxtracer.core.vecmath import to_bits
+from voxtracer.kernels.traverse import EPS, FAR, leaf_rgb, svo_raycast
+
+AUG_WIDTH = 40
+
+# near-to-far octant priority (by popcount) in mirrored space
+_ORDER = (0, 1, 2, 4, 3, 5, 6, 7)
+
+
+def build_aug_table(table_u32: np.ndarray, solid_leaf: np.ndarray) -> np.ndarray:
+    """(N, 40) int32 augmented rows from the flat table + solid_leaf.
+
+    Layout: [0:8] child ids (-1 empty); [8:16] solid_leaf per child
+    (-1 = interior/mixed); [16:40] per-child leaf RGB float bits.
+    """
+    tbl = table_u32.view(np.int32).reshape(-1, 8)
+    n = tbl.shape[0]
+    aug = np.full((n, AUG_WIDTH), -1, np.int32)
+    aug[:, 0:8] = tbl
+    # NOTE: leaf rows carry float bit patterns in their child slots; they
+    # are never expanded, but clamp indices so the build stays in bounds.
+    child = np.clip(tbl, 0, n - 1)
+    valid = (tbl >= 0) & (tbl < n)
+    sl = np.where(valid, solid_leaf[child], -1)
+    aug[:, 8:16] = sl
+    has = sl >= 0
+    rgb_bits = tbl[np.clip(sl, 0, n - 1)][..., :3]  # (N,8,3)
+    rgb_bits = np.where(has[..., None], rgb_bits, 0)
+    aug[:, 16:40] = rgb_bits.reshape(n, 24)
+    return aug
+
+
+def _first_in_order(mask):
+    """Index (0..7) of the first set bit of ``mask`` in _ORDER priority;
+    8 if mask == 0. Dense selects, no gathers."""
+    out = jnp.full(mask.shape, 8, jnp.int32)
+    for j in reversed(_ORDER):
+        out = jnp.where((mask >> j) & 1 == 1, j, out)
+    return out
+
+
+def _onehot_read_i(stk, oh):
+    return jnp.sum(jnp.where(oh, stk, 0), axis=1)
+
+
+def _onehot_write_i(stk, oh, mask, val):
+    return jnp.where(oh & mask[:, None], val[:, None], stk)
+
+
+@partial(jax.jit, static_argnames=("height", "K", "max_steps", "skip_t0"))
+def beam_walk(aug, root, height: int, o_lo, o_hi, d_lo, d_hi,
+              K: int = 64, max_steps: int = 2048, skip_t0: bool = True):
+    """Collect candidate solid boxes per beam (see module docstring).
+
+    aug: (N, 40) int32 augmented node rows (build_aug_table).
+    o_lo/o_hi, d_lo/d_hi: (Bb, 3) bounds over each beam's rays.
+
+    Returns dict: lvl (Bb, K) i32 (-1 unused), off (Bb, K, 3) i32 world
+    cell corners, rgb (Bb, K, 3) f32, ok (Bb,) fully-collected flag.
+    """
+    assert height >= 1
+    Bb = d_lo.shape[0]
+    H = height
+    S = H + 1
+    bound = jnp.float32(1 << H)
+    levels = jnp.arange(S, dtype=jnp.int32)[None, :]
+    oct8 = jnp.arange(8, dtype=jnp.int32)
+    obits8 = jnp.stack([oct8 & 1, (oct8 >> 1) & 1, (oct8 >> 2) & 1],
+                       axis=-1).astype(jnp.float32)  # (8,3)
+
+    # mirror to all-positive direction intervals
+    flip = d_hi < 0.0
+    incoherent = jnp.any((d_lo < 0.0) & (d_hi >= 0.0), axis=-1)
+    dlo = jnp.where(flip, -d_hi, d_lo)
+    dhi = jnp.where(flip, -d_lo, d_hi)
+    dlo = jnp.maximum(dlo, EPS)  # the per-ray clamp (raytrace.wgsl:78)
+    dhi = jnp.maximum(dhi, dlo)
+    ilo = 1.0 / dhi
+    ihi = 1.0 / dlo
+    olo = jnp.where(flip, bound - o_hi, o_lo)
+    ohi = jnp.where(flip, bound - o_lo, o_hi)
+    mirror = to_bits(flip)  # (Bb,)
+    mirror8 = jnp.stack([mirror & 1, (mirror >> 1) & 1, (mirror >> 2) & 1],
+                        axis=-1).astype(jnp.float32)  # (Bb,3)
+
+    root_b = jnp.broadcast_to(jnp.asarray(root, jnp.int32), (Bb,))
+
+    # pending stacks: at level h, ids_stk[:, h, :] are the interior
+    # children (indexed by MIRRORED octant) of the node whose cell is at
+    # level h+1; mask_stk bit j set = child j still to expand.
+    ids_stk = jnp.full((Bb, S, 8), -1, jnp.int32)
+    mask_stk = jnp.zeros((Bb, S), jnp.int32)
+    # virtual pending entry for the root at level H, mirrored octant 0
+    ids_stk = ids_stk.at[:, H, 0].set(root_b)
+    mask_stk = mask_stk.at[:, H].set(1)
+
+    state = dict(
+        h=jnp.full((Bb,), H, jnp.int32),
+        ids_stk=ids_stk,
+        mask_stk=mask_stk,
+        words=jnp.zeros((Bb, 3), jnp.int32),
+        ncand=jnp.zeros((Bb,), jnp.int32),
+        cap=jnp.full((Bb,), jnp.float32(FAR)),
+        alive=(root_b >= 0) & ~incoherent,
+        overflow=incoherent,
+        steps=jnp.zeros((), jnp.int32),
+        cand_lvl=jnp.full((Bb, K), -1, jnp.int32),
+        cand_off=jnp.zeros((Bb, K, 3), jnp.int32),
+        cand_rgb=jnp.zeros((Bb, K, 3), jnp.float32),
+    )
+    kslots = jnp.arange(K, dtype=jnp.int32)[None, :]
+
+    def cond(st):
+        return jnp.any(st["alive"]) & (st["steps"] < max_steps)
+
+    def body(st):
+        h = st["h"]
+        alive = st["alive"]
+        oh = levels == h[:, None]
+
+        mask = _onehot_read_i(st["mask_stk"], oh)
+        pop = mask == 0
+        j = _first_in_order(mask)  # mirrored octant of the pending child
+        jc = jnp.clip(j, 0, 7)
+        mask_stk = _onehot_write_i(
+            st["mask_stk"], oh, alive & ~pop, mask & ~(1 << jc)
+        )
+
+        ids = jnp.sum(jnp.where(oh[..., None], st["ids_stk"], 0), axis=1)
+        child = jnp.sum(
+            jnp.where(oct8[None, :] == jc[:, None], ids, 0), axis=1
+        )  # (Bb,) node id being expanded (cell at level h)
+
+        # enter the child's cell: set word bits at level h
+        jb = jnp.stack([jc & 1, (jc >> 1) & 1, (jc >> 2) & 1], axis=-1)
+        hc = jnp.clip(h, 1, H)
+        bit = jnp.int32(1) << hc[:, None]
+        words = jnp.where(
+            (alive & ~pop & (h < H))[:, None],
+            (st["words"] & ~bit) | jb * bit,
+            st["words"],
+        )
+
+        # --- expand: fetch the augmented row, test all 8 children -------
+        row = aug[jnp.clip(child, 0, None)]  # (Bb, 40) one wide gather
+        gchild = row[:, 0:8]
+        gsl = row[:, 8:16]
+        grgb = jax.lax.bitcast_convert_type(
+            row[:, 16:40].reshape(Bb, 8, 3), jnp.float32
+        )
+
+        # grandchild cells: level h-1, offsets in mirrored space. The
+        # table's child indices are world octants: mirrored slot m holds
+        # world slot m ^ mirror.
+        gm = oct8[None, :] ^ mirror[:, None]  # world index per mirrored slot
+        sel8 = lambda a: jnp.sum(
+            jnp.where(gm[..., None] == jnp.arange(8)[None, None, :],
+                      a[:, None, :], 0), axis=-1,
+        )
+        gchild_m = sel8(gchild)  # (Bb,8) in mirrored slot order
+        gsl_m = sel8(gsl)
+        grgb_m = jnp.stack([sel8(grgb[..., c]) for c in range(3)], axis=-1)
+
+        s_g = jnp.exp2((hc - 1).astype(jnp.float32))  # (Bb,)
+        # expanded cell's offset = path bits >= h (bit h was just set)
+        cell_off = (words & ~((jnp.int32(1) << hc[:, None]) - 1)).astype(jnp.float32)
+        g_off = cell_off[:, None, :] + obits8[None] * s_g[:, None, None]
+
+        ne_lo = g_off - ohi[:, None, :]
+        ne_hi = g_off - olo[:, None, :]
+        e_lo = jnp.minimum(ne_lo * ilo[:, None, :], ne_lo * ihi[:, None, :])
+        e_hi = jnp.maximum(ne_hi * ilo[:, None, :], ne_hi * ihi[:, None, :])
+        nx_lo = g_off + s_g[:, None, None] - ohi[:, None, :]
+        nx_hi = g_off + s_g[:, None, None] - olo[:, None, :]
+        x_lo = jnp.minimum(nx_lo * ilo[:, None, :], nx_lo * ihi[:, None, :])
+        x_hi = jnp.maximum(nx_hi * ilo[:, None, :], nx_hi * ihi[:, None, :])
+        entry_lo = jnp.maximum(jnp.max(e_lo, axis=-1), 0.0)  # (Bb,8)
+        entry_hi = jnp.maximum(jnp.max(e_hi, axis=-1), 0.0)
+        exit_lo = jnp.min(x_lo, axis=-1)
+        exit_hi = jnp.min(x_hi, axis=-1)
+        overlap = (entry_lo <= exit_hi) & (exit_hi > 0.0) & (
+            entry_lo <= st["cap"][:, None]
+        )
+
+        act = (alive & ~pop)[:, None]
+        hit_cell = act & overlap & (gchild_m >= 0)
+        emit = hit_cell & (gsl_m >= 0)
+        desc = hit_cell & (gsl_m < 0)
+
+        # --- emit solid children as candidates (up to 8 at once) --------
+        # assign K-slots in near-to-far (_ORDER) priority via prefix sums
+        inv_rank = jnp.asarray(_ORDER, jnp.int32)  # octant at each rank
+        emit_by_rank = emit[:, inv_rank]
+        prefix = jnp.cumsum(emit_by_rank.astype(jnp.int32), axis=-1)
+        slot_by_rank = st["ncand"][:, None] + prefix - 1
+        nemit = prefix[:, -1]
+        new_overflow = (alive & ~pop) & (st["ncand"] + nemit > K)
+        can = ~new_overflow[:, None] & emit_by_rank
+
+        off_by_rank = g_off[:, inv_rank, :]
+        size_i = s_g.astype(jnp.int32)
+        off_m = off_by_rank.astype(jnp.int32)
+        off_w = jnp.where(
+            flip[:, None, :],
+            jnp.int32(1 << H) - off_m - size_i[:, None, None],
+            off_m,
+        )
+        rgb_by_rank = grgb_m[:, inv_rank, :]
+
+        cand_lvl, cand_off, cand_rgb = (
+            st["cand_lvl"], st["cand_off"], st["cand_rgb"]
+        )
+        wsel = (
+            kslots[:, :, None] == slot_by_rank[:, None, :]
+        ) & can[:, None, :]  # (Bb, K, 8)
+        cand_lvl = jnp.where(
+            jnp.any(wsel, -1), (hc - 1)[:, None], cand_lvl
+        )
+        cand_off = jnp.where(
+            jnp.any(wsel, -1)[..., None],
+            jnp.einsum("bkr,brc->bkc", wsel.astype(jnp.int32), off_w),
+            cand_off,
+        )
+        cand_rgb = jnp.where(
+            jnp.any(wsel, -1)[..., None],
+            jnp.einsum("bkr,brc->bkc", wsel.astype(jnp.float32), rgb_by_rank),
+            cand_rgb,
+        )
+        ncand = jnp.where(new_overflow, st["ncand"],
+                          st["ncand"] + nemit * (alive & ~pop).astype(jnp.int32))
+
+        # full-beam cover: nearest solid box every ray must pass through
+        cover = can & (entry_hi < exit_lo)[:, inv_rank]
+        if skip_t0:
+            cover = cover & (entry_lo[:, inv_rank] > 0.0)
+        cover_t = jnp.min(
+            jnp.where(cover, entry_hi[:, inv_rank], jnp.float32(FAR)), axis=-1
+        )
+        cap = jnp.minimum(st["cap"], cover_t)
+
+        # --- pending interior children ----------------------------------
+        dmask = jnp.sum(
+            jnp.where(desc, jnp.int32(1) << oct8[None, :], 0), axis=-1
+        )
+        has_desc = (dmask != 0) & alive & ~pop
+        ohd = levels == (hc - 1)[:, None]
+        ids_stk = jnp.where(
+            (ohd & has_desc[:, None])[..., None], gchild_m[:, None, :],
+            st["ids_stk"],
+        )
+        mask_stk = _onehot_write_i(mask_stk, ohd, has_desc, dmask)
+
+        h_new = jnp.where(pop & alive, h + 1,
+                          jnp.where(has_desc, h - 1, h))
+        overflow = st["overflow"] | new_overflow
+        alive = alive & ~new_overflow & (h_new <= H)
+
+        return dict(
+            h=h_new,
+            ids_stk=ids_stk,
+            mask_stk=mask_stk,
+            words=words,
+            ncand=ncand,
+            cap=cap,
+            alive=alive,
+            overflow=overflow,
+            steps=st["steps"] + 1,
+            cand_lvl=cand_lvl,
+            cand_off=cand_off,
+            cand_rgb=cand_rgb,
+        )
+
+    st = jax.lax.while_loop(cond, body, state)
+    unfinished = st["alive"]
+    return dict(
+        lvl=st["cand_lvl"],
+        off=st["cand_off"],
+        rgb=st["cand_rgb"],
+        ok=~(st["overflow"] | unfinished),
+    )
+
+
+@partial(jax.jit, static_argnames=("skip_t0",))
+def resolve_candidates(cand_lvl, cand_off, cand_rgb, origin, dirs,
+                       skip_t0: bool = True):
+    """Nearest-candidate slab resolve (fori running-min over K).
+
+    cand_*: (Bb, K[,3]) from beam_walk; origin (3,) or broadcastable;
+    dirs (Bb, P, 3) unit directions grouped per beam.
+    Returns per-ray dict: hit, t, normal, rgb, voxel — (Bb, P[,3]).
+    """
+    d = dirs
+    o = jnp.broadcast_to(origin, d.shape)
+    dd = jnp.where(jnp.abs(d) < EPS, jnp.where(d < 0, -EPS, EPS), d)
+    inv = 1.0 / dd
+    pos = dd > 0
+
+    # unit-grid crossing from the origin (inside-a-solid skip_t0 rule)
+    plane = jnp.where(pos, jnp.floor(o) + 1.0, jnp.ceil(o) - 1.0)
+    tu_k = (plane - o) * inv
+    tu = jnp.min(tu_k, axis=-1)  # (Bb,P)
+    ua = tu_k[..., 0] == tu
+    ub = ~ua & (tu_k[..., 1] == tu)
+    uc = ~ua & ~ub & (tu_k[..., 2] == tu)
+    uaxis = jnp.stack([ua, ub, uc], axis=-1)
+    plane_a = jnp.sum(jnp.where(uaxis, plane, 0.0), axis=-1)
+    pos_a = jnp.sum(jnp.where(uaxis, pos, False), axis=-1) > 0
+
+    K = cand_lvl.shape[-1]
+    B, P = d.shape[0], d.shape[1]
+
+    init = dict(
+        t=jnp.full((B, P), jnp.float32(FAR)),
+        e=jnp.zeros((B, P, 3)),
+        lo=jnp.zeros((B, P, 3)),
+        hi=jnp.zeros((B, P, 3)),
+        rgb=jnp.zeros((B, P, 3)),
+        special=jnp.zeros((B, P), jnp.bool_),
+    )
+
+    def step(k, best):
+        lvl = cand_lvl[:, k]  # (Bb,)
+        present = (lvl >= 0)[:, None]
+        size = jnp.exp2(lvl.astype(jnp.float32))[:, None, None]
+        lo = cand_off[:, k].astype(jnp.float32)[:, None, :]  # (Bb,1,3)
+        hi = lo + size
+        near = jnp.where(pos, lo, hi)
+        far = jnp.where(pos, hi, lo)
+        e = (near - o) * inv  # (Bb,P,3)
+        x = (far - o) * inv
+        entry = jnp.max(e, axis=-1)
+        exit_ = jnp.min(x, axis=-1)
+        entry_eff = jnp.maximum(entry, 0.0)
+        valid = present & (entry <= exit_) & (exit_ > 0)
+        if skip_t0:
+            valid = valid & (entry_eff > 0.0)
+        score = jnp.where(valid, entry_eff, jnp.float32(FAR))
+
+        if skip_t0:
+            lo_a = jnp.sum(jnp.where(uaxis, jnp.broadcast_to(lo, e.shape),
+                                     0.0), -1)
+            hi_a = jnp.sum(jnp.where(uaxis, jnp.broadcast_to(hi, e.shape),
+                                     0.0), -1)
+            plane_ok = jnp.where(pos_a, plane_a + 1.0 <= hi_a,
+                                 plane_a - 1.0 >= lo_a)
+            special_v = (
+                present & (entry <= 0.0) & (exit_ > 0.0) & (entry < exit_)
+                & plane_ok
+            )
+            score2 = jnp.where(special_v, tu, jnp.float32(FAR))
+        else:
+            score2 = jnp.full_like(score, jnp.float32(FAR))
+
+        sc = jnp.minimum(score, score2)
+        better = sc < best["t"]
+        upd3 = better[..., None]
+        rgb_k = cand_rgb[:, k][:, None, :]
+        return dict(
+            t=jnp.where(better, sc, best["t"]),
+            e=jnp.where(upd3, e, best["e"]),
+            lo=jnp.where(upd3, jnp.broadcast_to(lo, e.shape), best["lo"]),
+            hi=jnp.where(upd3, jnp.broadcast_to(hi, e.shape), best["hi"]),
+            rgb=jnp.where(upd3, jnp.broadcast_to(rgb_k, e.shape),
+                          best["rgb"]),
+            special=jnp.where(better, score2 < score, best["special"]),
+        )
+
+    best = jax.lax.fori_loop(0, K, step, init)
+    t = best["t"]
+    hit = t < FAR
+    was_special = best["special"]
+
+    ax = best["e"][..., 0] == t
+    ay = ~ax & (best["e"][..., 1] == t)
+    az = ~ax & ~ay & (best["e"][..., 2] == t)
+    axis3 = jnp.stack([ax, ay, az], axis=-1)
+    axis3 = jnp.where(was_special[..., None], uaxis, axis3)
+    normal = jnp.where(axis3, -jnp.sign(d), 0.0) * hit[..., None]
+    rgb = best["rgb"] * hit[..., None]
+
+    p_hit = o + d * t[..., None]
+    vox = jnp.clip(jnp.floor(p_hit), best["lo"], best["hi"] - 1.0)
+    face_vox = jnp.where(pos, best["lo"], best["hi"] - 1.0)
+    sp_vox = jnp.where(pos, plane, plane - 1.0)
+    face_vox = jnp.where(was_special[..., None], sp_vox, face_vox)
+    vox = jnp.where(axis3, face_vox, vox).astype(jnp.int32)
+    vox = jnp.where(hit[..., None], vox, 0)
+
+    return dict(hit=hit, t=jnp.where(hit, t, 0.0), normal=normal, rgb=rgb,
+                voxel=vox)
+
+
+def beam_primary_frame_cast(table, aug, root, height: int, origin, dirs,
+                            tile: int = 8, K: int = 64,
+                            max_steps: int = 2048, skip_t0: bool = True,
+                            bands: int = 1):
+    """Full-frame primary cast via banded beams with per-ray fallback.
+
+    dirs: (H, W, 3) unit directions (shared origin (3,)); ``bands``
+    splits tile-rows into groups processed sequentially under lax.map.
+    Returns dict hit/t/normal/voxel/rgb shaped (H, W[,3]).
+    """
+    Hpx, Wpx, _ = dirs.shape
+    assert Hpx % tile == 0 and Wpx % tile == 0
+    ty, tx = Hpx // tile, Wpx // tile
+    assert ty % bands == 0
+    o = jnp.asarray(origin, jnp.float32)
+
+    dt = dirs.reshape(ty, tile, tx, tile, 3).transpose(0, 2, 1, 3, 4)
+    dt = dt.reshape(ty * tx, tile * tile, 3)
+
+    def band_fn(dband):  # (Bb, P, 3) for one band
+        d_lo = jnp.min(dband, axis=1)
+        d_hi = jnp.max(dband, axis=1)
+        ob = jnp.broadcast_to(o, d_lo.shape)
+        cands = beam_walk(aug, root, height, ob, ob, d_lo, d_hi,
+                          K=K, max_steps=max_steps, skip_t0=skip_t0)
+        res = resolve_candidates(cands["lvl"], cands["off"], cands["rgb"],
+                                 o, dband, skip_t0=skip_t0)
+        need = ~cands["ok"]
+        need_px = jnp.broadcast_to(need[:, None], dband.shape[:2])
+        fb = svo_raycast(table, root, height, o, dband, skip_t0=skip_t0,
+                         active=need_px)
+        sel = need_px
+        return dict(
+            hit=jnp.where(sel, fb["hit"], res["hit"]),
+            t=jnp.where(sel, fb["t"], res["t"]),
+            normal=jnp.where(sel[..., None], fb["normal"], res["normal"]),
+            voxel=jnp.where(sel[..., None], fb["voxel"], res["voxel"]),
+            rgb=jnp.where(sel[..., None], leaf_rgb(table, fb["node"]),
+                          res["rgb"]),
+        )
+
+    if bands > 1:
+        per = (ty // bands) * tx
+        out = jax.lax.map(
+            band_fn, dt.reshape(bands, per, tile * tile, 3)
+        )
+        out = {k: v.reshape((ty * tx,) + v.shape[2:]) for k, v in out.items()}
+    else:
+        out = band_fn(dt)
+
+    def ung(a):
+        extra = a.shape[2:]
+        a = a.reshape(ty, tx, tile, tile, *extra)
+        a = jnp.moveaxis(a, 2, 1)
+        return a.reshape(Hpx, Wpx, *extra)
+
+    return {k: ung(v) for k, v in out.items()}
+
+
+def beam_primary_frame(table, aug, root, height: int, origin, dirs, sun,
+                       tile: int = 8, K: int = 64, max_steps: int = 2048,
+                       bands: int = 1):
+    """Beam-traced config-1 shading (software.rs:260-276 lighting)."""
+    r = beam_primary_frame_cast(table, aug, root, height, origin, dirs,
+                                tile=tile, K=K, max_steps=max_steps,
+                                bands=bands)
+    lighting = jnp.sum(sun * r["normal"], axis=-1) / 2.0 + 1.0
+    return r["rgb"] * lighting[..., None] * r["hit"][..., None]

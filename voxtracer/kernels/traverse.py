@@ -51,7 +51,8 @@ def _onehot_write(stk, oh, mask, val):
 
 
 @partial(jax.jit, static_argnames=("height", "skip_t0"))
-def svo_raycast(table, root, height: int, start, d, distance=FAR, skip_t0: bool = True):
+def svo_raycast(table, root, height: int, start, d, distance=FAR,
+                skip_t0: bool = True, active=None):
     """Cast rays through the flat SVO node table.
 
     Args:
@@ -116,6 +117,8 @@ def svo_raycast(table, root, height: int, start, d, distance=FAR, skip_t0: bool 
     words0 = sub_root.astype(jnp.int32) << (H - 1)  # (B, 3) packed bit-words
 
     alive = (root_b >= 0) & (tend_root >= t0)
+    if active is not None:
+        alive = alive & jnp.broadcast_to(active, batch_shape).reshape(B)
     h0 = jnp.full((B,), H - 1, jnp.int32)
 
     state = dict(

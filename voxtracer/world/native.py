@@ -78,6 +78,7 @@ def load_library():
     ]
     lib.vx_serialize.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint32)]
     lib.vx_serialize.restype = ctypes.c_uint32
+    lib.vx_solid_leaf.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_int32)]
     _lib = lib
     return lib
 
@@ -152,4 +153,10 @@ class NativeSvoSpace:
         root = self._lib.vx_serialize(
             self._h, table.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32))
         )
-        return DeviceSvo(table=table, root=int(root), height=self.height())
+        solid = np.full((cap,), -1, np.int32)
+        self._lib.vx_solid_leaf(
+            self._h, solid.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+        )
+        return DeviceSvo(
+            table=table, root=int(root), height=self.height(), solid_leaf=solid
+        )

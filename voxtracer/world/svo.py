@@ -207,21 +207,39 @@ class SvoSpace:
         Layout per live slot (fragment.rs:274-290 behavior): leaves write
         float32 RGB bit patterns into children[0..3]; interior nodes write
         child slot indices with EMPTY for absent octants; dead slots stay
-        all-EMPTY.
+        all-EMPTY. Also computes ``solid_leaf``: for each node whose
+        subtree is entirely solid with one uniform color, the id of that
+        leaf block (else -1) — the beam traversal treats such subtrees as
+        single boxes (kernels/beam.py).
         """
-        table = np.full((max(self.capacity(), 1), 8), EMPTY, dtype=np.uint32)
-        for nid, kind in enumerate(self._kind):
+        cap = max(self.capacity(), 1)
+        table = np.full((cap, 8), EMPTY, dtype=np.uint32)
+        solid = np.full((cap,), -1, dtype=np.int32)
+        by_level = sorted(
+            (nid for nid, k in enumerate(self._kind) if k is not None),
+            key=lambda nid: self._level[nid],
+        )
+        for nid in by_level:
+            kind = self._kind[nid]
             if kind == _BLOCK:
                 r, g, b = self._payload[nid]
                 table[nid, 0] = r
                 table[nid, 1] = g
                 table[nid, 2] = b
+                solid[nid] = nid
             elif kind == _CHILDREN:
-                for i, c in enumerate(self._payload[nid]):
+                children = self._payload[nid]
+                for i, c in enumerate(children):
                     if c is not None:
                         table[nid, i] = c
+                if all(c is not None for c in children):
+                    sl = {int(solid[c]) for c in children}
+                    if len(sl) == 1 and solid[children[0]] >= 0:
+                        solid[nid] = solid[children[0]]
         root = EMPTY if self.root is None else self.root
-        return DeviceSvo(table=table, root=root, height=self.height())
+        return DeviceSvo(
+            table=table, root=root, height=self.height(), solid_leaf=solid
+        )
 
     def mem_usage(self) -> int:
         """Rough bytes estimate (table + intern map), for worldgen logs."""
@@ -234,12 +252,14 @@ class DeviceSvo:
 
     ``table``: uint32[capacity, 8]; ``root``: slot index or EMPTY;
     ``height``: tree height (world edge = 2^height voxels), static under
-    jit.
+    jit; ``solid_leaf``: int32[capacity], the uniform leaf id of fully
+    solid single-color subtrees (else -1), used by the beam traversal.
     """
 
     table: np.ndarray
     root: int
     height: int
+    solid_leaf: np.ndarray | None = None
 
     def leaf_colors(self):
         """float32[capacity, 3] view of the leaf RGB bit patterns."""
