@@ -107,11 +107,26 @@ def cmd_render(args):
         root = np.int32(dev.root if dev.root != 0xFFFFFFFF else -1)
         o, d = vcam.generate_rays(cam, args.width, args.height)
         sun_unit = jnp.asarray(sun / np.linalg.norm(sun), jnp.float32)
+        tiles = args.bands if args.height % args.bands == 0 else 1
         t0 = time.monotonic()
-        if args.mode == "shaded":
-            img = shade.svo_primary_frame(table, root, dev.height, o, d, sun_unit)
+        if args.mode == "shaded" and args.engine == "beam":
+            from voxtracer.kernels import beam
+
+            aug = jnp.asarray(
+                beam.build_aug_table(dev.table, dev.solid_leaf)
+            )
+            ty = args.height // 8
+            bands = max(b for b in range(1, min(ty, 32) + 1) if ty % b == 0)
+            img = beam.beam_primary_frame(
+                table, aug, root, dev.height,
+                np.asarray(cam.pos, np.float32), d, sun_unit, bands=bands,
+            )
+        elif args.mode == "shaded":
+            img = shade.svo_primary_frame(table, root, dev.height, o, d,
+                                          sun_unit, tiles=tiles)
         else:  # shadow
-            img = shade.svo_shadow_frame(table, root, dev.height, o, d, sun_unit)
+            img = shade.svo_shadow_frame(table, root, dev.height, o, d,
+                                         sun_unit, tiles=tiles)
         img.block_until_ready()
         dt = time.monotonic() - t0
         rays = args.width * args.height * (1 if args.mode == "shaded" else 2)
@@ -157,6 +172,10 @@ def build_parser():
     p = sub.add_parser("render", help="render one frame")
     _add_common(p)
     p.add_argument("--mode", choices=("path", "shaded", "shadow"), default="path")
+    p.add_argument("--engine", choices=("beam", "ray"), default="beam",
+                   help="primary-visibility engine for --mode shaded")
+    p.add_argument("--bands", type=int, default=27,
+                   help="row bands for early-exit tiling")
     p.add_argument("--spp", type=int, default=16)
     p.add_argument("--out", default="frame.png")
     p.add_argument("--exr", default=None)

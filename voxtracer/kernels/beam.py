@@ -118,8 +118,10 @@ def beam_walk(aug, root, height: int, o_lo, o_hi, d_lo, d_hi,
     dhi = jnp.where(flip, -d_lo, d_hi)
     dlo = jnp.maximum(dlo, EPS)  # the per-ray clamp (raytrace.wgsl:78)
     dhi = jnp.maximum(dhi, dlo)
-    ilo = 1.0 / dhi
-    ihi = 1.0 / dlo
+    # pad inverse bounds by a few ulps so the interval brackets every
+    # ray's exactly-rounded 1/d (collection must stay a superset)
+    ilo = (1.0 / dhi) * (1.0 - 4e-7)
+    ihi = (1.0 / dlo) * (1.0 + 4e-7)
     olo = jnp.where(flip, bound - o_hi, o_lo)
     ohi = jnp.where(flip, bound - o_lo, o_hi)
     mirror = to_bits(flip)  # (Bb,)
@@ -141,11 +143,16 @@ def beam_walk(aug, root, height: int, o_lo, o_hi, d_lo, d_hi,
         h=jnp.full((Bb,), H, jnp.int32),
         ids_stk=ids_stk,
         mask_stk=mask_stk,
+        entry_stk=jnp.full((Bb, S, 8), jnp.float32(FAR)).at[:, H, 0].set(0.0),
         words=jnp.zeros((Bb, 3), jnp.int32),
         ncand=jnp.zeros((Bb,), jnp.int32),
         cap=jnp.full((Bb,), jnp.float32(FAR)),
         alive=(root_b >= 0) & ~incoherent,
         overflow=incoherent,
+        # nearest possible entry of anything NOT collected: hits at
+        # t < t_safe from the collected set are final (incoherent beams
+        # collect nothing, so everything is unsafe)
+        t_safe=jnp.where(incoherent, 0.0, jnp.float32(FAR)),
         steps=jnp.zeros((), jnp.int32),
         cand_lvl=jnp.full((Bb, K), -1, jnp.int32),
         cand_off=jnp.zeros((Bb, K, 3), jnp.int32),
@@ -271,6 +278,14 @@ def beam_walk(aug, root, height: int, o_lo, o_hi, d_lo, d_hi,
         )
         ncand = jnp.where(new_overflow, st["ncand"],
                           st["ncand"] + nemit * (alive & ~pop).astype(jnp.int32))
+        # overflow: record the nearest entry among the cells we failed to
+        # collect — resolve hits strictly before it remain final
+        fail_t = jnp.min(
+            jnp.where(emit_by_rank & new_overflow[:, None],
+                      entry_lo[:, inv_rank], jnp.float32(FAR)),
+            axis=-1,
+        )
+        t_safe = jnp.minimum(st["t_safe"], fail_t)
 
         # full-beam cover: nearest solid box every ray must pass through
         cover = can & (entry_hi < exit_lo)[:, inv_rank]
@@ -291,6 +306,11 @@ def beam_walk(aug, root, height: int, o_lo, o_hi, d_lo, d_hi,
             (ohd & has_desc[:, None])[..., None], gchild_m[:, None, :],
             st["ids_stk"],
         )
+        entry_stk = jnp.where(
+            (ohd & has_desc[:, None])[..., None],
+            jnp.where(desc, entry_lo, jnp.float32(FAR))[:, None, :],
+            st["entry_stk"],
+        )
         mask_stk = _onehot_write_i(mask_stk, ohd, has_desc, dmask)
 
         h_new = jnp.where(pop & alive, h + 1,
@@ -302,11 +322,13 @@ def beam_walk(aug, root, height: int, o_lo, o_hi, d_lo, d_hi,
             h=h_new,
             ids_stk=ids_stk,
             mask_stk=mask_stk,
+            entry_stk=entry_stk,
             words=words,
             ncand=ncand,
             cap=cap,
             alive=alive,
             overflow=overflow,
+            t_safe=t_safe,
             steps=st["steps"] + 1,
             cand_lvl=cand_lvl,
             cand_off=cand_off,
@@ -315,31 +337,51 @@ def beam_walk(aug, root, height: int, o_lo, o_hi, d_lo, d_hi,
 
     st = jax.lax.while_loop(cond, body, state)
     unfinished = st["alive"]
+    ok = ~(st["overflow"] | unfinished)
+    # anything still pending on the stack was never expanded: its entry
+    # bounds what the collected candidates can certify
+    oct_bit = jnp.int32(1) << jnp.arange(8, dtype=jnp.int32)[None, None, :]
+    pend = (st["mask_stk"][..., None] & oct_bit) != 0  # (Bb,S,8)
+    pend_min = jnp.min(
+        jnp.where(pend, st["entry_stk"], jnp.float32(FAR)), axis=(1, 2)
+    )
+    t_safe = jnp.where(ok, jnp.float32(FAR),
+                       jnp.minimum(st["t_safe"], pend_min))
     return dict(
         lvl=st["cand_lvl"],
         off=st["cand_off"],
         rgb=st["cand_rgb"],
-        ok=~(st["overflow"] | unfinished),
+        ok=ok,
+        t_safe=t_safe,
     )
 
 
-@partial(jax.jit, static_argnames=("skip_t0",))
+@partial(jax.jit, static_argnames=("height", "skip_t0"))
 def resolve_candidates(cand_lvl, cand_off, cand_rgb, origin, dirs,
-                       skip_t0: bool = True):
+                       height: int, skip_t0: bool = True):
     """Nearest-candidate slab resolve (fori running-min over K).
 
     cand_*: (Bb, K[,3]) from beam_walk; origin (3,) or broadcastable;
     dirs (Bb, P, 3) unit directions grouped per beam.
     Returns per-ray dict: hit, t, normal, rgb, voxel — (Bb, P[,3]).
+
+    All plane arithmetic runs in the traversal's *mirrored* space with
+    the same EPS direction clamp and the same (plane - origin) * inv_d
+    expressions, so slab t's are bit-identical to svo_raycast's crossing
+    t's — pixel parity holds even for rays grazing cell corners.
     """
     d = dirs
-    o = jnp.broadcast_to(origin, d.shape)
-    dd = jnp.where(jnp.abs(d) < EPS, jnp.where(d < 0, -EPS, EPS), d)
-    inv = 1.0 / dd
-    pos = dd > 0
+    bound = jnp.float32(1 << height)
+    o_w = jnp.broadcast_to(origin, d.shape)
+    flip = d < 0.0
+    d_sign = jnp.sign(d)
+    dm = jnp.maximum(jnp.abs(d), EPS)
+    inv = 1.0 / dm
+    o = jnp.where(flip, bound - o_w, o_w)  # mirrored origin
 
-    # unit-grid crossing from the origin (inside-a-solid skip_t0 rule)
-    plane = jnp.where(pos, jnp.floor(o) + 1.0, jnp.ceil(o) - 1.0)
+    # unit-grid crossing from the origin (inside-a-solid skip_t0 rule);
+    # in mirrored space every direction is positive
+    plane = jnp.floor(o) + 1.0
     tu_k = (plane - o) * inv
     tu = jnp.min(tu_k, axis=-1)  # (Bb,P)
     ua = tu_k[..., 0] == tu
@@ -347,7 +389,6 @@ def resolve_candidates(cand_lvl, cand_off, cand_rgb, origin, dirs,
     uc = ~ua & ~ub & (tu_k[..., 2] == tu)
     uaxis = jnp.stack([ua, ub, uc], axis=-1)
     plane_a = jnp.sum(jnp.where(uaxis, plane, 0.0), axis=-1)
-    pos_a = jnp.sum(jnp.where(uaxis, pos, False), axis=-1) > 0
 
     K = cand_lvl.shape[-1]
     B, P = d.shape[0], d.shape[1]
@@ -355,8 +396,8 @@ def resolve_candidates(cand_lvl, cand_off, cand_rgb, origin, dirs,
     init = dict(
         t=jnp.full((B, P), jnp.float32(FAR)),
         e=jnp.zeros((B, P, 3)),
-        lo=jnp.zeros((B, P, 3)),
-        hi=jnp.zeros((B, P, 3)),
+        near=jnp.zeros((B, P, 3)),
+        far=jnp.zeros((B, P, 3)),
         rgb=jnp.zeros((B, P, 3)),
         special=jnp.zeros((B, P), jnp.bool_),
     )
@@ -365,10 +406,12 @@ def resolve_candidates(cand_lvl, cand_off, cand_rgb, origin, dirs,
         lvl = cand_lvl[:, k]  # (Bb,)
         present = (lvl >= 0)[:, None]
         size = jnp.exp2(lvl.astype(jnp.float32))[:, None, None]
-        lo = cand_off[:, k].astype(jnp.float32)[:, None, :]  # (Bb,1,3)
+        lo = cand_off[:, k].astype(jnp.float32)[:, None, :]  # (Bb,1,3) world
         hi = lo + size
-        near = jnp.where(pos, lo, hi)
-        far = jnp.where(pos, hi, lo)
+        # mirrored box planes (exact integers, same values the traversal
+        # derives from its offset words)
+        near = jnp.where(flip, bound - hi, lo)
+        far = jnp.where(flip, bound - lo, hi)
         e = (near - o) * inv  # (Bb,P,3)
         x = (far - o) * inv
         entry = jnp.max(e, axis=-1)
@@ -380,12 +423,9 @@ def resolve_candidates(cand_lvl, cand_off, cand_rgb, origin, dirs,
         score = jnp.where(valid, entry_eff, jnp.float32(FAR))
 
         if skip_t0:
-            lo_a = jnp.sum(jnp.where(uaxis, jnp.broadcast_to(lo, e.shape),
-                                     0.0), -1)
-            hi_a = jnp.sum(jnp.where(uaxis, jnp.broadcast_to(hi, e.shape),
-                                     0.0), -1)
-            plane_ok = jnp.where(pos_a, plane_a + 1.0 <= hi_a,
-                                 plane_a - 1.0 >= lo_a)
+            far_a = jnp.sum(jnp.where(uaxis, jnp.broadcast_to(far, e.shape),
+                                      0.0), -1)
+            plane_ok = plane_a + 1.0 <= far_a
             special_v = (
                 present & (entry <= 0.0) & (exit_ > 0.0) & (entry < exit_)
                 & plane_ok
@@ -401,8 +441,9 @@ def resolve_candidates(cand_lvl, cand_off, cand_rgb, origin, dirs,
         return dict(
             t=jnp.where(better, sc, best["t"]),
             e=jnp.where(upd3, e, best["e"]),
-            lo=jnp.where(upd3, jnp.broadcast_to(lo, e.shape), best["lo"]),
-            hi=jnp.where(upd3, jnp.broadcast_to(hi, e.shape), best["hi"]),
+            near=jnp.where(upd3, jnp.broadcast_to(near, e.shape),
+                           best["near"]),
+            far=jnp.where(upd3, jnp.broadcast_to(far, e.shape), best["far"]),
             rgb=jnp.where(upd3, jnp.broadcast_to(rgb_k, e.shape),
                           best["rgb"]),
             special=jnp.where(better, score2 < score, best["special"]),
@@ -418,15 +459,17 @@ def resolve_candidates(cand_lvl, cand_off, cand_rgb, origin, dirs,
     az = ~ax & ~ay & (best["e"][..., 2] == t)
     axis3 = jnp.stack([ax, ay, az], axis=-1)
     axis3 = jnp.where(was_special[..., None], uaxis, axis3)
-    normal = jnp.where(axis3, -jnp.sign(d), 0.0) * hit[..., None]
+    normal = jnp.where(axis3, -d_sign, 0.0) * hit[..., None]
     rgb = best["rgb"] * hit[..., None]
 
-    p_hit = o + d * t[..., None]
-    vox = jnp.clip(jnp.floor(p_hit), best["lo"], best["hi"] - 1.0)
-    face_vox = jnp.where(pos, best["lo"], best["hi"] - 1.0)
-    sp_vox = jnp.where(pos, plane, plane - 1.0)
-    face_vox = jnp.where(was_special[..., None], sp_vox, face_vox)
-    vox = jnp.where(axis3, face_vox, vox).astype(jnp.int32)
+    # integer voxel coordinate of the hit (editor API parity). Mirrored
+    # face plane -> world voxel: flip ? bound - plane - 1 : plane.
+    p_hit_m = o + dm * t[..., None]
+    vox_m = jnp.clip(jnp.floor(p_hit_m), best["near"], best["far"] - 1.0)
+    face_m = jnp.where(was_special[..., None],
+                       plane, best["near"])
+    vox_m = jnp.where(axis3, face_m, vox_m)
+    vox = jnp.where(flip, bound - vox_m - 1.0, vox_m).astype(jnp.int32)
     vox = jnp.where(hit[..., None], vox, 0)
 
     return dict(hit=hit, t=jnp.where(hit, t, 0.0), normal=normal, rgb=rgb,
@@ -459,14 +502,23 @@ def beam_primary_frame_cast(table, aug, root, height: int, origin, dirs,
         cands = beam_walk(aug, root, height, ob, ob, d_lo, d_hi,
                           K=K, max_steps=max_steps, skip_t0=skip_t0)
         res = resolve_candidates(cands["lvl"], cands["off"], cands["rgb"],
-                                 o, dband, skip_t0=skip_t0)
-        need = ~cands["ok"]
-        need_px = jnp.broadcast_to(need[:, None], dband.shape[:2])
-        fb = svo_raycast(table, root, height, o, dband, skip_t0=skip_t0,
-                         active=need_px)
-        sel = need_px
+                                 o, dband, height, skip_t0=skip_t0)
+        # A pixel is final if its tile was fully collected, or its hit is
+        # strictly nearer than anything the walk didn't collect.
+        confirmed = cands["ok"][:, None] | (
+            res["hit"] & (res["t"] < cands["t_safe"][:, None])
+        )
+        need_px = ~confirmed
+        # The per-ray fallback only has to search up to the tentative hit
+        # (it is real geometry — just possibly not the nearest), which
+        # prunes the traversal sharply on grazing tiles.
+        cap = jnp.where(res["hit"], res["t"] * 1.000001 + 1e-4,
+                        jnp.float32(FAR))
+        fb = svo_raycast(table, root, height, o, dband, distance=cap,
+                         skip_t0=skip_t0, active=need_px)
+        sel = need_px & fb["hit"]
         return dict(
-            hit=jnp.where(sel, fb["hit"], res["hit"]),
+            hit=jnp.where(need_px, fb["hit"] | res["hit"], res["hit"]),
             t=jnp.where(sel, fb["t"], res["t"]),
             normal=jnp.where(sel[..., None], fb["normal"], res["normal"]),
             voxel=jnp.where(sel[..., None], fb["voxel"], res["voxel"]),
