@@ -70,8 +70,8 @@ def test_beam_inside_geometry(clutter):
 
 
 def test_beam_overflow_fallback(clutter):
-    # K=4 forces overflow on nearly every tile -> per-ray fallback
-    _check(clutter, (16.1234567, 16.0721311, -10.0412399), 0.0137, 0.0213, K=4)
+    # tiny K forces pauses/resumes on nearly every tile
+    _check(clutter, (16.1234567, 16.0721311, -10.0412399), 0.0137, 0.0213, K=8)
 
 
 def test_beam_solid_world_inside():

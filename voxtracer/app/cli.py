@@ -150,6 +150,8 @@ def cmd_headless(args):
         sun_start=np.asarray(args.sun, np.float64),
         max_iters=args.iters,
         max_frames=args.max_frames,
+        checkpoint_every=args.checkpoint_every,
+        checkpoint_path=args.checkpoint_path,
     )
 
 
@@ -187,6 +189,9 @@ def build_parser():
     p.add_argument("--frame-samples", type=int, default=1000)
     p.add_argument("--iters", type=int, default=1)
     p.add_argument("--max-frames", type=int, default=None)
+    p.add_argument("--checkpoint-every", type=int, default=None,
+                   help="snapshot render state every N samples")
+    p.add_argument("--checkpoint-path", default="render_state.npz")
     p.set_defaults(fn=cmd_headless)
 
     p = sub.add_parser("combine", help="frames/*.exr -> movie/*.png")

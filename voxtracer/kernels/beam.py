@@ -92,16 +92,25 @@ def _onehot_write_i(stk, oh, mask, val):
 
 @partial(jax.jit, static_argnames=("height", "K", "max_steps", "skip_t0"))
 def beam_walk(aug, root, height: int, o_lo, o_hi, d_lo, d_hi,
-              K: int = 64, max_steps: int = 2048, skip_t0: bool = True):
+              K: int = 64, max_steps: int = 2048, skip_t0: bool = True,
+              state=None):
     """Collect candidate solid boxes per beam (see module docstring).
 
     aug: (N, 40) int32 augmented node rows (build_aug_table).
     o_lo/o_hi, d_lo/d_hi: (Bb, 3) bounds over each beam's rays.
 
-    Returns dict: lvl (Bb, K) i32 (-1 unused), off (Bb, K, 3) i32 world
-    cell corners, rgb (Bb, K, 3) f32, ok (Bb,) fully-collected flag.
+    The walk is *resumable*: a beam that fills its K candidate slots
+    pauses with its pending stack intact; pass the returned ``state``
+    back in to collect the next K boxes (the frame driver interleaves
+    rounds with resolves). ``t_safe`` is the nearest possible entry of
+    anything not yet collected — resolve hits strictly nearer are final.
+
+    Returns (cands, state): cands has lvl (Bb, K) i32 (-1 unused),
+    off (Bb, K, 3) i32 world cell corners, rgb (Bb, K, 3) f32,
+    ok (Bb,) fully-collected flag, t_safe (Bb,) f32.
     """
     assert height >= 1
+    assert K >= 8
     Bb = d_lo.shape[0]
     H = height
     S = H + 1
@@ -130,42 +139,49 @@ def beam_walk(aug, root, height: int, o_lo, o_hi, d_lo, d_hi,
 
     root_b = jnp.broadcast_to(jnp.asarray(root, jnp.int32), (Bb,))
 
-    # pending stacks: at level h, ids_stk[:, h, :] are the interior
-    # children (indexed by MIRRORED octant) of the node whose cell is at
-    # level h+1; mask_stk bit j set = child j still to expand.
-    ids_stk = jnp.full((Bb, S, 8), -1, jnp.int32)
-    mask_stk = jnp.zeros((Bb, S), jnp.int32)
-    # virtual pending entry for the root at level H, mirrored octant 0
-    ids_stk = ids_stk.at[:, H, 0].set(root_b)
-    mask_stk = mask_stk.at[:, H].set(1)
-
-    state = dict(
-        h=jnp.full((Bb,), H, jnp.int32),
-        ids_stk=ids_stk,
-        mask_stk=mask_stk,
-        entry_stk=jnp.full((Bb, S, 8), jnp.float32(FAR)).at[:, H, 0].set(0.0),
-        words=jnp.zeros((Bb, 3), jnp.int32),
+    if state is None:
+        # pending stacks: at level h, ids_stk[:, h, :] are the interior
+        # children (indexed by MIRRORED octant) of the node whose cell is
+        # at level h+1; mask_stk bit j set = child j still to expand.
+        ids_stk = jnp.full((Bb, S, 8), -1, jnp.int32)
+        mask_stk = jnp.zeros((Bb, S), jnp.int32)
+        # virtual pending entry for the root at level H, mirrored octant 0
+        ids_stk = ids_stk.at[:, H, 0].set(root_b)
+        mask_stk = mask_stk.at[:, H].set(1)
+        state = dict(
+            h=jnp.full((Bb,), H, jnp.int32),
+            ids_stk=ids_stk,
+            mask_stk=mask_stk,
+            entry_stk=jnp.full((Bb, S, 8), jnp.float32(FAR))
+            .at[:, H, 0].set(0.0),
+            words=jnp.zeros((Bb, 3), jnp.int32),
+            cap=jnp.full((Bb,), jnp.float32(FAR)),
+            alive=(root_b >= 0) & ~incoherent,
+        )
+    else:
+        # resume: paused beams become live again (stacks intact)
+        state = dict(state)
+    state.update(
         ncand=jnp.zeros((Bb,), jnp.int32),
-        cap=jnp.full((Bb,), jnp.float32(FAR)),
-        alive=(root_b >= 0) & ~incoherent,
-        overflow=incoherent,
-        # nearest possible entry of anything NOT collected: hits at
-        # t < t_safe from the collected set are final (incoherent beams
-        # collect nothing, so everything is unsafe)
-        t_safe=jnp.where(incoherent, 0.0, jnp.float32(FAR)),
-        steps=jnp.zeros((), jnp.int32),
         cand_lvl=jnp.full((Bb, K), -1, jnp.int32),
         cand_off=jnp.zeros((Bb, K, 3), jnp.int32),
         cand_rgb=jnp.zeros((Bb, K, 3), jnp.float32),
+        steps=jnp.zeros((), jnp.int32),
     )
     kslots = jnp.arange(K, dtype=jnp.int32)[None, :]
 
+    state["paused"] = jnp.zeros((Bb,), jnp.bool_)
+
     def cond(st):
-        return jnp.any(st["alive"]) & (st["steps"] < max_steps)
+        return jnp.any(st["alive"] & ~st["paused"]) & (st["steps"] < max_steps)
 
     def body(st):
         h = st["h"]
-        alive = st["alive"]
+        # pause before an expansion that might not fit its 8 emits; the
+        # pending bit stays set, so a resumed round re-picks it
+        pause_now = st["ncand"] > K - 8
+        paused = st["paused"] | (st["alive"] & pause_now)
+        alive = st["alive"] & ~paused
         oh = levels == h[:, None]
 
         mask = _onehot_read_i(st["mask_stk"], oh)
@@ -237,15 +253,15 @@ def beam_walk(aug, root, height: int, o_lo, o_hi, d_lo, d_hi,
         emit = hit_cell & (gsl_m >= 0)
         desc = hit_cell & (gsl_m < 0)
 
-        # --- emit solid children as candidates (up to 8 at once) --------
+        # --- emit solid children as candidates (up to 8 at once; the
+        # pause-at-K-8 rule guarantees capacity) -------------------------
         # assign K-slots in near-to-far (_ORDER) priority via prefix sums
         inv_rank = jnp.asarray(_ORDER, jnp.int32)  # octant at each rank
         emit_by_rank = emit[:, inv_rank]
         prefix = jnp.cumsum(emit_by_rank.astype(jnp.int32), axis=-1)
         slot_by_rank = st["ncand"][:, None] + prefix - 1
         nemit = prefix[:, -1]
-        new_overflow = (alive & ~pop) & (st["ncand"] + nemit > K)
-        can = ~new_overflow[:, None] & emit_by_rank
+        can = emit_by_rank
 
         off_by_rank = g_off[:, inv_rank, :]
         size_i = s_g.astype(jnp.int32)
@@ -276,16 +292,7 @@ def beam_walk(aug, root, height: int, o_lo, o_hi, d_lo, d_hi,
             jnp.einsum("bkr,brc->bkc", wsel.astype(jnp.float32), rgb_by_rank),
             cand_rgb,
         )
-        ncand = jnp.where(new_overflow, st["ncand"],
-                          st["ncand"] + nemit * (alive & ~pop).astype(jnp.int32))
-        # overflow: record the nearest entry among the cells we failed to
-        # collect — resolve hits strictly before it remain final
-        fail_t = jnp.min(
-            jnp.where(emit_by_rank & new_overflow[:, None],
-                      entry_lo[:, inv_rank], jnp.float32(FAR)),
-            axis=-1,
-        )
-        t_safe = jnp.minimum(st["t_safe"], fail_t)
+        ncand = st["ncand"] + nemit * (alive & ~pop).astype(jnp.int32)
 
         # full-beam cover: nearest solid box every ray must pass through
         cover = can & (entry_hi < exit_lo)[:, inv_rank]
@@ -315,8 +322,7 @@ def beam_walk(aug, root, height: int, o_lo, o_hi, d_lo, d_hi,
 
         h_new = jnp.where(pop & alive, h + 1,
                           jnp.where(has_desc, h - 1, h))
-        overflow = st["overflow"] | new_overflow
-        alive = alive & ~new_overflow & (h_new <= H)
+        alive_out = st["alive"] & (paused | (h_new <= H))
 
         return dict(
             h=h_new,
@@ -326,9 +332,8 @@ def beam_walk(aug, root, height: int, o_lo, o_hi, d_lo, d_hi,
             words=words,
             ncand=ncand,
             cap=cap,
-            alive=alive,
-            overflow=overflow,
-            t_safe=t_safe,
+            alive=alive_out,
+            paused=paused,
             steps=st["steps"] + 1,
             cand_lvl=cand_lvl,
             cand_off=cand_off,
@@ -336,24 +341,30 @@ def beam_walk(aug, root, height: int, o_lo, o_hi, d_lo, d_hi,
         )
 
     st = jax.lax.while_loop(cond, body, state)
-    unfinished = st["alive"]
-    ok = ~(st["overflow"] | unfinished)
-    # anything still pending on the stack was never expanded: its entry
-    # bounds what the collected candidates can certify
+    # a beam is done when nothing remains on its pending stack
+    ok = ~st["alive"] & ~incoherent
+    # anything still pending was never expanded: its entry bounds what the
+    # collected candidates can certify
     oct_bit = jnp.int32(1) << jnp.arange(8, dtype=jnp.int32)[None, None, :]
     pend = (st["mask_stk"][..., None] & oct_bit) != 0  # (Bb,S,8)
     pend_min = jnp.min(
         jnp.where(pend, st["entry_stk"], jnp.float32(FAR)), axis=(1, 2)
     )
-    t_safe = jnp.where(ok, jnp.float32(FAR),
-                       jnp.minimum(st["t_safe"], pend_min))
-    return dict(
+    t_safe = jnp.where(incoherent, 0.0,
+                       jnp.where(ok, jnp.float32(FAR), pend_min))
+    cands = dict(
         lvl=st["cand_lvl"],
         off=st["cand_off"],
         rgb=st["cand_rgb"],
         ok=ok,
         t_safe=t_safe,
     )
+    out_state = {
+        k: st[k]
+        for k in ("h", "ids_stk", "mask_stk", "entry_stk", "words", "cap",
+                  "alive")
+    }
+    return cands, out_state
 
 
 @partial(jax.jit, static_argnames=("height", "skip_t0"))
@@ -390,84 +401,74 @@ def resolve_candidates(cand_lvl, cand_off, cand_rgb, origin, dirs,
     uaxis = jnp.stack([ua, ub, uc], axis=-1)
     plane_a = jnp.sum(jnp.where(uaxis, plane, 0.0), axis=-1)
 
-    K = cand_lvl.shape[-1]
-    B, P = d.shape[0], d.shape[1]
+    # Candidate boxes in mirrored space: (Bb, K, 3) exact-integer planes —
+    # the same values the traversal derives from its offset words.
+    present_k = cand_lvl >= 0  # (Bb, K)
+    size_k = jnp.exp2(cand_lvl.astype(jnp.float32))[..., None]
+    lo_k = cand_off.astype(jnp.float32)
+    hi_k = lo_k + size_k
+    # per-(beam, pixel) mirrored planes require flip (Bb,P,3):
+    nearK = jnp.where(flip[:, :, None, :], bound - hi_k[:, None],
+                      lo_k[:, None])  # (Bb,P,K,3)
+    farK = jnp.where(flip[:, :, None, :], bound - lo_k[:, None],
+                     hi_k[:, None])
 
-    init = dict(
-        t=jnp.full((B, P), jnp.float32(FAR)),
-        e=jnp.zeros((B, P, 3)),
-        near=jnp.zeros((B, P, 3)),
-        far=jnp.zeros((B, P, 3)),
-        rgb=jnp.zeros((B, P, 3)),
-        special=jnp.zeros((B, P), jnp.bool_),
-    )
-
-    def step(k, best):
-        lvl = cand_lvl[:, k]  # (Bb,)
-        present = (lvl >= 0)[:, None]
-        size = jnp.exp2(lvl.astype(jnp.float32))[:, None, None]
-        lo = cand_off[:, k].astype(jnp.float32)[:, None, :]  # (Bb,1,3) world
-        hi = lo + size
-        # mirrored box planes (exact integers, same values the traversal
-        # derives from its offset words)
-        near = jnp.where(flip, bound - hi, lo)
-        far = jnp.where(flip, bound - lo, hi)
-        e = (near - o) * inv  # (Bb,P,3)
-        x = (far - o) * inv
+    def scores():
+        """Fused (Bb,P,K) candidate scores (regular + inside-special)."""
+        e = (nearK - o[:, :, None, :]) * inv[:, :, None, :]
+        x = (farK - o[:, :, None, :]) * inv[:, :, None, :]
         entry = jnp.max(e, axis=-1)
         exit_ = jnp.min(x, axis=-1)
         entry_eff = jnp.maximum(entry, 0.0)
-        valid = present & (entry <= exit_) & (exit_ > 0)
+        valid = present_k[:, None, :] & (entry <= exit_) & (exit_ > 0)
         if skip_t0:
             valid = valid & (entry_eff > 0.0)
         score = jnp.where(valid, entry_eff, jnp.float32(FAR))
-
         if skip_t0:
-            far_a = jnp.sum(jnp.where(uaxis, jnp.broadcast_to(far, e.shape),
-                                      0.0), -1)
-            plane_ok = plane_a + 1.0 <= far_a
+            far_a = jnp.sum(jnp.where(uaxis[:, :, None, :], farK, 0.0), -1)
+            plane_ok = plane_a[:, :, None] + 1.0 <= far_a
             special_v = (
-                present & (entry <= 0.0) & (exit_ > 0.0) & (entry < exit_)
-                & plane_ok
+                present_k[:, None, :] & (entry <= 0.0) & (exit_ > 0.0)
+                & (entry < exit_) & plane_ok
             )
-            score2 = jnp.where(special_v, tu, jnp.float32(FAR))
+            score2 = jnp.where(special_v, tu[:, :, None], jnp.float32(FAR))
         else:
             score2 = jnp.full_like(score, jnp.float32(FAR))
+        return score, score2, e
 
-        sc = jnp.minimum(score, score2)
-        better = sc < best["t"]
-        upd3 = better[..., None]
-        rgb_k = cand_rgb[:, k][:, None, :]
-        return dict(
-            t=jnp.where(better, sc, best["t"]),
-            e=jnp.where(upd3, e, best["e"]),
-            near=jnp.where(upd3, jnp.broadcast_to(near, e.shape),
-                           best["near"]),
-            far=jnp.where(upd3, jnp.broadcast_to(far, e.shape), best["far"]),
-            rgb=jnp.where(upd3, jnp.broadcast_to(rgb_k, e.shape),
-                          best["rgb"]),
-            special=jnp.where(better, score2 < score, best["special"]),
-        )
-
-    best = jax.lax.fori_loop(0, K, step, init)
-    t = best["t"]
+    # pass 1: winner index + t (XLA fuses the broadcasts into the reduce)
+    score, score2, _ = scores()
+    sc = jnp.minimum(score, score2)
+    best = jnp.argmin(sc, axis=-1)  # (Bb,P), first minimal k
+    t = jnp.min(sc, axis=-1)
     hit = t < FAR
-    was_special = best["special"]
 
-    ax = best["e"][..., 0] == t
-    ay = ~ax & (best["e"][..., 1] == t)
-    az = ~ax & ~ay & (best["e"][..., 2] == t)
+    # pass 2: reconstruct the winner's attributes via a one-hot reduce
+    # (recomputed, so nothing (Bb,P,K)-shaped is ever materialized)
+    score_b, score2_b, e_b = scores()
+    boh = (jnp.arange(cand_lvl.shape[-1], dtype=best.dtype)[None, None, :]
+           == best[..., None])
+    sel3 = lambda a: jnp.sum(jnp.where(boh[..., None], a, 0.0), axis=-2)
+    e_best = sel3(e_b)
+    near_best = sel3(nearK)
+    far_best = sel3(farK)
+    rgb = sel3(jnp.broadcast_to(cand_rgb[:, None], nearK.shape))
+    was_special = jnp.sum(jnp.where(boh, score2_b < score_b, False),
+                          axis=-1) > 0
+
+    ax = e_best[..., 0] == t
+    ay = ~ax & (e_best[..., 1] == t)
+    az = ~ax & ~ay & (e_best[..., 2] == t)
     axis3 = jnp.stack([ax, ay, az], axis=-1)
     axis3 = jnp.where(was_special[..., None], uaxis, axis3)
     normal = jnp.where(axis3, -d_sign, 0.0) * hit[..., None]
-    rgb = best["rgb"] * hit[..., None]
+    rgb = rgb * hit[..., None]
 
     # integer voxel coordinate of the hit (editor API parity). Mirrored
     # face plane -> world voxel: flip ? bound - plane - 1 : plane.
     p_hit_m = o + dm * t[..., None]
-    vox_m = jnp.clip(jnp.floor(p_hit_m), best["near"], best["far"] - 1.0)
-    face_m = jnp.where(was_special[..., None],
-                       plane, best["near"])
+    vox_m = jnp.clip(jnp.floor(p_hit_m), near_best, far_best - 1.0)
+    face_m = jnp.where(was_special[..., None], plane, near_best)
     vox_m = jnp.where(axis3, face_m, vox_m)
     vox = jnp.where(flip, bound - vox_m - 1.0, vox_m).astype(jnp.int32)
     vox = jnp.where(hit[..., None], vox, 0)
@@ -479,11 +480,14 @@ def resolve_candidates(cand_lvl, cand_off, cand_rgb, origin, dirs,
 def beam_primary_frame_cast(table, aug, root, height: int, origin, dirs,
                             tile: int = 8, K: int = 64,
                             max_steps: int = 2048, skip_t0: bool = True,
-                            bands: int = 1):
-    """Full-frame primary cast via banded beams with per-ray fallback.
+                            bands: int = 1, rounds: int = 4):
+    """Full-frame primary cast via banded, multi-round beams with a
+    per-ray fallback.
 
     dirs: (H, W, 3) unit directions (shared origin (3,)); ``bands``
-    splits tile-rows into groups processed sequentially under lax.map.
+    splits tile-rows into groups processed sequentially under lax.map;
+    ``rounds`` resumes paused beams (K more candidates per round) before
+    falling back, so only pathological tiles ever pay per-ray cost.
     Returns dict hit/t/normal/voxel/rgb shaped (H, W[,3]).
     """
     Hpx, Wpx, _ = dirs.shape
@@ -499,10 +503,31 @@ def beam_primary_frame_cast(table, aug, root, height: int, origin, dirs,
         d_lo = jnp.min(dband, axis=1)
         d_hi = jnp.max(dband, axis=1)
         ob = jnp.broadcast_to(o, d_lo.shape)
-        cands = beam_walk(aug, root, height, ob, ob, d_lo, d_hi,
-                          K=K, max_steps=max_steps, skip_t0=skip_t0)
-        res = resolve_candidates(cands["lvl"], cands["off"], cands["rgb"],
-                                 o, dband, height, skip_t0=skip_t0)
+        state = None
+        best = None
+        for _ in range(rounds):
+            cands, state = beam_walk(aug, root, height, ob, ob, d_lo, d_hi,
+                                     K=K, max_steps=max_steps,
+                                     skip_t0=skip_t0, state=state)
+            res = resolve_candidates(cands["lvl"], cands["off"],
+                                     cands["rgb"], o, dband, height,
+                                     skip_t0=skip_t0)
+            if best is None:
+                best = res
+            else:
+                bk = jnp.where(best["hit"], best["t"], jnp.float32(FAR))
+                rk = jnp.where(res["hit"], res["t"], jnp.float32(FAR))
+                take = rk < bk
+                best = dict(
+                    hit=best["hit"] | res["hit"],
+                    t=jnp.where(take, res["t"], best["t"]),
+                    normal=jnp.where(take[..., None], res["normal"],
+                                     best["normal"]),
+                    voxel=jnp.where(take[..., None], res["voxel"],
+                                    best["voxel"]),
+                    rgb=jnp.where(take[..., None], res["rgb"], best["rgb"]),
+                )
+        res = best
         # A pixel is final if its tile was fully collected, or its hit is
         # strictly nearer than anything the walk didn't collect.
         confirmed = cands["ok"][:, None] | (
@@ -546,10 +571,10 @@ def beam_primary_frame_cast(table, aug, root, height: int, origin, dirs,
 
 def beam_primary_frame(table, aug, root, height: int, origin, dirs, sun,
                        tile: int = 8, K: int = 64, max_steps: int = 2048,
-                       bands: int = 1):
+                       bands: int = 1, rounds: int = 4):
     """Beam-traced config-1 shading (software.rs:260-276 lighting)."""
     r = beam_primary_frame_cast(table, aug, root, height, origin, dirs,
                                 tile=tile, K=K, max_steps=max_steps,
-                                bands=bands)
+                                bands=bands, rounds=rounds)
     lighting = jnp.sum(sun * r["normal"], axis=-1) / 2.0 + 1.0
     return r["rgb"] * lighting[..., None] * r["hit"][..., None]

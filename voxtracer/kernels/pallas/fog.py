@@ -33,7 +33,10 @@ from voxtracer.kernels.atmosphere import (
 
 LANES = 128
 SUBLANES = 8
-TILE_ROWS = 256  # rays per grid cell = TILE_ROWS * LANES
+# One VREG (8x128) per carried value: larger tiles make the vectorized
+# fori carry dozens of vector registers and Mosaic's register allocation
+# fails (observed on v5e at 256 rows).
+TILE_ROWS = 8  # rays per grid cell = TILE_ROWS * LANES
 
 
 def _fog_kernel(n_steps: int, px, py, pz, dx, dy, dz, dens, y0,
@@ -58,6 +61,8 @@ def _fog_kernel(n_steps: int, px, py, pz, dx, dy, dz, dens, y0,
     n = n_steps
     density_scaled = (t1 - t0) / n * dens[:]
 
+    # NOTE: the scatter flag is carried as f32 0/1 — Mosaic cannot carry
+    # vector<i1> masks across scf.for iterations (fails to legalize).
     def seg(i, carry):
         y, found, t_sc = carry
         a1 = (i + 1).astype(jnp.float32) / n
@@ -69,18 +74,18 @@ def _fog_kernel(n_steps: int, px, py, pz, dx, dy, dz, dens, y0,
         sz = pz[:] + dz[:] * t_s1
         alt = jnp.sqrt(sx * sx + sy * sy + sz * sz) - PLANET_RADIUS
         d_seg = density_scaled * jnp.exp(-alt * FOG_FACTOR)
-        scatter = ~found & (y < d_seg)
+        scatter = (found < 0.5) & (y < d_seg)
         frac = jnp.where(d_seg > 0, y / jnp.maximum(d_seg, 1e-30), 0.0)
         t_new = frac * t_s0 + (1.0 - frac) * t_s1
         t_sc = jnp.where(scatter, t_new, t_sc)
-        found = found | scatter
-        y = jnp.where(found, y, y - d_seg)
+        found = jnp.where(scatter, 1.0, found)
+        y = jnp.where(found > 0.5, y, y - d_seg)
         return (y, found, t_sc)
 
-    _, found, t_sc = jax.lax.fori_loop(
-        0, n, seg, (y0[:], jnp.zeros_like(valid), jnp.zeros_like(t1))
+    _, found_f, t_sc = jax.lax.fori_loop(
+        0, n, seg, (y0[:], jnp.zeros_like(t1), jnp.zeros_like(t1))
     )
-    found = found & valid
+    found = (found_f > 0.5) & valid
 
     # code: 0 = miss, 1 = planet surface, 2 = fog scatter
     code = jnp.where(found, 2, jnp.where(surf, 1, 0))

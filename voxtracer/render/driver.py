@@ -143,9 +143,18 @@ def headless_run(
     sun_start=SUN_START,
     max_iters: int = 1,
     max_frames: int | None = None,
+    checkpoint_every: int | None = None,
+    checkpoint_path="render_state.npz",
     log=print,
 ):
-    """Day-cycle batch render (main.rs:112-145, 402-408)."""
+    """Day-cycle batch render (main.rs:112-145, 402-408).
+
+    Failure recovery beyond the reference's file-cadence granularity
+    (SURVEY.md §5): transient device errors retry the sample (resetting
+    the in-flight frame at worst), and ``checkpoint_every`` snapshots the
+    full render state every N samples (render/checkpoint.py)."""
+    from voxtracer.render import checkpoint as ckpt
+
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
     sun = np.asarray(sun_start, np.float64)
@@ -154,8 +163,21 @@ def headless_run(
     frames_done = 0
     frame_start = time.monotonic()
     while True:
-        for _ in range(frame_samples):
-            renderer.sample(cam, sun)
+        done_samples = 0
+        retries = 0
+        while done_samples < frame_samples:
+            try:
+                renderer.sample(cam, sun)
+            except Exception as e:  # transient device failure: retry
+                retries += 1
+                log(f"sample failed ({type(e).__name__}); retry {retries}")
+                if retries > 3:
+                    raise
+                renderer.acc.invalidate()
+                continue
+            done_samples = renderer.acc.samples
+            if checkpoint_every and done_samples % checkpoint_every == 0:
+                ckpt.save_render_state(checkpoint_path, renderer, cam, sun)
         renderer.save_exr(out / f"{it:04d}-{seq:03d}.exr")
         seq += 1
         sun = rotate_sun(sun, DAY_STEP)
