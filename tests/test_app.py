@@ -1,0 +1,72 @@
+"""App layer: CLI parsing/dispatch and the interactive editor session."""
+
+import numpy as np
+import pytest
+
+from voxtracer.app.cli import build_parser
+
+
+def test_parser_all_subcommands():
+    ap = build_parser()
+    for argv in (
+        ["render", "--mode", "shaded", "--log2-size", "5"],
+        ["headless", "--frame-samples", "2", "--max-frames", "1"],
+        ["combine", "--frames-dir", "x", "--movie-dir", "y"],
+        ["interact", "--spp", "1"],
+    ):
+        args = ap.parse_args(argv)
+        assert callable(args.fn)
+
+
+def test_render_shaded_smoke(tmp_path):
+    from voxtracer.app.cli import main
+
+    out = tmp_path / "f.png"
+    main(["render", "--mode", "shaded", "--engine", "ray", "--log2-size", "5",
+          "--width", "64", "--height", "36", "--bands", "1",
+          "--out", str(out)])
+    assert out.exists()
+
+
+def test_headless_and_combine(tmp_path, monkeypatch):
+    from voxtracer.app.cli import main
+
+    monkeypatch.chdir(tmp_path)
+    main(["headless", "--log2-size", "5", "--width", "32", "--height", "24",
+          "--frame-samples", "2", "--max-frames", "2", "--max-bounces", "2",
+          "--fog-steps", "4", "--frames-dir", str(tmp_path / "frames")])
+    frames = list((tmp_path / "frames").glob("*.exr"))
+    assert len(frames) == 2
+    main(["combine", "--frames-dir", str(tmp_path / "frames"),
+          "--movie-dir", str(tmp_path / "movie")])
+    assert (tmp_path / "movie" / "0.png").exists()
+    assert (tmp_path / "movie" / "1.png").exists()
+
+
+def test_interactive_session(tmp_path, monkeypatch):
+    """Scripted interactive session: move, pick, edit, save."""
+    from voxtracer.app.cli import build_parser
+    from voxtracer.app.interactive import run_interactive
+
+    monkeypatch.chdir(tmp_path)
+    args = build_parser().parse_args(
+        ["interact", "--log2-size", "5", "--width", "32", "--height", "24",
+         "--spp", "1", "--max-bounces", "2", "--fog-steps", "4"]
+    )
+    script = iter([
+        "pose",
+        "w 2",
+        "look 0.1 0.05",
+        "r",
+        "del",          # may or may not pick something; must not crash
+        "place",
+        "spp 1",
+        "save shot.png",
+        "q",
+    ])
+    logs = []
+    run_interactive(args, input_fn=lambda _: next(script),
+                    log=lambda *a: logs.append(" ".join(map(str, a))))
+    assert (tmp_path / "preview.png").exists()
+    assert (tmp_path / "shot.png").exists()
+    assert any("pos=" in line for line in logs)

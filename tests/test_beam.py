@@ -113,3 +113,27 @@ def test_solid_leaf_annotation():
     rgb2[0, 0, 0] = (1.0, 0.0, 0.0)
     dev2 = from_dense(solid, rgb2).serialize()
     assert dev2.solid_leaf[dev2.root] == -1
+
+
+def test_beam_shadow_frame_matches_shade(clutter):
+    """Config-2 parity: beam-amortized shadows equal the per-ray path."""
+    import jax.numpy as jnp
+    from voxtracer.kernels import shade
+    from voxtracer.kernels.beam import beam_shadow_frame
+
+    dev = clutter.serialize()
+    table = jnp.asarray(dev.table.view(np.int32))
+    root = np.int32(dev.root)
+    aug = jnp.asarray(build_aug_table(dev.table, dev.solid_leaf))
+    cam = vcam.Camera(pos=(16.1234567, 40.0721311, -10.0412399),
+                      yaw=0.0137, pitch=0.4213)
+    _, d = vcam.generate_rays(cam, 64, 40)
+    sun = jnp.asarray([0.3, 0.9, 0.2], jnp.float32)
+    sun = sun / jnp.linalg.norm(sun)
+    op = np.asarray(cam.pos, np.float32)
+    a = beam_shadow_frame(table, aug, root, dev.height, op, d, sun)
+    b = shade.svo_shadow_frame(table, root, dev.height, jnp.asarray(op), d,
+                               sun)
+    aa, bb = np.asarray(a), np.asarray(b)
+    frac = (~np.isclose(aa, bb, atol=1e-4)).mean()
+    assert frac < 1e-3, f"{frac:.2%} differ"

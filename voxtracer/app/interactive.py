@@ -90,22 +90,24 @@ def run_interactive(args, input_fn=input, log=print):
         basis = np.asarray(vcam.camera_basis(yaw, 0.0))
         fwd = basis @ np.array([0.0, 0.0, 1.0])
         right = basis @ np.array([1.0, 0.0, 0.0])
-        amt = float(rest[0]) if rest else speed
+
+        def amt():
+            return float(rest[0]) if rest else speed
 
         if cmd == "q":
             return
         elif cmd == "w":
-            pos += fwd * amt
+            pos += fwd * amt()
         elif cmd == "s":
-            pos -= fwd * amt
+            pos -= fwd * amt()
         elif cmd == "a":
-            pos -= right * amt
+            pos -= right * amt()
         elif cmd == "d":
-            pos += right * amt
+            pos += right * amt()
         elif cmd == "up":
-            pos[1] += amt
+            pos[1] += amt()
         elif cmd == "down":
-            pos[1] -= amt
+            pos[1] -= amt()
         elif cmd == "look" and len(rest) >= 2:
             yaw += float(rest[0])
             pitch = float(np.clip(pitch + float(rest[1]), -np.pi / 2, np.pi / 2))

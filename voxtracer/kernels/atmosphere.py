@@ -62,7 +62,11 @@ def raycast_planet(
     rgba (...,4), normal (...,3).
     """
     if backend == "auto":
-        backend = "pallas" if jax.default_backend() == "tpu" else "jnp"
+        # Measured on v5e (PERF.md): XLA fuses this march well enough that
+        # the Pallas kernel is at parity (19.8 vs 15.5 ms per 2M x 64-seg
+        # cast) while costing minutes of Mosaic compile time — so the
+        # fused-jnp path is the default and Pallas stays opt-in.
+        backend = "jnp"
     if backend == "pallas":
         return _raycast_planet_pallas(state, start, direction,
                                       sea_level_density, n_steps)

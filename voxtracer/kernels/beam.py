@@ -480,7 +480,8 @@ def resolve_candidates(cand_lvl, cand_off, cand_rgb, origin, dirs,
 def beam_primary_frame_cast(table, aug, root, height: int, origin, dirs,
                             tile: int = 8, K: int = 64,
                             max_steps: int = 2048, skip_t0: bool = True,
-                            bands: int = 1, rounds: int = 4):
+                            bands: int = 1, rounds: int = 4,
+                            fb_tiles: int = 128):
     """Full-frame primary cast via banded, multi-round beams with a
     per-ray fallback.
 
@@ -539,16 +540,53 @@ def beam_primary_frame_cast(table, aug, root, height: int, origin, dirs,
         # prunes the traversal sharply on grazing tiles.
         cap = jnp.where(res["hit"], res["t"] * 1.000001 + 1e-4,
                         jnp.float32(FAR))
+
+        # Per-ray fallback, tile-compacted: gather cost in the traversal
+        # loop is insensitive to lane masks (PERF.md), so shrink the lane
+        # count by packing the (few) unfinished tiles densely first. A
+        # zero-cost full-width pass afterwards guarantees exactness if
+        # more than `fb_tiles` tiles remained (its while-loop exits
+        # immediately when nothing is active).
+        Bb = dband.shape[0]
+        M = min(Bb, max(fb_tiles, 1))
+        need_tile = jnp.any(need_px, axis=1)
+        order = jnp.argsort(~need_tile)  # unfinished tiles first
+        sel_idx = order[:M]
+        fbc = svo_raycast(table, root, height, o, dband[sel_idx],
+                          distance=cap[sel_idx], skip_t0=skip_t0,
+                          active=need_px[sel_idx])
+        take_c = need_px[sel_idx] & fbc["hit"]
+        out = dict(hit=res["hit"], t=res["t"], normal=res["normal"],
+                   voxel=res["voxel"], rgb=res["rgb"])
+        rgb_c = leaf_rgb(table, fbc["node"])
+        out["hit"] = out["hit"].at[sel_idx].set(
+            jnp.where(need_px[sel_idx], fbc["hit"] | res["hit"][sel_idx],
+                      res["hit"][sel_idx]))
+        out["t"] = out["t"].at[sel_idx].set(
+            jnp.where(take_c, fbc["t"], res["t"][sel_idx]))
+        out["normal"] = out["normal"].at[sel_idx].set(
+            jnp.where(take_c[..., None], fbc["normal"],
+                      res["normal"][sel_idx]))
+        out["voxel"] = out["voxel"].at[sel_idx].set(
+            jnp.where(take_c[..., None], fbc["voxel"],
+                      res["voxel"][sel_idx]))
+        out["rgb"] = out["rgb"].at[sel_idx].set(
+            jnp.where(take_c[..., None], rgb_c, res["rgb"][sel_idx]))
+
+        # safety pass: anything beyond the compaction budget (exact, and
+        # free when nothing is left active)
+        handled = jnp.zeros((Bb,), jnp.bool_).at[sel_idx].set(True)
+        left = need_px & ~handled[:, None]
         fb = svo_raycast(table, root, height, o, dband, distance=cap,
-                         skip_t0=skip_t0, active=need_px)
-        sel = need_px & fb["hit"]
+                         skip_t0=skip_t0, active=left)
+        sel = left & fb["hit"]
         return dict(
-            hit=jnp.where(need_px, fb["hit"] | res["hit"], res["hit"]),
-            t=jnp.where(sel, fb["t"], res["t"]),
-            normal=jnp.where(sel[..., None], fb["normal"], res["normal"]),
-            voxel=jnp.where(sel[..., None], fb["voxel"], res["voxel"]),
+            hit=jnp.where(left, fb["hit"] | out["hit"], out["hit"]),
+            t=jnp.where(sel, fb["t"], out["t"]),
+            normal=jnp.where(sel[..., None], fb["normal"], out["normal"]),
+            voxel=jnp.where(sel[..., None], fb["voxel"], out["voxel"]),
             rgb=jnp.where(sel[..., None], leaf_rgb(table, fb["node"]),
-                          res["rgb"]),
+                          out["rgb"]),
         )
 
     if bands > 1:
@@ -567,6 +605,97 @@ def beam_primary_frame_cast(table, aug, root, height: int, origin, dirs,
         return a.reshape(Hpx, Wpx, *extra)
 
     return {k: ung(v) for k, v in out.items()}
+
+
+def beam_shadow_mask(table, aug, root, height: int, origins, active, sun,
+                     K: int = 64, max_steps: int = 2048, rounds: int = 2,
+                     fb_tiles: int = 128):
+    """Beam-amortized any-hit shadow test toward the sun.
+
+    origins: (Bb, P, 3) per-ray shadow origins grouped by tile; active:
+    (Bb, P) rays to test; sun: (3,) unit direction. One walk per tile
+    with *origin intervals* (the tile's hit-point bounding box) and a
+    point direction. Any candidate hit certifies shadowed (occluders are
+    real geometry, nearest-ness is irrelevant); a fully-walked tile with
+    no hit certifies lit; the rest fall back per-ray (tile-compacted).
+
+    Returns shadowed (Bb, P) bool (False where not active).
+    """
+    big = jnp.float32(1 << height) * 4.0
+    o_masked = jnp.where(active[..., None], origins, jnp.float32(0))
+    # bounding box over the tile's active origins (inactive rays excluded)
+    o_lo = jnp.min(jnp.where(active[..., None], origins, big), axis=1)
+    o_hi = jnp.max(jnp.where(active[..., None], origins, -big), axis=1)
+    none_active = ~jnp.any(active, axis=1)
+    o_lo = jnp.where(none_active[:, None], 0.0, o_lo)
+    o_hi = jnp.where(none_active[:, None], 0.0, o_hi)
+    del o_masked
+    sun_b = jnp.broadcast_to(sun, o_lo.shape)
+
+    shadowed = jnp.zeros(active.shape, jnp.bool_)
+    state = None
+    for _ in range(rounds):
+        cands, state = beam_walk(aug, root, height, o_lo, o_hi, sun_b,
+                                 sun_b, K=K, max_steps=max_steps,
+                                 state=state)
+        res = resolve_candidates(cands["lvl"], cands["off"], cands["rgb"],
+                                 origins, jnp.broadcast_to(sun, origins.shape),
+                                 height)
+        shadowed = shadowed | (active & res["hit"])
+    need_px = active & ~shadowed & ~cands["ok"][:, None]
+
+    # tile-compacted per-ray fallback + zero-cost safety pass
+    Bb, P = active.shape
+    M = min(Bb, max(fb_tiles, 1))
+    need_tile = jnp.any(need_px, axis=1)
+    order = jnp.argsort(~need_tile)
+    sel_idx = order[:M]
+    fbc = svo_raycast(table, root, height, origins[sel_idx],
+                      jnp.broadcast_to(sun, (M, P, 3)),
+                      skip_t0=True, active=need_px[sel_idx])
+    shadowed = shadowed.at[sel_idx].set(
+        shadowed[sel_idx] | (need_px[sel_idx] & fbc["hit"]))
+    handled = jnp.zeros((Bb,), jnp.bool_).at[sel_idx].set(True)
+    left = need_px & ~handled[:, None]
+    fb = svo_raycast(table, root, height, origins,
+                     jnp.broadcast_to(sun, origins.shape),
+                     skip_t0=True, active=left)
+    return shadowed | (left & fb["hit"])
+
+
+def beam_shadow_frame(table, aug, root, height: int, origin, dirs, sun,
+                      tile: int = 8, K: int = 64, max_steps: int = 2048,
+                      bands: int = 1, rounds: int = 4,
+                      shadow_eps: float = 1.0e-3):
+    """Beam-traced config-2 shading: primary + hard sun shadows + sky
+    (kernels.shade.shade_shadow semantics, beam-amortized end to end)."""
+    from voxtracer.kernels.shade import sky_color
+
+    Hpx, Wpx, _ = dirs.shape
+    ty, tx = Hpx // tile, Wpx // tile
+    r = beam_primary_frame_cast(table, aug, root, height, origin, dirs,
+                                tile=tile, K=K, max_steps=max_steps,
+                                bands=bands, rounds=rounds)
+    # group per tile for the shadow pass
+    grp = lambda a: a.reshape(ty, tile, tx, tile, *a.shape[2:]).swapaxes(
+        1, 2).reshape(ty * tx, tile * tile, *a.shape[2:])
+    o = jnp.asarray(origin, jnp.float32)
+    p = o + dirs * r["t"][..., None] - dirs * shadow_eps
+    shadowed = beam_shadow_mask(
+        table, aug, root, height, grp(p), grp(r["hit"]), sun,
+        K=K, max_steps=max_steps,
+    )
+
+    def ung(a):
+        extra = a.shape[2:]
+        a = a.reshape(ty, tx, tile, tile, *extra)
+        return jnp.moveaxis(a, 2, 1).reshape(Hpx, Wpx, *extra)
+
+    shadowed = ung(shadowed)
+    lighting = jnp.sum(sun * r["normal"], axis=-1) / 2.0 + 1.0
+    lighting = lighting * jnp.where(shadowed, 0.5, 1.0)
+    surface = r["rgb"] * lighting[..., None]
+    return jnp.where(r["hit"][..., None], surface, sky_color(dirs, sun))
 
 
 def beam_primary_frame(table, aug, root, height: int, origin, dirs, sun,
