@@ -124,3 +124,29 @@ def test_row_band_matches_full_frame():
                          np.asarray(cam.pos, np.float32), cam.basis(),
                          sun_vec(), seed, 32, 24, row0=8, rows=8, **kw)
     assert np.array_equal(np.asarray(full)[8:16], np.asarray(band))
+
+
+def test_beam_primary_matches_per_ray():
+    """render_sample with the beam-cast first bounce reproduces the plain
+    path tracer (same RNG stream; differences only at edge-graze pixels)."""
+    from voxtracer.kernels.beam import build_aug_table
+    from voxtracer.world import worldgen
+
+    space = worldgen.generate(log2_size=6, verbose=False, backend="python")
+    dev = space.serialize()
+    table = jnp.asarray(dev.table.view(np.int32))
+    root = np.int32(dev.root)
+    aug = jnp.asarray(build_aug_table(dev.table, dev.solid_leaf))
+    cam = vcam.Camera(pos=(12.123, 25.071, 5.043), yaw=-5.38, pitch=0.22)
+    seed = jnp.asarray(np.array([11, 22, 33], np.uint32))
+    sun = sun_vec()
+    kw = dict(max_bounces=3, fog_steps=8)
+    a = render_sample(table, root, dev.height, LUT,
+                      np.asarray(cam.pos, np.float32), cam.basis(), sun,
+                      seed, 64, 40, **kw)
+    b = render_sample(table, root, dev.height, LUT,
+                      np.asarray(cam.pos, np.float32), cam.basis(), sun,
+                      seed, 64, 40, aug=aug, **kw)
+    aa, bb = np.asarray(a), np.asarray(b)
+    differ = ~np.isclose(aa, bb, rtol=1e-5, atol=1e-4)
+    assert differ.mean() < 0.01, f"{differ.mean():.2%} differ"

@@ -109,17 +109,17 @@ def cmd_render(args):
         sun_unit = jnp.asarray(sun / np.linalg.norm(sun), jnp.float32)
         tiles = args.bands if args.height % args.bands == 0 else 1
         t0 = time.monotonic()
-        if args.mode == "shaded" and args.engine == "beam":
+        if args.engine == "beam" and args.height % 8 == 0 and args.width % 8 == 0:
             from voxtracer.kernels import beam
 
             aug = jnp.asarray(
                 beam.build_aug_table(dev.table, dev.solid_leaf)
             )
-            ty = args.height // 8
-            bands = max(b for b in range(1, min(ty, 32) + 1) if ty % b == 0)
-            img = beam.beam_primary_frame(
+            frame_fn = (beam.beam_primary_frame if args.mode == "shaded"
+                        else beam.beam_shadow_frame)
+            img = frame_fn(
                 table, aug, root, dev.height,
-                np.asarray(cam.pos, np.float32), d, sun_unit, bands=bands,
+                np.asarray(cam.pos, np.float32), d, sun_unit,
             )
         elif args.mode == "shaded":
             img = shade.svo_primary_frame(table, root, dev.height, o, d,

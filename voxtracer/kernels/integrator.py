@@ -56,6 +56,7 @@ def trace_paths(
     state,
     max_bounces: int = 24,
     fog_steps: int = 64,
+    primary=None,
 ):
     """Trace one spectral path per ray; returns (state, radiance (...,3)).
 
@@ -66,6 +67,11 @@ def trace_paths(
       wavelength: (...,) normalized wavelength in [0,1).
       sun: (3,) unit sun direction.
       state: (...,3) uint32 RNG state.
+      primary: optional precomputed *uncapped* first-bounce SVO cast
+        (dict hit/t/normal/rgb matching the batch shape) — e.g. from the
+        beam engine (kernels.beam); bounce 0 then skips its per-ray
+        traversal. An uncapped first hit nearer than the fog event is
+        exactly what the capped cast would return (first-hit semantics).
     """
     density = fog_density(wavelength)
     light = spectral_throughput(lut, wavelength)
@@ -74,18 +80,23 @@ def trace_paths(
     pos = jnp.broadcast_to(start, direction.shape).astype(jnp.float32)
     d = direction
 
-    def bounce(carry):
+    def bounce(carry, pre=None):
         i, state, pos, d, light, color, alive = carry
 
         state, planet = atmosphere.raycast_planet(
             state, pos, d, density, n_steps=fog_steps
         )
         cap = jnp.where(planet["hit"], planet["t"], FAR)
-        svo = svo_raycast(table, root, height, pos, d, distance=cap)
+        if pre is None:
+            svo = svo_raycast(table, root, height, pos, d, distance=cap)
+            use_svo = svo["hit"]
+            svo_rgb = leaf_rgb(table, svo["node"])
+        else:
+            svo = pre
+            use_svo = pre["hit"] & (pre["t"] <= cap)
+            svo_rgb = pre["rgb"]
 
-        hit_any = planet["hit"] | svo["hit"]
-        use_svo = svo["hit"]
-        svo_rgb = leaf_rgb(table, svo["node"])
+        hit_any = planet["hit"] | use_svo
         rgba = jnp.where(
             use_svo[..., None],
             jnp.concatenate([svo_rgb, jnp.ones_like(svo_rgb[..., :1])], -1),
@@ -153,10 +164,13 @@ def trace_paths(
 
     # early-exit bounce loop: stop as soon as every lane has terminated
     # (the reference loop is per-thread unbounded, raytrace.wgsl:341)
+    carry = (jnp.int32(0), state, pos, d, light, color, alive)
+    if primary is not None:
+        carry = bounce(carry, pre=primary)
     _, state, _, _, _, color, _ = jax.lax.while_loop(
         lambda c: (c[0] < max_bounces) & jnp.any(c[6]),
         bounce,
-        (jnp.int32(0), state, pos, d, light, color, alive),
+        carry,
     )
     return state, color
 
@@ -180,6 +194,7 @@ def render_sample(
     max_bounces: int = 24,
     fog_steps: int = 64,
     row_tiles: int = 1,
+    aug=None,
 ):
     """One progressive sample: 1 spectral path per pixel (raytrace.wgsl:415-430).
 
@@ -189,6 +204,10 @@ def render_sample(
     accumulator adds it). ``row0``/``rows`` select a horizontal band of
     the frame (used by the tile-sharded multi-chip path; the camera
     mapping is always relative to the full height_px frame).
+
+    ``aug``: optional augmented node rows (kernels.beam.build_aug_table);
+    when given (and the band is 8-aligned) the coherent first bounce is
+    cast by the beam engine instead of per-ray traversal.
     """
     from voxtracer.core import camera as vcam
 
@@ -205,10 +224,25 @@ def render_sample(
     d = vcam.ray_directions(cam_basis, ld, jitter=rnd[..., :2], height=height_px)
     wavelength = rnd[..., 2]
     pos = jnp.broadcast_to(jnp.asarray(cam_pos, jnp.float32), d.shape)
+
+    primary = None
+    if aug is not None:
+        from voxtracer.kernels import beam as beam_mod
+
+        assert rows % 8 == 0 and width_px % 8 == 0, (
+            "beam-primary path tracing needs 8-aligned dimensions"
+        )
+        pr = beam_mod.beam_primary_frame_cast(
+            table, aug, root, height, jnp.asarray(cam_pos, jnp.float32), d,
+            tile=8, K=64, max_steps=1024, rounds=4,
+        )
+        primary = dict(hit=pr["hit"], t=pr["t"], normal=pr["normal"],
+                       rgb=pr["rgb"])
+
     if row_tiles <= 1:
         _, radiance = trace_paths(
             table, root, height, lut, pos, d, wavelength, sun, state,
-            max_bounces=max_bounces, fog_steps=fog_steps,
+            max_bounces=max_bounces, fog_steps=fog_steps, primary=primary,
         )
         return radiance
 
@@ -217,17 +251,32 @@ def render_sample(
     # the whole frame's worst-case lane.
     assert rows % row_tiles == 0
     rt = rows // row_tiles
-
-    def tile_fn(args):
-        pos_t, d_t, wl_t, st_t = args
-        _, c = trace_paths(
-            table, root, height, lut, pos_t, d_t, wl_t, sun, st_t,
-            max_bounces=max_bounces, fog_steps=fog_steps,
-        )
-        return c
-
     split = lambda a: a.reshape((row_tiles, rt) + a.shape[1:])
-    radiance = jax.lax.map(
-        tile_fn, (split(pos), split(d), split(wavelength), split(state))
-    )
+
+    if primary is None:
+        def tile_fn(args):
+            pos_t, d_t, wl_t, st_t = args
+            _, c = trace_paths(
+                table, root, height, lut, pos_t, d_t, wl_t, sun, st_t,
+                max_bounces=max_bounces, fog_steps=fog_steps,
+            )
+            return c
+
+        radiance = jax.lax.map(
+            tile_fn, (split(pos), split(d), split(wavelength), split(state))
+        )
+    else:
+        def tile_fn(args):
+            pos_t, d_t, wl_t, st_t, pr_t = args
+            _, c = trace_paths(
+                table, root, height, lut, pos_t, d_t, wl_t, sun, st_t,
+                max_bounces=max_bounces, fog_steps=fog_steps, primary=pr_t,
+            )
+            return c
+
+        radiance = jax.lax.map(
+            tile_fn,
+            (split(pos), split(d), split(wavelength), split(state),
+             {k: split(v) for k, v in primary.items()}),
+        )
     return radiance.reshape((rows, width_px, 3))
