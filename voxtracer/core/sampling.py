@@ -27,7 +27,7 @@ import math
 import jax.numpy as jnp
 
 from voxtracer.core import rng as vrng
-from voxtracer.core.vecmath import cross, normalize, vdot
+from voxtracer.core.vecmath import cross, normalize
 
 PI = math.pi
 SUN_ANGULAR_RADIUS = 0.535 * PI / 180.0  # raytrace.wgsl:237

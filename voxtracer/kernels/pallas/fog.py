@@ -17,7 +17,6 @@ RNG draw order is identical in both backends.
 
 from __future__ import annotations
 
-import math
 from functools import partial
 
 import jax

@@ -10,7 +10,6 @@ host RNG state + camera/sun pose, plus the world as its flat node table
 from __future__ import annotations
 
 import json
-from pathlib import Path
 
 import numpy as np
 

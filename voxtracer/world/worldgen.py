@@ -33,7 +33,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from voxtracer.world.noise import fbm2, simplex2
-from voxtracer.world.svo import EMPTY, SvoSpace
+from voxtracer.world.svo import SvoSpace
 
 SEED_SCALE = 0xAFE29979  # worldgen.rs:14
 SEED_NOISE = 0x1C766E2E  # worldgen.rs:15
