@@ -504,31 +504,45 @@ def beam_primary_frame_cast(table, aug, root, height: int, origin, dirs,
         d_lo = jnp.min(dband, axis=1)
         d_hi = jnp.max(dband, axis=1)
         ob = jnp.broadcast_to(o, d_lo.shape)
-        state = None
-        best = None
-        for _ in range(rounds):
+        Bb_, P_ = dband.shape[0], dband.shape[1]
+
+        # collect->resolve rounds under lax.scan: one walk compilation
+        # regardless of round count (unrolled rounds blow up compile time)
+        cands0, state0 = beam_walk(aug, root, height, ob, ob, d_lo, d_hi,
+                                   K=K, max_steps=max_steps,
+                                   skip_t0=skip_t0)
+        res0 = resolve_candidates(cands0["lvl"], cands0["off"],
+                                  cands0["rgb"], o, dband, height,
+                                  skip_t0=skip_t0)
+
+        def round_body(carry, _):
+            state, best, _, _ = carry
             cands, state = beam_walk(aug, root, height, ob, ob, d_lo, d_hi,
                                      K=K, max_steps=max_steps,
                                      skip_t0=skip_t0, state=state)
             res = resolve_candidates(cands["lvl"], cands["off"],
                                      cands["rgb"], o, dband, height,
                                      skip_t0=skip_t0)
-            if best is None:
-                best = res
-            else:
-                bk = jnp.where(best["hit"], best["t"], jnp.float32(FAR))
-                rk = jnp.where(res["hit"], res["t"], jnp.float32(FAR))
-                take = rk < bk
-                best = dict(
-                    hit=best["hit"] | res["hit"],
-                    t=jnp.where(take, res["t"], best["t"]),
-                    normal=jnp.where(take[..., None], res["normal"],
-                                     best["normal"]),
-                    voxel=jnp.where(take[..., None], res["voxel"],
-                                    best["voxel"]),
-                    rgb=jnp.where(take[..., None], res["rgb"], best["rgb"]),
-                )
-        res = best
+            bk = jnp.where(best["hit"], best["t"], jnp.float32(FAR))
+            rk = jnp.where(res["hit"], res["t"], jnp.float32(FAR))
+            take = rk < bk
+            best = dict(
+                hit=best["hit"] | res["hit"],
+                t=jnp.where(take, res["t"], best["t"]),
+                normal=jnp.where(take[..., None], res["normal"],
+                                 best["normal"]),
+                voxel=jnp.where(take[..., None], res["voxel"],
+                                best["voxel"]),
+                rgb=jnp.where(take[..., None], res["rgb"], best["rgb"]),
+            )
+            return (state, best, cands["ok"], cands["t_safe"]), None
+
+        carry = (state0, res0, cands0["ok"], cands0["t_safe"])
+        if rounds > 1:
+            carry, _ = jax.lax.scan(round_body, carry, None,
+                                    length=rounds - 1)
+        _, res, ok, t_safe = carry
+        cands = dict(ok=ok, t_safe=t_safe)
         # A pixel is final if its tile was fully collected, or its hit is
         # strictly nearer than anything the walk didn't collect.
         confirmed = cands["ok"][:, None] | (
