@@ -150,3 +150,23 @@ def test_beam_primary_matches_per_ray():
     aa, bb = np.asarray(a), np.asarray(b)
     differ = ~np.isclose(aa, bb, rtol=1e-5, atol=1e-4)
     assert differ.mean() < 0.01, f"{differ.mean():.2%} differ"
+
+
+def test_render_samples_batch_equals_serial():
+    """The batched scan accumulator must equal per-sample accumulation."""
+    from voxtracer.kernels.integrator import render_samples
+
+    table, root, height, _ = flat_world()
+    cam = vcam.Camera(pos=(8.0, 6.0, 8.0), yaw=0.3, pitch=0.4)
+    seeds = np.stack([np.array([i + 1, 2 * i, 3 * i + 5], np.uint32)
+                      for i in range(3)])
+    kw = dict(max_bounces=2, fog_steps=8)
+    total = render_samples(table, root, height, LUT,
+                           np.asarray(cam.pos, np.float32), cam.basis(),
+                           sun_vec(), jnp.asarray(seeds), 32, 24, **kw)
+    serial = np.zeros((24, 32, 3), np.float32)
+    for s in seeds:
+        serial += np.asarray(render_sample(
+            table, root, height, LUT, np.asarray(cam.pos, np.float32),
+            cam.basis(), sun_vec(), jnp.asarray(s), 32, 24, **kw))
+    assert np.allclose(np.asarray(total), serial, atol=1e-4)

@@ -280,3 +280,29 @@ def render_sample(
              {k: split(v) for k, v in primary.items()}),
         )
     return radiance.reshape((rows, width_px, 3))
+
+
+@partial(jax.jit, static_argnames=("height", "width_px", "height_px",
+                                   "max_bounces", "fog_steps", "row_tiles"))
+def render_samples(
+    table, root, height: int, lut, cam_pos, cam_basis, sun, frame_seeds,
+    width_px: int, height_px: int, max_bounces: int = 24,
+    fog_steps: int = 64, row_tiles: int = 1, aug=None,
+):
+    """Accumulate a batch of progressive samples in one device program.
+
+    frame_seeds: (k, 3) uint32 — one RNG seed per sample. Returns the
+    (H, W, 3) radiance SUM of the k samples (divide by k for the mean).
+    Amortizes per-dispatch overhead for batch/headless rendering."""
+
+    def body(acc, seed):
+        s = render_sample(
+            table, root, height, lut, cam_pos, cam_basis, sun, seed,
+            width_px, height_px, max_bounces=max_bounces,
+            fog_steps=fog_steps, row_tiles=row_tiles, aug=aug,
+        )
+        return acc + s, None
+
+    init = jnp.zeros((height_px, width_px, 3), jnp.float32)
+    acc, _ = jax.lax.scan(body, init, frame_seeds)
+    return acc

@@ -122,9 +122,35 @@ class Renderer:
         )
         self.acc.add(sample)
 
-    def render(self, cam, sun, spp: int):
-        for _ in range(spp):
-            self.sample(cam, sun)
+    def sample_batch(self, cam: vcam.Camera, sun: np.ndarray, k: int):
+        """Accumulate k samples in one device program (batch rendering)."""
+        from voxtracer.kernels.integrator import render_samples
+
+        sun = np.asarray(sun, np.float64)
+        sun_unit = (sun / np.linalg.norm(sun)).astype(np.float32)
+        self.acc.begin_sample(cam.pos, cam.yaw, cam.pitch, sun_unit)
+        seeds = np.stack(
+            [vrng.host_frame_seed(self.host_rng) for _ in range(k)]
+        )
+        total = render_samples(
+            self.table, self.root, self.tree_height, self.lut,
+            np.asarray(cam.pos, np.float32), cam.basis(),
+            jnp.asarray(sun_unit), jnp.asarray(seeds),
+            self.width, self.height, max_bounces=self.max_bounces,
+            fog_steps=self.fog_steps,
+        )
+        self.acc.buffer = self.acc.buffer + total
+        self.acc.samples += k
+
+    def render(self, cam, sun, spp: int, batch: int = 8):
+        done = 0
+        while done < spp:
+            k = min(batch, spp - done)
+            if k == 1:
+                self.sample(cam, sun)
+            else:
+                self.sample_batch(cam, sun, k)
+            done += k
         return self.acc.mean()
 
     def save_exr(self, path):
