@@ -75,7 +75,7 @@ def main():
     try:
         f_beam = jax.jit(lambda d: beam_mod.beam_primary_frame(
             table, aug, root, dev.height, op, d, sun_j,
-            tile=8, K=64, max_steps=512, bands=27, rounds=4,
+            tile=8, K=64, max_steps=512, bands=27, rounds=6,
         ))
         dt, _ = _time(f_beam, d)
         results["beam"] = W * H / dt / 1e6

@@ -262,10 +262,12 @@ uint32_t vx_build_terrain(void* h, const uint32_t* heights, int log2_size,
         solid[l] = s->create(CHILDREN, ch);
     }
 
-    // bottom-up mixed-cell interning, level by level.
-    // prev level: map from packed cell key -> node id (sorted vectors).
-    std::vector<uint64_t> prev_keys;
+    // bottom-up mixed-cell interning, level by level. The previous
+    // level's mixed-cell ids are addressed O(1) by (column offset + cy -
+    // column lo): cells per column form one contiguous cy range.
     std::vector<uint32_t> prev_ids;
+    std::vector<uint32_t> prev_lo;   // per child column: first mixed cy
+    std::vector<size_t> prev_off;    // per child column: offset into ids
 
     for (int level = 1; level <= log2_size; level++) {
         const uint32_t cs = 1u << level;       // cell size
@@ -275,16 +277,18 @@ uint32_t vx_build_terrain(void* h, const uint32_t* heights, int log2_size,
         const auto& pm = pyr[level];
         const auto& pc = pyr[level - 1];
 
-        std::vector<uint64_t> keys;
         std::vector<uint32_t> ids;
+        std::vector<uint32_t> los((size_t)dim * dim);
+        std::vector<size_t> offs((size_t)dim * dim + 1);
 
         for (uint32_t cx = 0; cx < dim; cx++)
             for (uint32_t cz = 0; cz < dim; cz++) {
-                MinMax m = pm[(size_t)cx * dim + cz];
-                uint32_t lo = m.mn / cs;
-                uint32_t hi = (m.mx + cs - 1) / cs;
-                lo = std::min(lo, dim);
-                hi = std::min(hi, dim);
+                size_t col = (size_t)cx * dim + cz;
+                MinMax m = pm[col];
+                uint32_t lo = std::min(m.mn / cs, dim);
+                uint32_t hi = std::min((m.mx + cs - 1) / cs, dim);
+                los[col] = lo;
+                offs[col] = ids.size();
                 for (uint32_t cy = lo; cy < hi; cy++) {
                     uint32_t ch[8];
                     for (int oz = 0; oz < 2; oz++)
@@ -299,20 +303,18 @@ uint32_t vx_build_terrain(void* h, const uint32_t* heights, int log2_size,
                                 } else if ((uint64_t)ccy * s2 >= c.mx) {
                                     ch[ci] = EMPTY;
                                 } else {
-                                    uint64_t key =
-                                        ((uint64_t)ccx * cdim + ccz) * cdim + ccy;
-                                    auto it = std::lower_bound(
-                                        prev_keys.begin(), prev_keys.end(), key);
-                                    ch[ci] = prev_ids[it - prev_keys.begin()];
+                                    size_t ccol = (size_t)ccx * cdim + ccz;
+                                    ch[ci] = prev_ids[
+                                        prev_off[ccol] + (ccy - prev_lo[ccol])];
                                 }
                             }
-                    keys.push_back(((uint64_t)cx * dim + cz) * dim + cy);
                     ids.push_back(s->create(CHILDREN, ch));
                 }
             }
-        // keys are generated in sorted (cx, cz, cy) packed order already
-        prev_keys = std::move(keys);
+        offs[(size_t)dim * dim] = ids.size();
         prev_ids = std::move(ids);
+        prev_lo = std::move(los);
+        prev_off = std::move(offs);
     }
 
     MinMax top = pyr[log2_size][0];
