@@ -30,6 +30,10 @@ import numpy as np
 def _add_common(p):
     p.add_argument("--log2-size", type=int, default=10,
                    help="world edge = 2^log2_size voxels (reference: 13)")
+    p.add_argument("--seed-scale", type=lambda s: int(s, 0),
+                   default=0xAFE29979, help="scale-noise seed")
+    p.add_argument("--seed-noise", type=lambda s: int(s, 0),
+                   default=0x1C766E2E, help="fBm noise seed")
     p.add_argument("--width", type=int, default=853)
     p.add_argument("--height", type=int, default=480)
     p.add_argument("--pos", type=float, nargs=3, default=None,
@@ -46,7 +50,11 @@ def _build_world(args, log=print):
     from voxtracer.world import worldgen
 
     t0 = time.monotonic()
-    space = worldgen.generate(log2_size=args.log2_size)
+    space = worldgen.generate(
+        log2_size=args.log2_size,
+        seed_scale=getattr(args, "seed_scale", None),
+        seed_noise=getattr(args, "seed_noise", None),
+    )
     log(f"worldgen total {time.monotonic() - t0:.2f}s")
     return space
 

@@ -203,6 +203,8 @@ def generate(
     log2_size: int = REFERENCE_LOG2_SIZE,
     verbose: bool = True,
     backend: str = "auto",
+    seed_scale: int | None = None,
+    seed_noise: int | None = None,
 ):
     """Full worldgen (worldgen.rs:10-59): heightmap + pyramid + octree.
 
@@ -211,7 +213,8 @@ def generate(
     path also does the pyramid internally.
     """
     t0 = time.monotonic()
-    h = heightmap(log2_size)
+    h = heightmap(log2_size, seed_scale=seed_scale or SEED_SCALE,
+                  seed_noise=seed_noise or SEED_NOISE)
     t1 = time.monotonic()
     if verbose:
         print(f"heightmaps in {t1 - t0:.3f}s")
