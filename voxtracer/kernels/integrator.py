@@ -43,7 +43,8 @@ from voxtracer.kernels import atmosphere
 from voxtracer.kernels.traverse import FAR, leaf_rgb, svo_raycast
 
 
-@partial(jax.jit, static_argnames=("height", "max_bounces", "fog_steps"))
+@partial(jax.jit, static_argnames=("height", "max_bounces", "fog_steps",
+                                   "bit_size"))
 def trace_paths(
     table,
     root,
@@ -57,6 +58,8 @@ def trace_paths(
     max_bounces: int = 24,
     fog_steps: int = 64,
     primary=None,
+    bitworld=None,
+    bit_size: int = 0,
 ):
     """Trace one spectral path per ray; returns (state, radiance (...,3)).
 
@@ -72,6 +75,12 @@ def trace_paths(
         beam engine (kernels.beam); bounce 0 then skips its per-ray
         traversal. An uncapped first hit nearer than the fog event is
         exactly what the capped cast would return (first-hit semantics).
+      bitworld/bit_size: optional packed occupancy pyramid
+        ((top, regions, bricks), world edge — world.bitgrid): world casts
+        then use the gather-lean hierarchical bit DDA (kernels.bitdda)
+        with colors resolved by one masked SVO descent per hit; the node
+        table remains the color source. ~10x fewer gathers per bounce
+        cast (PERF.md).
     """
     density = fog_density(wavelength)
     light = spectral_throughput(lut, wavelength)
@@ -87,14 +96,21 @@ def trace_paths(
             state, pos, d, density, n_steps=fog_steps
         )
         cap = jnp.where(planet["hit"], planet["t"], FAR)
-        if pre is None:
-            svo = svo_raycast(table, root, height, pos, d, distance=cap)
-            use_svo = svo["hit"]
-            svo_rgb = leaf_rgb(table, svo["node"])
-        else:
+        if pre is not None:
             svo = pre
             use_svo = pre["hit"] & (pre["t"] <= cap)
             svo_rgb = pre["rgb"]
+        elif bitworld is not None:
+            from voxtracer.kernels.bitdda import bitgrid_raycast, svo_color_at
+
+            svo = bitgrid_raycast(*bitworld, bit_size, pos, d, distance=cap)
+            use_svo = svo["hit"]
+            svo_rgb = svo_color_at(table, root, height, svo["voxel"],
+                                   use_svo & alive)
+        else:
+            svo = svo_raycast(table, root, height, pos, d, distance=cap)
+            use_svo = svo["hit"]
+            svo_rgb = leaf_rgb(table, svo["node"])
 
         hit_any = planet["hit"] | use_svo
         rgba = jnp.where(
@@ -121,7 +137,12 @@ def trace_paths(
         state, sun_planet = atmosphere.raycast_planet(
             state, pos, sun_dir, density, n_steps=fog_steps
         )
-        sun_svo = svo_raycast(table, root, height, pos, sun_dir)
+        if bitworld is not None:
+            from voxtracer.kernels.bitdda import bitgrid_raycast
+
+            sun_svo = bitgrid_raycast(*bitworld, bit_size, pos, sun_dir)
+        else:
+            sun_svo = svo_raycast(table, root, height, pos, sun_dir)
         sun_visible = ~sun_planet["hit"] & ~sun_svo["hit"]
         nee = (
             SUN_COLOR
@@ -177,7 +198,7 @@ def trace_paths(
 
 @partial(jax.jit, static_argnames=("height", "width_px", "height_px",
                                    "rows", "max_bounces", "fog_steps",
-                                   "row_tiles"))
+                                   "row_tiles", "bit_size"))
 def render_sample(
     table,
     root,
@@ -195,6 +216,8 @@ def render_sample(
     fog_steps: int = 64,
     row_tiles: int = 1,
     aug=None,
+    bitworld=None,
+    bit_size: int = 0,
 ):
     """One progressive sample: 1 spectral path per pixel (raytrace.wgsl:415-430).
 
@@ -243,6 +266,7 @@ def render_sample(
         _, radiance = trace_paths(
             table, root, height, lut, pos, d, wavelength, sun, state,
             max_bounces=max_bounces, fog_steps=fog_steps, primary=primary,
+            bitworld=bitworld, bit_size=bit_size,
         )
         return radiance
 
@@ -259,6 +283,7 @@ def render_sample(
             _, c = trace_paths(
                 table, root, height, lut, pos_t, d_t, wl_t, sun, st_t,
                 max_bounces=max_bounces, fog_steps=fog_steps,
+                bitworld=bitworld, bit_size=bit_size,
             )
             return c
 
@@ -271,6 +296,7 @@ def render_sample(
             _, c = trace_paths(
                 table, root, height, lut, pos_t, d_t, wl_t, sun, st_t,
                 max_bounces=max_bounces, fog_steps=fog_steps, primary=pr_t,
+                bitworld=bitworld, bit_size=bit_size,
             )
             return c
 
@@ -283,11 +309,13 @@ def render_sample(
 
 
 @partial(jax.jit, static_argnames=("height", "width_px", "height_px",
-                                   "max_bounces", "fog_steps", "row_tiles"))
+                                   "max_bounces", "fog_steps", "row_tiles",
+                                   "bit_size"))
 def render_samples(
     table, root, height: int, lut, cam_pos, cam_basis, sun, frame_seeds,
     width_px: int, height_px: int, max_bounces: int = 24,
     fog_steps: int = 64, row_tiles: int = 1, aug=None,
+    bitworld=None, bit_size: int = 0,
 ):
     """Accumulate a batch of progressive samples in one device program.
 
@@ -300,6 +328,7 @@ def render_samples(
             table, root, height, lut, cam_pos, cam_basis, sun, seed,
             width_px, height_px, max_bounces=max_bounces,
             fog_steps=fog_steps, row_tiles=row_tiles, aug=aug,
+            bitworld=bitworld, bit_size=bit_size,
         )
         return acc + s, None
 
