@@ -36,9 +36,25 @@ def _time(fn, *args, reps=3):
     return (time.monotonic() - t0) / reps, out
 
 
+def _enable_compile_cache():
+    """Persistent XLA compilation cache — first compiles of the big
+    render programs take minutes over the axon remote compiler."""
+    try:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir",
+                          str(__import__("pathlib").Path(__file__).parent
+                              / ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
+
+
 def main():
     import jax
     import jax.numpy as jnp
+
+    _enable_compile_cache()
 
     from voxtracer.core import camera as vcam
     from voxtracer.core.spectra import build_wl_to_rgb_lut

@@ -216,6 +216,18 @@ def build_parser():
 
 
 def main(argv=None):
+    try:
+        import pathlib
+
+        import jax
+
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            str(pathlib.Path(__file__).resolve().parents[2] / ".jax_cache"),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
     args = build_parser().parse_args(argv)
     return args.fn(args)
 
