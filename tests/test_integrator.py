@@ -170,3 +170,31 @@ def test_render_samples_batch_equals_serial():
             table, root, height, LUT, np.asarray(cam.pos, np.float32),
             cam.basis(), sun_vec(), jnp.asarray(s), 32, 24, **kw))
     assert np.allclose(np.asarray(total), serial, atol=1e-4)
+
+
+def test_compaction_bit_identical(rng):
+    """The shrinking-bucket compaction must not change any pixel (per-lane
+    RNG travels with the lane)."""
+    from voxtracer.world import worldgen
+    from voxtracer.world.dense import from_heightmap as dense_from_h
+    from voxtracer.world.svo import from_dense as svo_from_dense
+
+    h = worldgen.heightmap(5)
+    dw = dense_from_h(np.asarray(h), 32)
+    dev = svo_from_dense(dw.solid, dw.rgb).serialize()
+    table = jnp.asarray(dev.table.view(np.int32))
+    root = np.int32(dev.root)
+    B = 8192  # above the compaction threshold
+    start = jnp.broadcast_to(jnp.asarray([16.1, 25.2, -8.3]), (B, 3))
+    d = rng.normal(size=(B, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    d = jnp.asarray(d)
+    wl = jnp.asarray(rng.random(B, np.float32))
+    sun = sun_vec()
+    state = jnp.asarray(rng.integers(0, 2**32, (B, 3), dtype=np.uint32))
+    kw = dict(max_bounces=6, fog_steps=8)
+    _, a = trace_paths(table, root, dev.height, LUT, start, d, wl, sun,
+                       state, compact=False, **kw)
+    _, b = trace_paths(table, root, dev.height, LUT, start, d, wl, sun,
+                       state, compact=True, **kw)
+    assert np.array_equal(np.asarray(a), np.asarray(b))
