@@ -134,8 +134,6 @@ def beam_walk(aug, root, height: int, o_lo, o_hi, d_lo, d_hi,
     olo = jnp.where(flip, bound - o_hi, o_lo)
     ohi = jnp.where(flip, bound - o_lo, o_hi)
     mirror = to_bits(flip)  # (Bb,)
-    mirror8 = jnp.stack([mirror & 1, (mirror >> 1) & 1, (mirror >> 2) & 1],
-                        axis=-1).astype(jnp.float32)  # (Bb,3)
 
     root_b = jnp.broadcast_to(jnp.asarray(root, jnp.int32), (Bb,))
 
@@ -504,8 +502,6 @@ def beam_primary_frame_cast(table, aug, root, height: int, origin, dirs,
         d_lo = jnp.min(dband, axis=1)
         d_hi = jnp.max(dband, axis=1)
         ob = jnp.broadcast_to(o, d_lo.shape)
-        Bb_, P_ = dband.shape[0], dband.shape[1]
-
         # collect->resolve rounds under lax.scan: one walk compilation
         # regardless of round count (unrolled rounds blow up compile time)
         cands0, state0 = beam_walk(aug, root, height, ob, ob, d_lo, d_hi,

@@ -31,7 +31,6 @@ from voxtracer.kernels.atmosphere import (
 )
 
 LANES = 128
-SUBLANES = 8
 # One VREG (8x128) per carried value: larger tiles make the vectorized
 # fori carry dozens of vector registers and Mosaic's register allocation
 # fails (observed on v5e at 256 rows).
