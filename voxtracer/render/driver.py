@@ -77,6 +77,7 @@ class Renderer:
         max_bounces: int = 24,
         fog_steps: int = 64,
         seed: int | None = None,
+        row_tiles: int | None = None,
     ):
         self.table = jnp.asarray(device_svo.table.view(np.int32))
         self.root = np.int32(
@@ -90,6 +91,12 @@ class Renderer:
         self.fog_steps = fog_steps
         self.acc = Accumulator(width, height)
         self.host_rng = random.Random(seed)
+        if row_tiles is None:
+            # largest divisor of height <= 32: per-band early exit without
+            # excessive dispatch overhead
+            row_tiles = max(b for b in range(1, min(height, 32) + 1)
+                            if height % b == 0)
+        self.row_tiles = row_tiles
 
     def update_space(self, device_svo):
         """Re-upload the node table after world edits (fragment.rs:274-313)."""
@@ -119,6 +126,7 @@ class Renderer:
             self.height,
             max_bounces=self.max_bounces,
             fog_steps=self.fog_steps,
+            row_tiles=self.row_tiles,
         )
         self.acc.add(sample)
 
@@ -137,7 +145,7 @@ class Renderer:
             np.asarray(cam.pos, np.float32), cam.basis(),
             jnp.asarray(sun_unit), jnp.asarray(seeds),
             self.width, self.height, max_bounces=self.max_bounces,
-            fog_steps=self.fog_steps,
+            fog_steps=self.fog_steps, row_tiles=self.row_tiles,
         )
         self.acc.buffer = self.acc.buffer + total
         self.acc.samples += k
