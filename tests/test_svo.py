@@ -118,3 +118,15 @@ def test_deep_edit_in_large_world():
     space.set((31, 31, 31), (1.0, 1.0, 1.0))
     assert np.allclose(space.get((31, 31, 31)), (1.0, 1.0, 1.0))
     assert np.allclose(space.get((1, 2, 3)), (0.25, 0.5, 0.75))
+
+
+def test_node_accessors(rng):
+    space, solid, rgb = build_random_space(rng, n=8)
+    root = space.root_node()
+    assert root is not None
+    kind, payload = space.get_node(root)
+    assert kind == "children"
+    assert space.unwrap_children(root) == payload
+    kinds = {k for _, (k, _) in space.nodes()}
+    assert kinds == {"block", "children"}
+    assert sum(1 for _ in space.nodes()) == space.num_nodes()

@@ -134,6 +134,34 @@ class SvoSpace:
     def num_nodes(self) -> int:
         return len(self._kind) - len(self._free)
 
+    def nodes(self):
+        """Iterate (node_id, cell) over live nodes (svo.rs:150-152); cell
+        is ('block', (r, g, b)) or ('children', (8 ids or None))."""
+        for nid, kind in enumerate(self._kind):
+            if kind == _BLOCK:
+                r, g, b = self._payload[nid]
+                yield nid, ("block", (_bits_f32(r), _bits_f32(g), _bits_f32(b)))
+            elif kind == _CHILDREN:
+                yield nid, ("children", self._payload[nid])
+
+    def get_node(self, nid: int):
+        """Cell of a live node (svo.rs:154-156)."""
+        kind = self._kind[nid]
+        assert kind is not None, "dead node"
+        if kind == _BLOCK:
+            r, g, b = self._payload[nid]
+            return ("block", (_bits_f32(r), _bits_f32(g), _bits_f32(b)))
+        return ("children", self._payload[nid])
+
+    def root_node(self) -> Optional[int]:
+        return self.root
+
+    def unwrap_children(self, nid: int):
+        """Children tuple of an interior node (svo.rs:172-178)."""
+        kind, payload = self._kind[nid], self._payload[nid]
+        assert kind == _CHILDREN
+        return payload
+
     def get(self, p) -> Optional[Tuple[float, float, float]]:
         """Point query: color of voxel at integer coords p, or None."""
         x, y, z = int(p[0]), int(p[1]), int(p[2])
