@@ -52,3 +52,23 @@ def test_world_roundtrip(world, tmp_path):
     orig = world.serialize()
     assert np.array_equal(dev.table, orig.table)
     assert dev.root == orig.root and dev.height == orig.height
+    # solid_leaf must survive the round trip (beam engine aug source)
+    assert dev.solid_leaf is not None
+    assert np.array_equal(dev.solid_leaf, orig.solid_leaf)
+
+
+def test_resume_keeps_solid_leaf(world, tmp_path):
+    """A resumed renderer must retain solid_leaf so the beam engine stays
+    available after resume (round-1 regression: DeviceSvo was rebuilt
+    without it)."""
+    cam = vcam.Camera(pos=(8.0, 6.0, 8.0), yaw=0.3, pitch=0.4)
+    sun = np.array([0.3, 1.0, 0.2])
+    r1 = Renderer(world.serialize(), 24, 16, max_bounces=2, fog_steps=8,
+                  seed=7)
+    r1.sample(cam, sun)
+    p = tmp_path / "state.npz"
+    checkpoint.save_render_state(p, r1, cam, sun)
+    r2, _, _ = checkpoint.load_render_state(p)
+    assert r2.solid_leaf is not None
+    assert np.array_equal(np.asarray(r2.solid_leaf),
+                          np.asarray(r1.solid_leaf))

@@ -193,8 +193,13 @@ def test_compaction_bit_identical(rng):
     sun = sun_vec()
     state = jnp.asarray(rng.integers(0, 2**32, (B, 3), dtype=np.uint32))
     kw = dict(max_bounces=6, fog_steps=8)
-    _, a = trace_paths(table, root, dev.height, LUT, start, d, wl, sun,
-                       state, compact=False, **kw)
-    _, b = trace_paths(table, root, dev.height, LUT, start, d, wl, sun,
-                       state, compact=True, **kw)
+    st_a, a = trace_paths(table, root, dev.height, LUT, start, d, wl, sun,
+                          state, compact=False, **kw)
+    st_b, b = trace_paths(table, root, dev.height, LUT, start, d, wl, sun,
+                          state, compact=True, **kw)
     assert np.array_equal(np.asarray(a), np.asarray(b))
+    # the returned RNG state is per-lane and full-shape under compaction
+    # (round-1 regression: it was the final bucket's lanes only), and every
+    # lane's state advanced from the seed
+    assert st_b.shape == state.shape and st_b.dtype == state.dtype
+    assert not np.array_equal(np.asarray(st_b), np.asarray(state))

@@ -130,3 +130,22 @@ def test_node_accessors(rng):
     kinds = {k for _, (k, _) in space.nodes()}
     assert kinds == {"block", "children"}
     assert sum(1 for _ in space.nodes()) == space.num_nodes()
+
+
+def test_set_out_of_bounds_rejected(rng):
+    """Out-of-range coordinates must raise, not alias onto in-range voxels
+    (e.g. y = 2^height descends the all-high path)."""
+    import pytest
+
+    n = 16
+    solid = np.zeros((n, n, n), bool)
+    solid[:, 0, :] = True
+    rgb = np.zeros((n, n, n, 3), np.float32)
+    rgb[solid] = 0.5
+    space = from_dense(solid, rgb)
+    for p in [(0, n, 0), (-1, 0, 0), (n, n - 1, n - 1), (0, 0, 2 * n)]:
+        with pytest.raises(AssertionError):
+            space.set(p, (1.0, 1.0, 1.0))
+    # in-range corner still fine
+    space.set((n - 1, n - 1, n - 1), (1.0, 1.0, 1.0))
+    assert space.get((n - 1, n - 1, n - 1)) == (1.0, 1.0, 1.0)

@@ -87,3 +87,23 @@ def test_generate_smoke(capsys):
     out = capsys.readouterr().out
     assert "worldgen in" in out and "world size" in out
     assert space.height() == 5 or space.root is None
+
+
+def test_explicit_zero_seed_honored():
+    """Seed 0 is a valid uint32 seed and must not be silently replaced by
+    the default (round-1 `or`-default regression)."""
+    h0 = worldgen.heightmap(4, seed_scale=0, seed_noise=0)
+    hd = worldgen.heightmap(4)
+    assert not np.array_equal(h0, hd)
+    sp = worldgen.generate(log2_size=4, verbose=False, backend="python",
+                           seed_scale=0, seed_noise=0)
+    sd = worldgen.generate(log2_size=4, verbose=False, backend="python")
+    mins_sp, _ = worldgen.minmax_pyramid(h0)
+    assert sp.serialize().table.shape[0] > 0
+    # worlds from different seeds differ somewhere
+    diff = any(
+        sp.get((x, y, z)) != sd.get((x, y, z))
+        for x in range(0, 16, 5) for y in range(0, 16, 5)
+        for z in range(0, 16, 5)
+    )
+    assert diff

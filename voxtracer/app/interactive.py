@@ -128,6 +128,13 @@ def run_interactive(args, input_fn=input, log=print):
                 if cmd == "del":
                     space.set(tuple(voxel), None)
                     log(f"deleted {tuple(voxel)}")
+                elif not all(
+                    0 <= int(c) < (1 << space.height()) for c in voxel + normal
+                ):
+                    # placing on a world-boundary face would land outside
+                    # [0, 2^height) and alias onto an in-range voxel
+                    log("placement outside world bounds")
+                    continue
                 else:
                     target = tuple(voxel + normal)
                     space.set(target, (1.0, 1.0, 1.0))

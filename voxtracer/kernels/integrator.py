@@ -226,21 +226,26 @@ def trace_paths(
         carry = jax.lax.while_loop(seg_cond(nxt), bounce, carry)
         i_, st_, pos_, d_, light_, color_, alive_, den_ = carry
         perm = jnp.argsort(~alive_)[:nxt]
-        unwinds.append((color_, perm))
+        unwinds.append((color_, st_, perm))
         take = lambda a: a[perm]
         carry = (i_, take(st_), take(pos_), take(d_), take(light_),
                  take(color_), take(alive_), take(den_))
 
     carry = jax.lax.while_loop(seg_cond(None), bounce, carry)
-    _, state_f, _, _, _, color, _, _ = carry
-    for color_full, perm in reversed(unwinds):
+    _, state, _, _, _, color, _, _ = carry
+    # Unwind the compaction: scatter the surviving lanes' colors AND RNG
+    # states back through each bucket's permutation, so the returned state
+    # is per-lane and full-shape regardless of compaction. (A lane dropped
+    # at a bucket boundary keeps the state it had when it died — in the
+    # uncompacted loop dead lanes keep burning draws, so chained states
+    # match the uncompacted loop only for lanes alive to the end; radiance
+    # is bit-identical either way.)
+    for color_full, state_full, perm in reversed(unwinds):
         color = color_full.at[perm].set(color)
+        state = state_full.at[perm].set(state)
     if buckets:
         color = color.reshape(batch_shape + (3,))
-    # NOTE: the returned RNG state reflects only the final bucket's lanes
-    # when compaction ran; render paths draw fresh per-sample seeds, so
-    # chaining off this state is only supported with compact=False.
-    state = state_f if not unwinds else state
+        state = state.reshape(batch_shape + (3,))
     return state, color
 
 

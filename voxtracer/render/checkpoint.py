@@ -16,7 +16,7 @@ import numpy as np
 from voxtracer.core import camera as vcam
 from voxtracer.world.svo import EMPTY, DeviceSvo
 
-FORMAT_VERSION = 1
+FORMAT_VERSION = 2  # v2 adds solid_leaf (beam-engine aug data)
 
 
 def save_render_state(path, renderer, cam: vcam.Camera, sun) -> None:
@@ -35,8 +35,7 @@ def save_render_state(path, renderer, cam: vcam.Camera, sun) -> None:
         tree_height=renderer.tree_height,
         root=int(renderer.root),
     )
-    np.savez_compressed(
-        path,
+    arrays = dict(
         meta=json.dumps(meta),
         accumulator=np.asarray(renderer.acc.buffer),
         table=np.asarray(renderer.table),
@@ -44,6 +43,9 @@ def save_render_state(path, renderer, cam: vcam.Camera, sun) -> None:
             json.dumps(renderer.host_rng.getstate()).encode(), dtype=np.uint8
         ),
     )
+    if getattr(renderer, "solid_leaf", None) is not None:
+        arrays["solid_leaf"] = np.asarray(renderer.solid_leaf, np.int32)
+    np.savez_compressed(path, **arrays)
 
 
 def load_render_state(path):
@@ -54,12 +56,13 @@ def load_render_state(path):
 
     z = np.load(path, allow_pickle=False)
     meta = json.loads(str(z["meta"]))
-    assert meta["version"] == FORMAT_VERSION
+    assert 1 <= meta["version"] <= FORMAT_VERSION
     table = z["table"]
     dev = DeviceSvo(
         table=table.view(np.uint32),
         root=meta["root"] if meta["root"] >= 0 else EMPTY,
         height=meta["tree_height"],
+        solid_leaf=z["solid_leaf"] if "solid_leaf" in z.files else None,
     )
     r = Renderer(
         dev, meta["width"], meta["height"],
@@ -84,14 +87,17 @@ def load_render_state(path):
 def save_world(path, space) -> None:
     """Persist a world (the reference never persists worlds, SURVEY §5)."""
     dev = space.serialize()
-    np.savez_compressed(
-        path, table=dev.table, root=np.int64(dev.root),
-        height=np.int64(dev.height),
+    arrays = dict(
+        table=dev.table, root=np.int64(dev.root), height=np.int64(dev.height),
     )
+    if dev.solid_leaf is not None:
+        arrays["solid_leaf"] = np.asarray(dev.solid_leaf, np.int32)
+    np.savez_compressed(path, **arrays)
 
 
 def load_world_device(path) -> DeviceSvo:
     z = np.load(path)
     return DeviceSvo(
-        table=z["table"], root=int(z["root"]), height=int(z["height"])
+        table=z["table"], root=int(z["root"]), height=int(z["height"]),
+        solid_leaf=z["solid_leaf"] if "solid_leaf" in z.files else None,
     )

@@ -84,6 +84,7 @@ class Renderer:
             device_svo.root if device_svo.root != 0xFFFFFFFF else -1
         )
         self.tree_height = device_svo.height
+        self.solid_leaf = device_svo.solid_leaf  # host-side; beam engine aug
         self.lut = jnp.asarray(build_wl_to_rgb_lut())
         self.width = width
         self.height = height
@@ -105,6 +106,7 @@ class Renderer:
             device_svo.root if device_svo.root != 0xFFFFFFFF else -1
         )
         self.tree_height = device_svo.height
+        self.solid_leaf = device_svo.solid_leaf
         self.acc.invalidate()
 
     def sample(self, cam: vcam.Camera, sun: np.ndarray):

@@ -15,6 +15,7 @@ bulk `build_terrain`.
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import subprocess
 from pathlib import Path
 
@@ -24,17 +25,26 @@ from voxtracer.world.svo import EMPTY, DeviceSvo
 
 _SRC = Path(__file__).resolve().parents[2] / "native" / "svo_native.cpp"
 _LIB = Path(__file__).resolve().parents[2] / "native" / "libvoxsvo.so"
+_STAMP = _LIB.with_suffix(".so.srchash")
 
 _lib = None
 
 
+def _src_hash() -> str:
+    return hashlib.sha256(_SRC.read_bytes()).hexdigest()
+
+
 def _build_library() -> bool:
+    """Compile from source; stamp the binary with the source hash so a
+    stale (or foreign) .so is never loaded — staleness is content-based,
+    not mtime-based (mtimes are checkout-order artifacts after a clone)."""
     try:
         subprocess.run(
             ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
              "-o", str(_LIB), str(_SRC)],
             check=True, capture_output=True, timeout=300,
         )
+        _STAMP.write_text(_src_hash())
         return True
     except Exception:
         return False
@@ -45,7 +55,12 @@ def load_library():
     global _lib
     if _lib is not None:
         return _lib
-    if not _LIB.exists() or _LIB.stat().st_mtime < _SRC.stat().st_mtime:
+    fresh = (
+        _LIB.exists()
+        and _STAMP.exists()
+        and _STAMP.read_text().strip() == _src_hash()
+    )
+    if not fresh:
         if not _build_library():
             return None
     lib = ctypes.CDLL(str(_LIB))
@@ -139,6 +154,10 @@ class NativeSvoSpace:
         return tuple(rgb) if ok else None
 
     def set(self, p, rgb):
+        n = 1 << self.height()
+        assert all(0 <= int(c) < n for c in p), (
+            f"voxel {tuple(p)} outside [0, {n})^3"
+        )
         if rgb is None:
             self._lib.vx_set(self._h, int(p[0]), int(p[1]), int(p[2]), 0,
                              0.0, 0.0, 0.0)

@@ -189,8 +189,16 @@ class SvoSpace:
         No-ops when the voxel already has the requested value; otherwise
         rebuilds the root-to-leaf spine through the intern table and swaps
         the root with refcount transfer (svo.rs:102-144).
+
+        Coordinates must lie in [0, 2^height): out-of-range coordinates
+        would silently alias onto in-range voxels through the octant
+        bit tests (e.g. y = 2^height descends the all-high path).
         """
         x, y, z = int(p[0]), int(p[1]), int(p[2])
+        n = 1 << self.height()
+        assert 0 <= x < n and 0 <= y < n and 0 <= z < n, (
+            f"voxel {(x, y, z)} outside [0, {n})^3"
+        )
         stack = []
         node = self.root
         for level in range(self.height() - 1, -1, -1):

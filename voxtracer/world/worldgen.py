@@ -40,8 +40,16 @@ SEED_NOISE = 0x1C766E2E  # worldgen.rs:15
 REFERENCE_LOG2_SIZE = 13  # worldgen.rs:17
 
 
-def heightmap(log2_size: int, seed_scale: int = SEED_SCALE, seed_noise: int = SEED_NOISE):
-    """Terrain height per column, uint32[n, n], indexed [x, z], in [0, n]."""
+def heightmap(log2_size: int, seed_scale: int = SEED_SCALE,
+              seed_noise: int = SEED_NOISE, device: str = "cpu"):
+    """Terrain height per column, uint32[n, n], indexed [x, z], in [0, n].
+
+    Runs on the host CPU backend by default: the noise eval is a one-shot
+    elementwise program whose *remote compile* over the axon tunnel costs
+    minutes — far more than evaluating it host-side (PERF.md; the
+    reference also generates CPU-side, worldgen.rs:98-108). Pass
+    device=None to use the default JAX device.
+    """
     n = 1 << log2_size
     world_scale = (1 << REFERENCE_LOG2_SIZE) / n  # 1.0 at the flagship size
 
@@ -61,6 +69,9 @@ def heightmap(log2_size: int, seed_scale: int = SEED_SCALE, seed_noise: int = SE
         h = jnp.floor((nval * 256.0 * scale + 64.0) / world_scale)
         return jnp.clip(h, 0, n).astype(jnp.uint32)
 
+    if device is not None:
+        with jax.default_device(jax.devices(device)[0]):
+            return np.asarray(_eval())
     return np.asarray(_eval())
 
 
@@ -213,8 +224,11 @@ def generate(
     path also does the pyramid internally.
     """
     t0 = time.monotonic()
-    h = heightmap(log2_size, seed_scale=seed_scale or SEED_SCALE,
-                  seed_noise=seed_noise or SEED_NOISE)
+    h = heightmap(
+        log2_size,
+        seed_scale=SEED_SCALE if seed_scale is None else seed_scale,
+        seed_noise=SEED_NOISE if seed_noise is None else seed_noise,
+    )
     t1 = time.monotonic()
     if verbose:
         print(f"heightmaps in {t1 - t0:.3f}s")
