@@ -1,0 +1,140 @@
+"""Rasterizer vs per-ray traversal: full-frame parity.
+
+Same bar as the beam engine (tests/test_beam.py): hit/normal/voxel/rgb
+exact, t within float tolerance (the fragment path recomputes ray
+directions with the same formulas but different XLA fusion, so t can
+differ by ~1 ulp; winners only flip at degenerate edge-grazes, which get
+a budget on degenerate cameras).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from voxtracer.core import camera as vcam
+from voxtracer.kernels.raster import pack_box_attr, raster_cast
+from voxtracer.kernels.traverse import leaf_rgb, svo_raycast
+from voxtracer.world.boxes import extract_boxes
+from voxtracer.world.svo import from_dense
+
+
+def _soup_args(space):
+    dev = space.serialize()
+    soup = extract_boxes(dev)
+    return dev, (
+        jnp.asarray(soup.lo),
+        jnp.asarray(soup.size),
+        jnp.asarray(pack_box_attr(soup)),
+    ), soup.n_big
+
+
+def _check(space, campos, yaw, pitch, W=64, H=40, graze_budget=0, **kw):
+    dev, args, n_big = _soup_args(space)
+    table = jnp.asarray(dev.table.view(np.int32))
+    root = np.int32(dev.root)
+    cam = vcam.Camera(pos=campos, yaw=yaw, pitch=pitch)
+    _, d = vcam.generate_rays(cam, W, H)
+    op = np.asarray(campos, np.float32)
+    kw.setdefault("frag_budget", 2_000_000)
+    kw.setdefault("occ_frag_budget", 2_000_000)
+    kw.setdefault("near_slots", 64)
+    rb = raster_cast(*args, op, cam.basis(), dev.height, W, H,
+                     n_big=n_big, **kw)
+    assert not bool(rb["overflow"]), (
+        f"overflow: n_frag={int(rb['n_frag'])} n_near={int(rb['n_near'])}"
+    )
+    rr = svo_raycast(table, root, dev.height, jnp.asarray(op), d)
+    hb, hr = np.asarray(rb["hit"]), np.asarray(rr["hit"])
+    both = hb & hr
+    same_t = np.isclose(np.asarray(rb["t"]), np.asarray(rr["t"]),
+                        rtol=1e-4, atol=1e-3)
+    same_n = (np.asarray(rb["normal"]) == np.asarray(rr["normal"])).all(-1)
+    same_v = (np.asarray(rb["voxel"]) == np.asarray(rr["voxel"])).all(-1)
+    agree = (hb == hr) & (~both | (same_t & same_n & same_v))
+    n_bad = int((~agree).sum())
+    assert n_bad <= graze_budget, f"{n_bad} differing pixels"
+    good = both & agree
+    assert np.allclose(np.asarray(rb["rgb"])[good],
+                       np.asarray(leaf_rgb(table, rr["node"]))[good])
+
+
+@pytest.fixture(scope="module")
+def clutter():
+    rng = np.random.default_rng(5)
+    n = 32
+    solid = rng.random((n, n, n)) < 0.2
+    rgb = rng.random((n, n, n, 3)).astype(np.float32)
+    rgb[~solid] = 0
+    return from_dense(solid, rgb)
+
+
+@pytest.fixture(scope="module")
+def terrain():
+    from voxtracer.world import worldgen
+
+    return worldgen.generate(log2_size=6, verbose=False, backend="python")
+
+
+def test_raster_clutter_generic(clutter):
+    _check(clutter, (16.21, 17.13, -9.37), 0.11, 0.23)
+
+
+def test_raster_clutter_inside(clutter):
+    # camera inside the cloud: near/dense path handles straddling boxes
+    _check(clutter, (15.8, 16.2, 16.4), 2.3, -0.4)
+
+
+def test_raster_clutter_degenerate(clutter):
+    # integer camera, axis-aligned view: rays pass through exact lattice
+    # corners, where the slab's strict t_in < t_out misses what the
+    # traversal's crossing order grazes — bounded divergence
+    _check(clutter, (16.0, 16.0, -10.0), 0.0, 0.0, graze_budget=80)
+
+
+def test_raster_terrain_reference_pose(terrain):
+    s = 64 / 8192
+    _check(
+        terrain,
+        (800.2352 * s, 1511.8693 * s, 654.40125 * s),
+        -5.3800497, 0.21999985, W=96, H=56,
+    )
+
+
+def test_raster_terrain_looking_down(terrain):
+    _check(terrain, (32.3, 70.7, 31.9), 0.37, 1.2, W=64, H=40)
+
+
+def test_raster_behind_and_outside_culls(terrain):
+    # camera above looking straight up: sky everywhere, nothing hit
+    dev, args, n_big = _soup_args(terrain)
+    cam = vcam.Camera(pos=(32.0, 80.0, 32.0), yaw=0.0, pitch=-1.5707)
+    rb = raster_cast(*args, np.asarray(cam.pos, np.float32), cam.basis(),
+                     dev.height, 32, 24, n_big=n_big, frag_budget=500_000)
+    assert not bool(np.asarray(rb["hit"]).any())
+    assert not bool(rb["overflow"])
+
+
+def test_raster_distance_cap(clutter):
+    """The rasterizer's distance cap is strict; the traversal's is
+    advisory (it can leak hits past the cap exactly like the reference
+    raycast — see traverse.svo_raycast). Within the cap both must agree;
+    every traversal hit the rasterizer lacks must be a leaked one."""
+    dev, args, n_big = _soup_args(clutter)
+    table = jnp.asarray(dev.table.view(np.int32))
+    root = np.int32(dev.root)
+    cam = vcam.Camera(pos=(16.21, 17.13, -9.37), yaw=0.11, pitch=0.23)
+    _, d = vcam.generate_rays(cam, 64, 40)
+    op = np.asarray(cam.pos, np.float32)
+    cap = 12.0
+    rb = raster_cast(*args, op, cam.basis(), dev.height, 64, 40,
+                     n_big=n_big, distance=cap, frag_budget=1_000_000)
+    rr = svo_raycast(table, root, dev.height, jnp.asarray(op), d,
+                     distance=cap)
+    hb, hr = np.asarray(rb["hit"]), np.asarray(rr["hit"])
+    rt = np.asarray(rr["t"])
+    in_cap = hr & (rt <= cap)
+    assert (hb == in_cap).all()
+    assert (rt[hr & ~hb] > cap).all()  # traversal extras leaked past cap
+    both = hb & in_cap
+    assert np.allclose(np.asarray(rb["t"])[both], rt[both],
+                       rtol=1e-4, atol=1e-3)

@@ -117,7 +117,20 @@ def cmd_render(args):
         sun_unit = jnp.asarray(sun / np.linalg.norm(sun), jnp.float32)
         tiles = args.bands if args.height % args.bands == 0 else 1
         t0 = time.monotonic()
-        if args.engine == "beam" and args.height % 8 == 0 and args.width % 8 == 0:
+        if args.engine == "raster" and args.mode == "shaded":
+            from voxtracer.kernels import raster
+            from voxtracer.world.boxes import extract_boxes
+
+            soup = extract_boxes(dev)
+            print(f"box soup: {len(soup)} boxes ({soup.n_big} occluders)")
+            t0 = time.monotonic()
+            img = raster.raster_primary_frame(
+                jnp.asarray(soup.lo), jnp.asarray(soup.size),
+                jnp.asarray(raster.pack_box_attr(soup)), dev.height,
+                np.asarray(cam.pos, np.float32), cam.basis(), sun_unit,
+                args.width, args.height, n_big=soup.n_big,
+            )
+        elif args.engine == "beam" and args.height % 8 == 0 and args.width % 8 == 0:
             from voxtracer.kernels import beam
 
             aug = jnp.asarray(
@@ -182,7 +195,8 @@ def build_parser():
     p = sub.add_parser("render", help="render one frame")
     _add_common(p)
     p.add_argument("--mode", choices=("path", "shaded", "shadow"), default="path")
-    p.add_argument("--engine", choices=("beam", "ray"), default="beam",
+    p.add_argument("--engine", choices=("raster", "beam", "ray"),
+                   default="raster",
                    help="primary-visibility engine for --mode shaded")
     p.add_argument("--bands", type=int, default=27,
                    help="row bands for early-exit tiling")

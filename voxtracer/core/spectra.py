@@ -2,13 +2,21 @@
 
 The reference ships a 2153x1 sRGB-encoded PNG ramp (src/wl-to-color.png)
 sampled with a linear-filtering, sRGB-decoding sampler
-(fragment.rs:78-147, raytrace.wgsl:334). We do not copy that asset;
-instead the LUT is *generated* from the CIE 1931 color matching functions
-using the multi-lobe Gaussian analytic fits of Wyman, Sloan & Shirley
-(JCGT 2013), converted to linear sRGB. The sampling semantics
-(normalized-coordinate linear filtering over the table, on already-linear
-values — i.e. decode-before-filter) match the reference's hardware
-sampler.
+(fragment.rs:78-147, raytrace.wgsl:334). That ramp is NOT a colorimetric
+(CIE) spectral locus — it is a stylized rainbow whose green channel peaks
+near 600 nm and whose red saturates through 630-765 nm; the renderer's
+entire color character comes from it. We do not copy the asset; the
+default LUT here is a compact piecewise-linear knot model (9+8+9 knots,
+sRGB space) FITTED to the decoded ramp, max |err| <= 0.0101 in sRGB
+texel values (~2.6 quantization steps of the 8-bit asset) —
+tests/test_spectra.py re-decodes the asset and enforces that bound.
+A colorimetric alternative built from the CIE 1931 color matching
+functions (Wyman, Sloan & Shirley's multi-lobe Gaussian fits, JCGT 2013)
+remains available as ``build_wl_to_rgb_lut_cie``.
+
+Sampling semantics (normalized-coordinate linear filtering over the
+table, on already-linear values — i.e. decode-before-filter) match the
+reference's hardware sampler.
 
 The per-path spectral throughput weight (Planck-ish spectrum x tint) and
 the Rayleigh-like fog density follow raytrace.wgsl:330-336 exactly.
@@ -22,6 +30,22 @@ import numpy as np
 LUT_SIZE = 2048
 WL_MIN_NM = 400.0
 WL_MAX_NM = 800.0
+
+# Piecewise-linear knot model of the reference wavelength ramp, per
+# channel, as (wavelength_nm, sRGB value) pairs. Knots were placed by
+# adaptive max-error insertion against the sRGB-decoded asset
+# (fragment.rs:78-106); linear interpolation between them reproduces
+# every texel within 0.0101.
+_RAMP_KNOTS_SRGB = dict(
+    r=[(400.1, 0.0000), (564.9, 0.0000), (567.9, 0.0353), (580.7, 0.2510),
+       (596.1, 0.4824), (632.5, 0.9922), (765.0, 0.9922), (780.2, 0.6627),
+       (799.9, 0.2000)],
+    g=[(400.1, 0.0000), (461.8, 0.0118), (497.6, 0.4471), (548.0, 1.0000),
+       (636.6, 1.0000), (708.9, 0.4431), (759.4, 0.0118), (799.9, 0.0000)],
+    b=[(400.1, 0.4157), (410.5, 0.5255), (437.3, 1.0000), (459.7, 1.0000),
+       (507.7, 0.4745), (528.1, 0.2353), (544.8, 0.0196), (548.0, 0.0000),
+       (799.9, 0.0000)],
+)
 
 
 def _gauss(x, mu, s1, s2):
@@ -52,13 +76,39 @@ _XYZ_TO_SRGB = np.array(
 )
 
 
+def _srgb_decode_np(v):
+    v = np.asarray(v, np.float64)
+    return np.where(v <= 0.04045, v / 12.92, ((v + 0.055) / 1.055) ** 2.4)
+
+
 def build_wl_to_rgb_lut(size: int = LUT_SIZE) -> np.ndarray:
     """(size, 3) float32 linear-sRGB LUT over [WL_MIN_NM, WL_MAX_NM).
 
     Entry i corresponds to the wavelength at normalized coordinate
-    (i + 0.5)/size (texel centers), negatives clipped, globally scaled so
-    the maximum channel is 1 (the reference asset is an 8-bit ramp whose
-    decoded values live in [0, 1]).
+    (i + 0.5)/size (texel centers). Texel values come from the fitted
+    knot model of the reference ramp, evaluated in sRGB space and then
+    sRGB-decoded — the same decode-before-filter order as the reference's
+    sampler (fragment.rs:94-106), so linear filtering downstream operates
+    on linear values.
+    """
+    u = (np.arange(size) + 0.5) / size
+    wl = WL_MIN_NM + u * (WL_MAX_NM - WL_MIN_NM)
+    srgb = np.stack(
+        [
+            np.interp(wl, [k[0] for k in _RAMP_KNOTS_SRGB[c]],
+                      [k[1] for k in _RAMP_KNOTS_SRGB[c]])
+            for c in ("r", "g", "b")
+        ],
+        axis=-1,
+    )
+    return _srgb_decode_np(srgb).astype(np.float32)
+
+
+def build_wl_to_rgb_lut_cie(size: int = LUT_SIZE) -> np.ndarray:
+    """Colorimetric alternative LUT from the CIE 1931 CMFs (not the
+    reference's look — kept for physically-based rendering uses).
+
+    Negatives clipped, globally scaled so the maximum channel is 1.
     """
     u = (np.arange(size) + 0.5) / size
     wl = WL_MIN_NM + u * (WL_MAX_NM - WL_MIN_NM)

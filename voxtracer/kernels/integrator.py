@@ -105,12 +105,16 @@ def trace_paths(
             from voxtracer.kernels.bitdda import bitgrid_raycast, svo_color_at
 
             svo = bitgrid_raycast(*bitworld, bit_size, pos, d, distance=cap)
-            use_svo = svo["hit"]
+            use_svo = svo["hit"] & (svo["t"] <= cap)
             svo_rgb = svo_color_at(table, root, height, svo["voxel"],
                                    use_svo & alive)
         else:
             svo = svo_raycast(table, root, height, pos, d, distance=cap)
-            use_svo = svo["hit"]
+            # nearer-event-wins like the reference (raytrace.wgsl:344-347):
+            # the traversal's distance cap is advisory — a crossing taken
+            # when no subvoxel bit is set can step past it (the reference
+            # raycast has the same contour), so compare distances here.
+            use_svo = svo["hit"] & (svo["t"] <= cap)
             svo_rgb = leaf_rgb(table, svo["node"])
 
         hit_any = planet["hit"] | use_svo

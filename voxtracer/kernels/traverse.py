@@ -63,6 +63,12 @@ def svo_raycast(table, root, height: int, start, d, distance=FAR,
       start, d: (..., 3) float32 ray origins/directions (d need not be unit).
       distance: scalar or (...,) far cap — the same routine serves shadow
         rays and fog-bounded segments (raytrace.wgsl:68,101-104,142).
+        ADVISORY, exactly like the reference's: the pop test compares the
+        crossing t against the capped cell end by equality, so a crossing
+        taken when no subvoxel bit is set yet can step past ``distance``
+        and record a farther hit. Callers that need a strict cap must
+        compare ``t`` themselves (the reference does,
+        raytrace.wgsl:344-347).
       skip_t0: skip hits at t == 0 (ray starts inside a solid).
 
     Returns dict of (...)-shaped arrays: hit (bool), t, normal (...,3),

@@ -1,0 +1,238 @@
+"""Box-soup extraction: flatten an SVO into world-space box instances.
+
+The rasterization engine (kernels/raster.py) consumes the world as a
+static *box soup*: one axis-aligned box per leaf voxel instance or
+uniform solid-cube subtree (``solid_leaf``), with its albedo and leaf
+slot id. Unlike the node table (which shares DAG subtrees), the soup is
+fully *instanced* — the same DAG node appears once per world position —
+because rasterization iterates over geometry, not over rays.
+
+Emitting a whole uniform solid cube as one box is exact: every face of
+the cube lies on unit-voxel face planes, so a ray's entry t / normal /
+albedo against the cube equal those of the unit leaf voxel the reference
+traversal would descend to (raytrace.wgsl:123-137).
+
+Extraction is a vectorized numpy BFS over instance positions — numpy
+work is O(instances), Python work O(tree height).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from voxtracer.world.svo import EMPTY, DeviceSvo
+
+
+@dataclass
+class BoxSoup:
+    """World-space box instances, host-side (upload via jnp.asarray).
+
+    Boxes are ordered volume-descending: the first ``n_big`` entries have
+    volume >= 8 (solid cubes and long strips — the rasterizer's phase-1
+    occluder set). Unit voxels are greedily merged into same-leaf runs
+    along x ("strips"), which is exact: the union of same-leaf collinear
+    units is itself a box of uniform color, so entry t / normal / albedo
+    match the per-voxel result."""
+
+    lo: np.ndarray  # int32[M, 3] low corner (voxel coords)
+    size: np.ndarray  # int32[M, 3] per-axis extents
+    leaf: np.ndarray  # int32[M] leaf slot id (color source / hit node)
+    rgb: np.ndarray  # float32[M, 3] albedo (decoded from the leaf row)
+    height: int  # tree height (world edge = 2^height)
+    n_big: int = 0  # count of volume>=8 boxes (ordered first)
+
+    def __len__(self):
+        return len(self.size)
+
+
+def extract_boxes(dev: DeviceSvo, cull_enclosed: bool = True) -> BoxSoup:
+    """Enumerate leaf / solid-cube instances of a serialized SVO.
+
+    ``solid_leaf[n] >= 0`` marks a subtree that is entirely solid with one
+    uniform color (world/svo.py serialize); such nodes are emitted as a
+    single box. Blocks have ``solid_leaf[n] == n``, so the emit test is
+    uniform across levels.
+
+    ``cull_enclosed`` drops boxes all six of whose faces are fully
+    covered by other solid voxels: no ray originating in empty space can
+    hit them first (it would hit the covering solid), and buried solid
+    cubes otherwise dominate the rasterizer's fragment budget (~10x
+    overdraw measured at 1024^3). The only behavioral difference is for
+    rays *starting inside solid matter* (after the t==0 skip), which the
+    reference renders as garbage anyway.
+    """
+    assert dev.solid_leaf is not None, "box soup needs solid_leaf"
+    table = dev.table
+    solid = dev.solid_leaf
+    H = dev.height
+
+    out_lo, out_sz, out_leaf = [], [], []
+
+    if dev.root == EMPTY:
+        return BoxSoup(
+            lo=np.zeros((0, 3), np.int32), size=np.zeros((0, 3), np.int32),
+            leaf=np.zeros(0, np.int32), rgb=np.zeros((0, 3), np.float32),
+            height=H,
+        )
+
+    node = np.array([dev.root], np.int64)
+    pos = np.zeros((1, 3), np.int64)
+    for level in range(H, -1, -1):
+        s = 1 << level
+        emit = solid[node] >= 0
+        if emit.any():
+            out_lo.append(pos[emit])
+            out_sz.append(np.full(int(emit.sum()), s, np.int64))
+            out_leaf.append(solid[node[emit]].astype(np.int64))
+        rest = ~emit
+        if not rest.any():
+            node = np.zeros(0, np.int64)
+            break
+        node = node[rest]
+        pos = pos[rest]
+        assert level > 0, "level-0 nodes are blocks and must have emitted"
+        rows = table[node]  # (n, 8) uint32
+        half = s >> 1
+        offs = np.array(
+            [[(i >> 0) & 1, (i >> 1) & 1, (i >> 2) & 1] for i in range(8)],
+            np.int64,
+        ) * half
+        child = rows.astype(np.int64).reshape(-1)  # (n*8,) child-major rows
+        cpos = (pos[:, None, :] + offs[None, :, :]).reshape(-1, 3)
+        keep = child != EMPTY
+        node = child[keep]
+        pos = cpos[keep]
+
+    lo = (np.concatenate(out_lo) if out_lo else np.zeros((0, 3))).astype(np.int32)
+    size = (np.concatenate(out_sz) if out_sz else np.zeros(0)).astype(np.int32)
+    leaf = (np.concatenate(out_leaf) if out_leaf else np.zeros(0)).astype(np.int32)
+    if cull_enclosed and len(size):
+        keep = ~_enclosed_mask(lo, size, H)
+        lo, size, leaf = lo[keep], size[keep], leaf[keep]
+
+    # merge unit voxels into same-leaf runs along x (strips)
+    unit = size == 1
+    lo_u, leaf_u = _merge_strips(lo[unit], leaf[unit])
+    lo3 = np.concatenate([lo[~unit], lo_u[:, :3]])
+    size3 = np.concatenate(
+        [np.repeat(size[~unit][:, None], 3, axis=1),
+         np.stack([lo_u[:, 3], np.ones(len(lo_u), np.int64),
+                   np.ones(len(lo_u), np.int64)], axis=1)]
+    )
+    leaf = np.concatenate([leaf[~unit], leaf_u])
+
+    vol = size3.prod(axis=1)
+    order = np.argsort(-vol, kind="stable")  # volume-descending
+    lo3, size3, leaf = lo3[order], size3[order], leaf[order]
+    rgb = (
+        np.ascontiguousarray(table[leaf.astype(np.int64), :3]).view(np.float32)
+        if len(leaf)
+        else np.zeros((0, 3), np.float32)
+    )
+    return BoxSoup(lo=lo3.astype(np.int32), size=size3.astype(np.int32),
+                   leaf=leaf.astype(np.int32), rgb=rgb, height=H,
+                   n_big=int((vol[order] >= 8).sum()))
+
+
+def _merge_strips(lo: np.ndarray, leaf: np.ndarray):
+    """Merge unit boxes into maximal same-leaf runs along x.
+
+    Returns (int64[K, 4] of [x, y, z, len], int64[K] leaf)."""
+    if len(lo) == 0:
+        return np.zeros((0, 4), np.int64), np.zeros(0, np.int64)
+    order = np.lexsort((lo[:, 0], lo[:, 2], lo[:, 1]))
+    s = lo[order].astype(np.int64)
+    sl = leaf[order].astype(np.int64)
+    prev_adjacent = np.zeros(len(s), bool)
+    prev_adjacent[1:] = (
+        (s[1:, 1] == s[:-1, 1]) & (s[1:, 2] == s[:-1, 2])
+        & (s[1:, 0] == s[:-1, 0] + 1) & (sl[1:] == sl[:-1])
+    )
+    starts = np.nonzero(~prev_adjacent)[0]
+    ends = np.r_[starts[1:], len(s)]
+    out = np.empty((len(starts), 4), np.int64)
+    out[:, :3] = s[starts]
+    out[:, 3] = ends - starts
+    return out, sl[starts]
+
+
+def _enclosed_mask(lo: np.ndarray, size: np.ndarray, height: int) -> np.ndarray:
+    """True for boxes all six of whose face-adjacent slabs are fully
+    solid. Boxes are octree-aligned, so each face test is one lookup in
+    an aligned 2D min-pool of the occupancy grid (per axis pair and size
+    class). World-boundary faces count as exposed.
+    """
+    n = 1 << height
+    occ = np.zeros((n, n, n), bool)
+    # fill occupancy per size class: scatter into an aligned pooled grid,
+    # then broadcast-assign the s^3 block (boxes are octree-aligned)
+    for s in np.unique(size):
+        blo = lo[size == s]
+        if s == 1:
+            occ[blo[:, 0], blo[:, 1], blo[:, 2]] = True
+            continue
+        k = n // s
+        g = np.zeros((k, k, k), bool)
+        c = blo // s
+        g[c[:, 0], c[:, 1], c[:, 2]] = True
+        view = occ.reshape(k, s, k, s, k, s)
+        view |= g[:, None, :, None, :, None]
+
+    def pool2(a, ax1, ax2):
+        """AND-pool a bool array by 2 along two axes (via slicing)."""
+        ix = [slice(None)] * 3
+        for ax in (ax1, ax2):
+            i0, i1 = list(ix), list(ix)
+            i0[ax] = slice(0, None, 2)
+            i1[ax] = slice(1, None, 2)
+            a = a[tuple(i0)] & a[tuple(i1)]
+        return a
+
+    # incremental mip chains: pooled over two axes, full-res on the third
+    pools = {1: (occ, occ, occ)}  # s -> (p_yz [x,Y,Z], p_xz [X,y,Z], p_xy)
+    s_max = int(size.max())
+    s = 1
+    while s < s_max:
+        p_yz, p_xz, p_xy = pools[s]
+        pools[2 * s] = (
+            pool2(p_yz, 1, 2), pool2(p_xz, 0, 2), pool2(p_xy, 0, 1),
+        )
+        s *= 2
+
+    enclosed = np.ones(len(size), bool)
+    for s in np.unique(size):
+        m = size == s
+        blo = lo[m]
+        c = blo // s  # aligned cell coords
+        p_yz, p_xz, p_xy = pools[s]
+        if s == 1:
+            cx, cy, cz = blo[:, 0], blo[:, 1], blo[:, 2]
+        else:
+            cx, cy, cz = c[:, 0], c[:, 1], c[:, 2]
+        x0, y0, z0 = blo[:, 0], blo[:, 1], blo[:, 2]
+        cov = np.ones(len(blo), bool)
+        # -x / +x faces: pool indexed [x, Y, Z]
+        for idx, valid in ((x0 - 1, x0 - 1 >= 0), (x0 + s, x0 + s <= n - 1)):
+            ok = np.zeros(len(blo), bool)
+            ii = np.clip(idx, 0, n - 1)
+            ok[valid] = p_yz[ii[valid], cy[valid] if s > 1 else y0[valid],
+                             cz[valid] if s > 1 else z0[valid]]
+            cov &= ok
+        # -y / +y faces: pool indexed [X, y, Z]
+        for idx, valid in ((y0 - 1, y0 - 1 >= 0), (y0 + s, y0 + s <= n - 1)):
+            ok = np.zeros(len(blo), bool)
+            ii = np.clip(idx, 0, n - 1)
+            ok[valid] = p_xz[cx[valid] if s > 1 else x0[valid], ii[valid],
+                             cz[valid] if s > 1 else z0[valid]]
+            cov &= ok
+        # -z / +z faces: pool indexed [X, Y, z]
+        for idx, valid in ((z0 - 1, z0 - 1 >= 0), (z0 + s, z0 + s <= n - 1)):
+            ok = np.zeros(len(blo), bool)
+            ii = np.clip(idx, 0, n - 1)
+            ok[valid] = p_xy[cx[valid] if s > 1 else x0[valid],
+                             cy[valid] if s > 1 else y0[valid], ii[valid]]
+            cov &= ok
+        enclosed[m] = cov
+    return enclosed
