@@ -70,3 +70,30 @@ def test_interactive_session(tmp_path, monkeypatch):
     assert (tmp_path / "preview.png").exists()
     assert (tmp_path / "shot.png").exists()
     assert any("pos=" in line for line in logs)
+
+
+def test_interactive_live_progressive(tmp_path, monkeypatch):
+    """Live (non-scripted) mode renders progressively while input is
+    idle — samples accumulate between polls — and edits apply within one
+    sample interval (reference behavior: 1 sample/frame continuously,
+    main.rs:164-208)."""
+    from voxtracer.app import interactive
+
+    monkeypatch.chdir(tmp_path)
+    args = build_parser().parse_args(
+        ["interact", "--log2-size", "5", "--width", "24", "--height", "16",
+         "--spp", "2", "--max-bounces", "2", "--fog-steps", "4"]
+    )
+    polls = iter([None, None, None, "look 0.05 0.02", None, None, "q"])
+    monkeypatch.setattr(interactive, "_stdin_poller",
+                        lambda: lambda: next(polls))
+    logs = []
+    interactive.run_interactive(
+        args, log=lambda *a: logs.append(" ".join(map(str, a)))
+    )
+    assert (tmp_path / "preview.png").exists()
+    # idle polls produced progressive samples (preview lines show counts
+    # and fps); after the look command the accumulator restarted
+    counts = [int(line.split()[0][1:]) for line in logs if "samples" in line]
+    assert max(counts) >= 3          # accumulated while idle
+    assert any("fps" in line for line in logs)

@@ -91,3 +91,41 @@ def test_graft_entry_dryrun():
     out = jax.jit(fn)(*args)
     assert np.isfinite(np.asarray(out)).all()
     g.dryrun_multichip(8)
+
+
+def test_renderer_devices_matches_manual_seeds():
+    """Renderer(devices=8): one sample() call accumulates 8 seeds'
+    samples, identical to summing 8 single-device renders with the same
+    seeds (the CLI's --devices path)."""
+    from voxtracer.render.driver import Renderer
+
+    n = 16
+    solid = np.zeros((n, n, n), bool)
+    solid[:, :2, :] = True
+    rgb = np.zeros((n, n, n, 3), np.float32)
+    rgb[solid] = 0.5
+    dev = from_dense(solid, rgb).serialize()
+    cam = vcam.Camera(pos=(8.0, 6.0, 8.0), yaw=0.3, pitch=0.4)
+    sun = np.array([0.3, 1.0, 0.2])
+
+    r8 = Renderer(dev, W, H, seed=11, devices=8, **KW)
+    r8.sample(cam, sun)
+    assert r8.acc.samples == 8
+
+    # same host RNG stream -> same 8 frame seeds, serial renders
+    r1 = Renderer(dev, W, H, seed=11, **KW)
+    for _ in range(8):
+        r1.sample(cam, sun)
+    assert np.allclose(np.asarray(r8.acc.buffer),
+                       np.asarray(r1.acc.buffer), rtol=1e-5, atol=1e-4)
+
+
+def test_cli_render_with_devices(tmp_path):
+    """The CLI --devices flag renders on the 8-device virtual mesh."""
+    from voxtracer.app.cli import main
+
+    out = tmp_path / "dist.png"
+    main(["render", "--log2-size", "4", "--width", "16", "--height", "8",
+          "--mode", "path", "--spp", "8", "--max-bounces", "2",
+          "--fog-steps", "8", "--devices", "8", "--out", str(out)])
+    assert out.exists()

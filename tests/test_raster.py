@@ -12,7 +12,8 @@ import jax.numpy as jnp
 import pytest
 
 from voxtracer.core import camera as vcam
-from voxtracer.kernels.raster import pack_box_attr, raster_cast
+from voxtracer.kernels.raster import (pack_box_attr, raster_cast,
+                                      raster_cast_exact)
 from voxtracer.kernels.traverse import leaf_rgb, svo_raycast
 from voxtracer.world.boxes import extract_boxes
 from voxtracer.world.svo import from_dense
@@ -25,23 +26,22 @@ def _soup_args(space):
         jnp.asarray(soup.lo),
         jnp.asarray(soup.size),
         jnp.asarray(pack_box_attr(soup)),
-    ), soup.n_big
+    )
 
 
 def _check(space, campos, yaw, pitch, W=64, H=40, graze_budget=0, **kw):
-    dev, args, n_big = _soup_args(space)
+    dev, args = _soup_args(space)
     table = jnp.asarray(dev.table.view(np.int32))
     root = np.int32(dev.root)
     cam = vcam.Camera(pos=campos, yaw=yaw, pitch=pitch)
     _, d = vcam.generate_rays(cam, W, H)
     op = np.asarray(campos, np.float32)
-    kw.setdefault("frag_budget", 2_000_000)
-    kw.setdefault("occ_frag_budget", 2_000_000)
     kw.setdefault("near_slots", 64)
-    rb = raster_cast(*args, op, cam.basis(), dev.height, W, H,
-                     n_big=n_big, **kw)
+    rb = raster_cast_exact(*args, op, cam.basis(), dev.height, W, H,
+                           table=table, root=root, **kw)
     assert not bool(rb["overflow"]), (
-        f"overflow: n_frag={int(rb['n_frag'])} n_near={int(rb['n_near'])}"
+        f"overflow: n_pair={int(rb['n_pair'])} n_near={int(rb['n_near'])} "
+        f"n_fallback={int(rb['n_fallback'])}"
     )
     rr = svo_raycast(table, root, dev.height, jnp.asarray(op), d)
     hb, hr = np.asarray(rb["hit"]), np.asarray(rr["hit"])
@@ -106,10 +106,10 @@ def test_raster_terrain_looking_down(terrain):
 
 def test_raster_behind_and_outside_culls(terrain):
     # camera above looking straight up: sky everywhere, nothing hit
-    dev, args, n_big = _soup_args(terrain)
+    dev, args = _soup_args(terrain)
     cam = vcam.Camera(pos=(32.0, 80.0, 32.0), yaw=0.0, pitch=-1.5707)
     rb = raster_cast(*args, np.asarray(cam.pos, np.float32), cam.basis(),
-                     dev.height, 32, 24, n_big=n_big, frag_budget=500_000)
+                     dev.height, 32, 24)
     assert not bool(np.asarray(rb["hit"]).any())
     assert not bool(rb["overflow"])
 
@@ -119,15 +119,15 @@ def test_raster_distance_cap(clutter):
     advisory (it can leak hits past the cap exactly like the reference
     raycast — see traverse.svo_raycast). Within the cap both must agree;
     every traversal hit the rasterizer lacks must be a leaked one."""
-    dev, args, n_big = _soup_args(clutter)
+    dev, args = _soup_args(clutter)
     table = jnp.asarray(dev.table.view(np.int32))
     root = np.int32(dev.root)
     cam = vcam.Camera(pos=(16.21, 17.13, -9.37), yaw=0.11, pitch=0.23)
     _, d = vcam.generate_rays(cam, 64, 40)
     op = np.asarray(cam.pos, np.float32)
     cap = 12.0
-    rb = raster_cast(*args, op, cam.basis(), dev.height, 64, 40,
-                     n_big=n_big, distance=cap, frag_budget=1_000_000)
+    rb = raster_cast_exact(*args, op, cam.basis(), dev.height, 64, 40,
+                           distance=cap, table=table, root=root)
     rr = svo_raycast(table, root, dev.height, jnp.asarray(op), d,
                      distance=cap)
     hb, hr = np.asarray(rb["hit"]), np.asarray(rr["hit"])

@@ -44,6 +44,9 @@ def _add_common(p):
     p.add_argument("--max-bounces", type=int, default=24)
     p.add_argument("--fog-steps", type=int, default=64)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--devices", type=int, default=None,
+                   help="shard path-traced sampling over the first N JAX "
+                        "devices (sample sharding + psum merge)")
 
 
 def _build_world(args, log=print):
@@ -80,6 +83,7 @@ def _renderer(args, space):
         max_bounces=args.max_bounces,
         fog_steps=args.fog_steps,
         seed=args.seed,
+        devices=getattr(args, "devices", None),
     )
 
 
@@ -122,13 +126,13 @@ def cmd_render(args):
             from voxtracer.world.boxes import extract_boxes
 
             soup = extract_boxes(dev)
-            print(f"box soup: {len(soup)} boxes ({soup.n_big} occluders)")
+            print(f"box soup: {len(soup)} boxes")
             t0 = time.monotonic()
             img = raster.raster_primary_frame(
                 jnp.asarray(soup.lo), jnp.asarray(soup.size),
                 jnp.asarray(raster.pack_box_attr(soup)), dev.height,
                 np.asarray(cam.pos, np.float32), cam.basis(), sun_unit,
-                args.width, args.height, n_big=soup.n_big,
+                args.width, args.height, table=table, root=root,
             )
         elif args.engine == "beam" and args.height % 8 == 0 and args.width % 8 == 0:
             from voxtracer.kernels import beam

@@ -1,7 +1,10 @@
 """Terminal interactive session — the fly-camera/editor counterpart of
 the reference's winit app (main.rs:149-309), adapted to a headless TPU
-host: a REPL drives the camera, edits blocks, and writes a progressive
-preview PNG after each command.
+host: a LIVE progressive loop renders 1 sample per tick into a preview
+PNG (the reference renders 1 sample/frame continuously,
+main.rs:164-208), shows FPS from the same 250-frame ring buffer
+(main.rs:179-189), and polls stdin without blocking so edits take
+effect within one sample interval.
 
 Command mapping (reference keys in parens):
   w/a/s/d N   move forward/left/back/right N voxels (WASD fly movement)
@@ -14,12 +17,16 @@ Command mapping (reference keys in parens):
   place       place an emissive white block on the face under the
               crosshair (right click -> [1.0; 3], main.rs:281-284)
   pose        print camera pose (Esc print, main.rs:241)
-  spp N       set preview samples per frame
+  spp N       set the preview refresh cadence (samples between writes)
   save PATH   save the current accumulation as PNG
   q           quit
 
 Picking uses the device traversal on the view-center ray — the same
-cast the reference does CPU-side (software::raycast, main.rs:273)."""
+cast the reference does CPU-side (software::raycast, main.rs:273).
+
+With ``input_fn`` given (tests), the session is scripted instead of
+live: commands are consumed back-to-back with one progressive sample
+after each."""
 
 from __future__ import annotations
 
@@ -28,12 +35,30 @@ import numpy as np
 from voxtracer.core import camera as vcam
 
 
-def run_interactive(args, input_fn=input, log=print):
+def _stdin_poller():
+    """Non-blocking stdin line poller (None = no input yet)."""
+    import select
+    import sys
+
+    def poll():
+        ready, _, _ = select.select([sys.stdin], [], [], 0.0)
+        if not ready:
+            return None
+        line = sys.stdin.readline()
+        if line == "":
+            raise EOFError
+        return line
+
+    return poll
+
+
+def run_interactive(args, input_fn=None, log=print):
     import jax.numpy as jnp
 
     from voxtracer.app.cli import _build_world, _camera
     from voxtracer.kernels.traverse import svo_raycast
     from voxtracer.render.driver import Renderer, rotate_sun
+    from voxtracer.utils.profiling import FrameTimer
 
     space = _build_world(args, log=log)
     cam = _camera(args)
@@ -44,10 +69,24 @@ def run_interactive(args, input_fn=input, log=print):
     renderer = Renderer(
         space.serialize(), args.width, args.height,
         max_bounces=args.max_bounces, fog_steps=args.fog_steps, seed=args.seed,
+        devices=getattr(args, "devices", None),
     )
-    spp = args.spp
+    refresh_every = max(args.spp, 1)
     fast = False
     preview = "preview.png"
+    scripted = input_fn is not None
+    poll = None if scripted else _stdin_poller()
+    timer = FrameTimer()
+
+    def sample_once():
+        c = vcam.Camera(pos=tuple(pos), yaw=yaw, pitch=pitch)
+        renderer.sample(c, sun)
+        timer.tick()
+
+    def write_preview():
+        renderer.save_png(preview)
+        log(f"[{renderer.acc.samples} samples | {timer.fps:.1f} fps] "
+            f"-> {preview}")
 
     def center_pick():
         basis = np.asarray(vcam.camera_basis(yaw, pitch))
@@ -68,21 +107,29 @@ def run_interactive(args, input_fn=input, log=print):
             np.asarray(r["normal"])[0].astype(np.int64),
         )
 
-    def refresh():
-        c = vcam.Camera(pos=tuple(pos), yaw=yaw, pitch=pitch)
-        for _ in range(spp):
-            renderer.sample(c, sun)
-        renderer.save_png(preview)
-        log(f"[{renderer.acc.samples} samples] -> {preview}")
-
-    refresh()
+    sample_once()
+    write_preview()
     while True:
-        try:
-            line = input_fn("> ").strip()
-        except EOFError:
-            return
+        # --- live progressive rendering until input arrives -----------
+        if scripted:
+            try:
+                line = input_fn("> ")
+            except (EOFError, StopIteration):
+                return
+        else:
+            try:
+                line = poll()
+            except EOFError:
+                return
+            if line is None:
+                sample_once()
+                if renderer.acc.samples % refresh_every == 0:
+                    write_preview()
+                continue
+
+        line = line.strip()
         if not line:
-            refresh()
+            write_preview()
             continue
         parts = line.split()
         cmd, rest = parts[0].lower(), parts[1:]
@@ -144,7 +191,8 @@ def run_interactive(args, input_fn=input, log=print):
             log(f"pos={tuple(pos)} yaw={yaw} pitch={pitch}")
             continue
         elif cmd == "spp":
-            spp = int(rest[0])
+            refresh_every = max(int(rest[0]), 1)
+            continue
         elif cmd == "save" and rest:
             renderer.save_png(rest[0])
             log(f"wrote {rest[0]}")
@@ -153,4 +201,7 @@ def run_interactive(args, input_fn=input, log=print):
             log("commands: w/a/s/d/up/down [N], look DY DP, fast, g, r, "
                 "del, place, pose, spp N, save PATH, q")
             continue
-        refresh()
+        # state changed: render one sample at the new state and refresh
+        # (the accumulator resets itself on pose/sun/world changes)
+        sample_once()
+        write_preview()

@@ -1,42 +1,38 @@
-"""Sort-based box rasterization — gather-free primary visibility.
+"""Tile-binned box rasterization — gather-free primary visibility.
 
 The per-ray SVO traversal pays one serialized table gather per descent
 step (~13 ns/row, PERF.md), capping any ray-walk design at ~1 Mrays/s.
 This engine inverts the loop: it iterates over *geometry* (the world as
-a static box soup, world/boxes.py) and resolves visibility with sorts,
-scans and scatters, which run 10-20x cheaper per element than per-step
-gathers on TPU. Pipeline (all one jit):
+a static box soup, world/boxes.py) and resolves visibility per screen
+tile with sorts and dense vector math. Pipeline (all one jit):
 
-  1. project every box's corners (dense math), conservative pixel bbox;
-  2. PHASE 1 — rasterize the size>1 boxes (the soup's ``n_big`` prefix:
-     solid cubes, the bulk under every surface) exactly: expand to 8x8
-     (tile, box) pairs, then to per-pixel fragments, exact slab test,
-     sort-based z-resolve -> a dense partial z-buffer;
-  3. occlusion bounds: max-pool that z-buffer per tile. Every phase-1
-     hit is real opaque geometry, so a tile's pooled max bounds the
-     final t of all 64 of its rays — anything provably farther is
-     invisible;
-  4. PHASE 2 — rasterize the unit boxes (the surface shell) the same
-     way, but cull (tile, box) pairs whose camera-distance lower bound
-     exceeds their tile's occlusion bound. This removes the hidden-
-     hillside shell that otherwise dominates fragments (~15x overdraw
-     measured at 1024^3). Truncating phase-1 only weakens the bound,
-     never correctness;
-  5. per fragment the slab test uses the traversal's own mirrored
-     arithmetic (same planes, same f32 ops), so hits are bit-identical
-     to kernels/traverse.svo_raycast away from degenerate edge-grazes;
-  6. z-resolve: sort fragments by (pixel, t); winners (first of each
-     pixel segment, at most one per pixel) are compacted by a second
-     sort and scattered densely with two 1D scatters (a row-scatter over
-     the full fragment array measured ~6x slower);
-  7. boxes that are unprojectable (corners behind the camera) or cover
+  1. project every box's corners (dense math), conservative pixel bbox,
+     frustum cull;
+  2. expand boxes to 8x8-tile (tile, box) pairs; ONE 2-key sort by
+     (tile, camera-distance lower bound) + a cumulative-max rank scan
+     bins the K nearest candidate boxes per tile — occlusion culling
+     falls out of the K-truncation (hidden hillsides and buried cubes
+     rank behind the surface and are dropped);
+  3. dense resolve: a K-step lax.scan tests all 64 rays of every tile
+     against one candidate box per step — pure VPU math, in-register
+     z-min, no fragment arrays, no data-dependent budgets. The slab test
+     uses the traversal's own mirrored arithmetic (same planes, same
+     f32 ops), so hits are bit-identical to
+     kernels/traverse.svo_raycast away from degenerate edge-grazes;
+  4. completeness: a tile is provably done unless candidates were
+     dropped nearer than its farthest resolved t. Incomplete tiles
+     (deep silhouette stacks; at most ``fallback_tiles`` per frame) are
+     re-resolved exactly by a compacted per-ray ``svo_raycast`` when the
+     node table is supplied;
+  5. boxes that are unprojectable (corners behind the camera) or cover
      more than ``near_cap`` pixels take a dense full-screen pass instead
      (a lax.scan over ``near_slots`` boxes).
 
-Per-frame cost is O(boxes + pairs + fragments), independent of tree
-depth. Behavioral reference for hit semantics: raytrace.wgsl:68-180
-(entry-t from plane crossings, t==0 skip, entry-face normals, distance
-cap — strict here, advisory there; see traverse.svo_raycast).
+Per-frame cost is O(boxes + pairs + tiles*K), independent of tree depth
+and of fragment counts. Behavioral reference for hit semantics:
+raytrace.wgsl:68-180 (entry-t from plane crossings, t==0 skip,
+entry-face normals, distance cap — strict here, advisory there; see
+traverse.svo_raycast).
 """
 
 from __future__ import annotations
@@ -47,10 +43,10 @@ import jax
 import jax.numpy as jnp
 
 from voxtracer.core import camera as vcam
-from voxtracer.kernels.traverse import EPS, FAR
+from voxtracer.kernels.traverse import EPS, FAR, leaf_rgb, svo_raycast
 
 NEAR_EPS = 1.0e-4  # camera-space z below which corners are unprojectable
-TILE = 8  # coarse-raster tile edge (pixels)
+TILE = 8  # screen tile edge (pixels)
 
 
 def _ray_dirs_for_pixels(px, py, basis, width, height):
@@ -88,8 +84,8 @@ def _mirrored_slab(lo, hi, cam_pos, d, tree_height: int, distance):
 
 
 @partial(jax.jit, static_argnames=(
-    "tree_height", "n_big", "width_px", "height_px", "frag_budget",
-    "occ_frag_budget", "near_cap", "near_slots",
+    "tree_height", "width_px", "height_px", "cand_k", "fallback_tiles",
+    "near_cap", "near_slots",
 ))
 def raster_cast(
     box_lo,
@@ -100,35 +96,38 @@ def raster_cast(
     tree_height: int,
     width_px: int,
     height_px: int,
-    n_big: int = 0,
     distance=FAR,
-    frag_budget: int | None = None,
-    occ_frag_budget: int | None = None,
-    near_cap: int = 65536,
+    cand_k: int = 24,
+    fallback_tiles: int = 512,
+    near_cap: int = 16384,
     near_slots: int = 64,
 ):
     """Rasterize the box soup for one camera; per-pixel nearest hit.
 
     Args:
       box_lo: int32[M, 3] box low corners; box_size: int32[M, 3] per-axis
-        extents, ordered volume-descending (BoxSoup order): the first
-        ``n_big`` entries form the phase-1 occluder set.
+        extents (world.boxes.BoxSoup arrays; extents must be small for
+        tight distance bounds — the soup caps them).
       box_attr: float32[M, 4] per-box [leaf_id_bits, r, g, b] — leaf slot
         id bitcast to f32 in column 0, albedo in 1..4 (build via
         ``pack_box_attr``).
       cam_pos/cam_basis: camera (pos (3,), basis (3,3)).
       distance: scalar far cap (strict, unlike the traversal's advisory
         cap — see traverse.svo_raycast).
-      frag_budget / occ_frag_budget: static fragment-array lengths for
-        phase 2 / phase 1 (defaults 3 and 2 x pixels); exceeding either
-        sets ``overflow`` and the result may be incomplete.
+      cand_k: candidate boxes kept per tile (nearest-first).
+      fallback_tiles: static capacity of the incomplete-tile list
+        returned for the exact per-ray fallback (``apply_fallback`` /
+        ``raster_cast_exact``); exceeding it sets ``overflow``.
       near_cap/near_slots: boxes covering > near_cap pixels (or with
         corners behind the camera) take the dense path; at most
         near_slots of them per frame (excess sets ``overflow``).
 
     Returns dict: hit (H,W) bool, t (H,W) f32, normal (H,W,3), node (H,W)
     i32 leaf slot (-1 miss), rgb (H,W,3), voxel (H,W,3) i32, overflow ()
-    bool, n_frag/n_pair/n_near () i32 (demand vs the static budgets).
+    bool, n_pair/n_near/n_fallback () i32 demand counters, and
+    fb_tiles/fb_valid — tiles whose result is not provably complete
+    (resolve them with ``apply_fallback`` for exactness; without it they
+    may show a farther surface than the true nearest).
     """
     W, H = width_px, height_px
     P = W * H
@@ -136,9 +135,9 @@ def raster_cast(
     TH = -(-H // TILE)
     NT = TW * TH
     M = box_lo.shape[0]
-    assert 0 <= n_big <= M
-    F2 = frag_budget if frag_budget is not None else 3 * P
-    F1 = occ_frag_budget if occ_frag_budget is not None else 2 * P
+    K = cand_k
+    NFB = min(fallback_tiles, NT)
+    near_slots = min(near_slots, M) if M else 1
     cam_pos = jnp.asarray(cam_pos, jnp.float32)
     basis = jnp.asarray(cam_basis, jnp.float32)
 
@@ -203,7 +202,7 @@ def raster_cast(
 
     # camera->box distance lower bound: for unit-direction rays t equals
     # euclidean distance, so the point-box distance bounds any ray's
-    # entry t from below (used for the tile occlusion test).
+    # entry t from below (drives the per-tile nearest-K ordering).
     clamped = jnp.clip(cam_pos, lo_f, hi_f)
     dmin_b = jnp.linalg.norm(clamped - cam_pos, axis=-1)
 
@@ -232,148 +231,115 @@ def raster_cast(
         near_step, init, jnp.arange(near_slots)
     )
 
-    def raster_pass(sl, F, tile_bound):
-        """Rasterize boxes[sl] -> dense (t, payload) + demand counters.
+    # ---- (tile, box) pairs ------------------------------------------------
+    tx0 = x0 // TILE
+    tx1 = x1 // TILE
+    ty0 = y0 // TILE
+    ty1 = y1 // TILE
+    tw = tx1 - tx0 + 1
+    tile_count = jnp.where(usable, tw * (ty1 - ty0 + 1), 0)
+    t_off = jnp.cumsum(tile_count)
+    n_pair = t_off[-1]
+    # pair demand <= boxes (>=1 tile each, ~1.5 at sub-tile size) + bbox
+    # area spread over tiles + slack
+    PAIRS = max(2 * M + 8 * NT, 64)
+    powner = jnp.repeat(
+        jnp.arange(M, dtype=jnp.int32), tile_count, total_repeat_length=PAIRS
+    )
+    col = lambda a: a[:, None].astype(jnp.float32)
+    pair_attr = jnp.concatenate(
+        [col(t_off - tile_count), col(tx0), col(ty0), col(tw),
+         dmin_b[:, None]],
+        axis=1,
+    )  # (M, 5)
+    pa = pair_attr[powner]
+    kid = jnp.arange(PAIRS, dtype=jnp.int32)
+    pvalid = kid < n_pair
+    plocal = kid - pa[:, 0].astype(jnp.int32)
+    ptw = jnp.maximum(pa[:, 3].astype(jnp.int32), 1)
+    pty = pa[:, 2].astype(jnp.int32) + plocal // ptw
+    ptx = pa[:, 1].astype(jnp.int32) + plocal % ptw
+    ptile = jnp.where(pvalid, pty * TW + ptx, NT)
+    pdmin = jnp.where(pvalid, pa[:, 4], jnp.float32(jnp.inf))
 
-        tile_bound: optional (NT+1,) per-tile occlusion bound; (tile,
-        box) pairs with dmin > bound are culled before fragment
-        expansion."""
-        Mp = sl.stop - sl.start
-        base = sl.start
-        # boxes straddle ~1.5 tiles on average at sub-tile projected size
-        PAIRS = max(Mp + Mp // 2 + 4 * NT, 16)
-        tx0 = x0[sl] // TILE
-        tx1 = x1[sl] // TILE
-        ty0 = y0[sl] // TILE
-        ty1 = y1[sl] // TILE
-        tw = tx1 - tx0 + 1
-        tile_count = jnp.where(usable[sl], tw * (ty1 - ty0 + 1), 0)
-        t_off = jnp.cumsum(tile_count)
-        n_pair = t_off[-1]
-        powner = jnp.repeat(
-            jnp.arange(Mp, dtype=jnp.int32), tile_count,
-            total_repeat_length=PAIRS,
+    # ---- nearest-K candidates per tile -------------------------------------
+    stile, sdmin, sowner = jax.lax.sort((ptile, pdmin, powner), num_keys=2)
+    first = jnp.concatenate([jnp.ones(1, bool), stile[1:] != stile[:-1]])
+    seg_start = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(first, kid, -1)
+    )
+    rank = kid - seg_start
+    keep = (stile < NT) & (rank < K)
+    cand = jnp.full(NT * K + 1, -1, jnp.int32).at[
+        jnp.where(keep, stile * K + rank, NT * K)
+    ].set(sowner, mode="drop")[:NT * K].reshape(NT, K)
+    # nearest dropped candidate per tile (inf = nothing dropped): if it
+    # lies nearer than the tile's farthest resolved t, the tile is not
+    # provably complete and takes the exact fallback.
+    dropped = (stile < NT) & (rank >= K)
+    drop_dmin = jnp.full(NT + 1, jnp.inf, jnp.float32).at[
+        jnp.where(dropped, stile, NT)
+    ].min(sdmin, mode="drop")[:NT]
+
+    # ---- dense per-tile resolve --------------------------------------------
+    # pixel dirs tiled: (NT, 64, 3); partial tiles padded with clamped
+    # pixels (their results are discarded on reassembly)
+    WP, HP = TW * TILE, TH * TILE
+    pyp, pxp = jnp.meshgrid(
+        jnp.arange(HP, dtype=jnp.int32), jnp.arange(WP, dtype=jnp.int32),
+        indexing="ij",
+    )
+    pix_ok = (pxp < W) & (pyp < H)
+    d_pad = _ray_dirs_for_pixels(
+        jnp.minimum(pxp, W - 1), jnp.minimum(pyp, H - 1), basis, W, H
+    )
+    tile_of = lambda a: a.reshape(TH, TILE, TW, TILE, -1).transpose(
+        0, 2, 1, 3, 4
+    ).reshape(NT, TILE * TILE, -1)
+    d_t = tile_of(d_pad)  # (NT, 64, 3)
+    ok_t = tile_of(pix_ok[..., None])[..., 0]  # (NT, 64)
+
+    cand_geom = jnp.concatenate([lo_f, size_f], axis=1)  # (M, 6)
+
+    def cand_step(carry, ck):
+        bt, bpl = carry
+        g = cand_geom[jnp.clip(ck, 0, None)]  # (NT, 6)
+        t, axis, hit = _mirrored_slab(
+            g[:, None, 0:3], g[:, None, 0:3] + g[:, None, 3:6],
+            cam_pos, d_t, tree_height, distance,
         )
-        # one consolidated row per box: gathers dominate at this scale,
-        # so each expansion stage does exactly ONE row gather.
-        col = lambda a: a[:, None].astype(jnp.float32)
-        pair_attr = jnp.concatenate(
-            [
-                col(t_off - tile_count), col(tx0), col(ty0), col(tw),
-                col(x0[sl]), col(x1[sl]), col(y0[sl]), col(y1[sl]),
-                dmin_b[sl][:, None],
-                lo_f[sl], size_f[sl],
-            ],
-            axis=1,
-        )  # (Mp, 15)
-        pa = pair_attr[powner]
-        kid = jnp.arange(PAIRS, dtype=jnp.int32)
-        pvalid = kid < n_pair
-        plocal = kid - pa[:, 0].astype(jnp.int32)
-        ptw = jnp.maximum(pa[:, 3].astype(jnp.int32), 1)
-        pty = pa[:, 2].astype(jnp.int32) + plocal // ptw
-        ptx = pa[:, 1].astype(jnp.int32) + plocal % ptw
-        ptile = jnp.where(pvalid, pty * TW + ptx, NT)
-        keep = pvalid
-        if tile_bound is not None:
-            keep = keep & (pa[:, 8] <= tile_bound[ptile])
+        t = jnp.where((ck >= 0)[:, None] & hit, t, jnp.float32(jnp.inf))
+        pl = (ck[:, None] << 2) | axis
+        better = t < bt
+        return (jnp.where(better, t, bt), jnp.where(better, pl, bpl)), None
 
-        # fragment rect = pixel bbox clipped to the tile
-        tpx0 = ptx * TILE
-        tpy0 = pty * TILE
-        rx0 = jnp.maximum(pa[:, 4].astype(jnp.int32), tpx0)
-        rx1 = jnp.minimum(
-            jnp.minimum(pa[:, 5].astype(jnp.int32), tpx0 + TILE - 1), W - 1
-        )
-        ry0 = jnp.maximum(pa[:, 6].astype(jnp.int32), tpy0)
-        ry1 = jnp.minimum(
-            jnp.minimum(pa[:, 7].astype(jnp.int32), tpy0 + TILE - 1), H - 1
-        )
-        rw = rx1 - rx0 + 1
-        rh = ry1 - ry0 + 1
-        fcount = jnp.where(keep & (rw > 0) & (rh > 0), rw * rh, 0)
-        f_off = jnp.cumsum(fcount)
-        n_frag = f_off[-1]
-        fowner = jnp.repeat(
-            jnp.arange(PAIRS, dtype=jnp.int32), fcount,
-            total_repeat_length=F,
-        )
-        frag_attr = jnp.concatenate(
-            [
-                col(f_off - fcount), col(rx0), col(ry0), col(rw),
-                pa[:, 9:15],  # box lo (3) + size (3)
-                col(powner + base),
-            ],
-            axis=1,
-        )  # (PAIRS, 11)
-        fa = frag_attr[fowner]  # (F, 11) — the one fragment-stage gather
-        fid = jnp.arange(F, dtype=jnp.int32)
-        fvalid = fid < n_frag
-        flocal = fid - fa[:, 0].astype(jnp.int32)
-        frw = jnp.maximum(fa[:, 3].astype(jnp.int32), 1)
-        fpy = fa[:, 2].astype(jnp.int32) + flocal // frw
-        fpx = fa[:, 1].astype(jnp.int32) + flocal % frw
-        fbox = fa[:, 10].astype(jnp.int32)  # global box index
-        d_f = _ray_dirs_for_pixels(fpx, fpy, basis, W, H)  # (F, 3)
-        flo = fa[:, 4:7]
-        fhi = flo + fa[:, 7:10]
-        t_f, axis_f, hit_f = _mirrored_slab(flo, fhi, cam_pos, d_f,
-                                            tree_height, distance)
-        t_f = jnp.where(fvalid & hit_f, t_f, jnp.float32(jnp.inf))
-        # invalid/budget-padding fragments sort to the sentinel pixel
-        pid = jnp.where(fvalid, fpy * W + fpx, P)
-        payload = (fbox << 2) | axis_f
+    init = (
+        jnp.full((NT, TILE * TILE), jnp.inf, jnp.float32),
+        jnp.full((NT, TILE * TILE), -1, jnp.int32),
+    )
+    (tb, plb), _ = jax.lax.scan(
+        cand_step, init, cand.T.reshape(K, NT)
+    )
 
-        # z-resolve: sort by (pixel, t); winner = first of each pixel
-        # segment; compact winners (<= P+1) with a second sort; two 1D
-        # scatters produce the dense buffers.
-        spid, st, spl = jax.lax.sort((pid, t_f, payload), num_keys=2)
-        first = jnp.concatenate([jnp.ones(1, bool), spid[1:] != spid[:-1]])
-        first = first & (spid < P) & jnp.isfinite(st)
-        ckey = jnp.where(first, spid, P)
-        ckey, ct, cpl = jax.lax.sort((ckey, st, spl), num_keys=1)
-        nw = min(P + 1, F)
-        ckey, ct, cpl = ckey[:nw], ct[:nw], cpl[:nw]
-        dt = jnp.full(P + 1, jnp.inf, jnp.float32).at[ckey].set(
-            ct, mode="drop"
-        )[:P]
-        dpl = jnp.full(P + 1, -1, jnp.int32).at[ckey].set(
-            cpl, mode="drop"
-        )[:P]
-        return dt, dpl, n_frag, n_pair, n_pair > PAIRS
+    # ---- completeness ---------------------------------------------------
+    # A tile is provably resolved unless a candidate was dropped nearer
+    # than its farthest resolved t; such tiles are listed for the exact
+    # per-ray fallback (apply_fallback — a separate jit so this program
+    # stays free of the traversal's while_loop).
+    tile_max_t = jnp.max(jnp.where(ok_t, tb, -jnp.inf), axis=1)
+    incomplete = jnp.isfinite(drop_dmin) & (drop_dmin < tile_max_t)
+    n_fb = jnp.sum(incomplete.astype(jnp.int32))
+    _, fb_tiles = jax.lax.top_k(incomplete.astype(jnp.int32), NFB)
+    fb_valid = incomplete[fb_tiles]
 
-    inf_t = jnp.full(P, jnp.inf, jnp.float32)
-    neg_pl = jnp.full(P, -1, jnp.int32)
+    # ---- reassemble dense frame ---------------------------------------------
+    def untile(a):
+        return a.reshape(TH, TW, TILE, TILE).transpose(0, 2, 1, 3).reshape(
+            HP, WP
+        )[:H, :W].reshape(P)
 
-    # ---- phase 1: size>1 occluders --------------------------------------
-    if n_big > 0:
-        t1, pl1, nf1, np1, pov1 = raster_pass(slice(0, n_big), F1, None)
-        # per-tile occlusion bound: the pooled max of real opaque hits
-        # bounds the final t of every ray in the tile (misses pool to inf
-        # and disable culling for that tile).
-        padded = jnp.full((TH * TILE, TW * TILE), jnp.inf, jnp.float32)
-        padded = padded.at[:H, :W].set(t1.reshape(H, W))
-        tile_bound = padded.reshape(TH, TILE, TW, TILE).max(axis=(1, 3))
-        tile_bound = jnp.concatenate(
-            [tile_bound.reshape(NT), jnp.full(1, jnp.inf, jnp.float32)]
-        )
-    else:
-        t1, pl1, nf1, np1, pov1 = (inf_t, neg_pl, jnp.int32(0),
-                                   jnp.int32(0), jnp.bool_(False))
-        tile_bound = None
-
-    # ---- phase 2: unit shell, occlusion-culled ---------------------------
-    if n_big < M:
-        t2, pl2, nf2, np2, pov2 = raster_pass(slice(n_big, M), F2,
-                                              tile_bound)
-    else:
-        t2, pl2, nf2, np2, pov2 = (inf_t, neg_pl, jnp.int32(0),
-                                   jnp.int32(0), jnp.bool_(False))
-
-    # ---- merge phases + dense-near result --------------------------------
-    use2 = t2 < t1
-    t_px = jnp.where(use2, t2, t1)
-    pl_px = jnp.where(use2, pl2, pl1)
+    t_px = untile(tb)
+    pl_px = untile(plb)
     use_near = near_t < t_px
     t_px = jnp.where(use_near, near_t, t_px)
     pl_px = jnp.where(use_near, near_pl, pl_px)
@@ -415,10 +381,8 @@ def raster_cast(
     )
     voxel = jnp.where(hit_px[:, None], voxel, 0)
 
-    overflow = (
-        (nf1 > F1) | (nf2 > F2) | pov1 | pov2 | (n_near > near_slots)
-    )
     t_out = jnp.where(hit_px, t_px, 0.0)
+    overflow = (n_pair > PAIRS) | (n_near > near_slots) | (n_fb > NFB)
     shp = (H, W)
     return dict(
         hit=hit_px.reshape(shp),
@@ -428,10 +392,87 @@ def raster_cast(
         rgb=rgb.reshape(shp + (3,)),
         voxel=voxel.reshape(shp + (3,)),
         overflow=overflow,
-        n_frag=nf1 + nf2,
-        n_pair=np1 + np2,
+        n_pair=n_pair,
         n_near=n_near,
+        n_fallback=n_fb,
+        fb_tiles=fb_tiles,
+        fb_valid=fb_valid,
     )
+
+
+@partial(jax.jit, static_argnames=("tree_height", "width_px", "height_px"))
+def apply_fallback(
+    res, table, root, tree_height: int, cam_pos, cam_basis,
+    width_px: int, height_px: int, distance=FAR,
+):
+    """Exact per-ray re-resolve of the tiles raster_cast flagged as not
+    provably complete, merged into its result. Its own jit so the
+    traversal's while_loop never inflates the raster program's compile.
+    """
+    W, H = width_px, height_px
+    P = W * H
+    TW = -(-W // TILE)
+    fb_tiles = res["fb_tiles"]
+    fb_valid = res["fb_valid"]
+    NFB = fb_tiles.shape[0]
+    cam_pos = jnp.asarray(cam_pos, jnp.float32)
+    basis = jnp.asarray(cam_basis, jnp.float32)
+
+    fty = fb_tiles // TW
+    ftx = fb_tiles - fty * TW
+    lane = jnp.arange(TILE * TILE, dtype=jnp.int32)[None, :]
+    fpx = ftx[:, None] * TILE + lane % TILE
+    fpy = fty[:, None] * TILE + lane // TILE
+    fd = _ray_dirs_for_pixels(
+        jnp.minimum(fpx, W - 1), jnp.minimum(fpy, H - 1), basis, W, H
+    )
+    fr = svo_raycast(
+        table, root, tree_height, cam_pos, fd, distance=distance,
+        active=jnp.broadcast_to(fb_valid[:, None], fpx.shape),
+    )
+    # the traversal's cap is advisory — enforce it strictly here
+    fb_hit = fr["hit"] & (fr["t"] <= distance) & fb_valid[:, None]
+    fpid = jnp.where(
+        fb_valid[:, None] & (fpx < W) & (fpy < H), fpy * W + fpx, P
+    ).reshape(-1)
+
+    def put(dst, src):
+        flat = dst.reshape((P,) + dst.shape[2:])
+        src = src.reshape((NFB * TILE * TILE,) + src.shape[2:])
+        padded = jnp.concatenate(
+            [flat, jnp.zeros((1,) + flat.shape[1:], flat.dtype)]
+        )
+        return padded.at[fpid].set(src, mode="drop")[:P].reshape(dst.shape)
+
+    out = dict(res)
+    out["hit"] = put(res["hit"], fb_hit)
+    out["t"] = put(res["t"], jnp.where(fb_hit, fr["t"], 0.0))
+    out["normal"] = put(res["normal"], fr["normal"] * fb_hit[..., None])
+    out["node"] = put(res["node"], jnp.where(fb_hit, fr["node"], -1))
+    out["rgb"] = put(res["rgb"], leaf_rgb(table, fr["node"])
+                     * fb_hit[..., None])
+    out["voxel"] = put(res["voxel"], fr["voxel"] * fb_hit[..., None])
+    return out
+
+
+def raster_cast_exact(
+    box_lo, box_size, box_attr, cam_pos, cam_basis, tree_height: int,
+    width_px: int, height_px: int, table=None, root=None, distance=FAR,
+    **kw,
+):
+    """raster_cast + exact per-ray fallback on incomplete tiles (two
+    device programs; pixel-parity with svo_raycast when the node table is
+    supplied)."""
+    res = raster_cast(
+        box_lo, box_size, box_attr, cam_pos, cam_basis, tree_height,
+        width_px, height_px, distance=distance, **kw,
+    )
+    if table is not None and root is not None:
+        res = apply_fallback(
+            res, table, root, tree_height, cam_pos, cam_basis,
+            width_px, height_px, distance=distance,
+        )
+    return res
 
 
 def pack_box_attr(soup):
@@ -445,13 +486,14 @@ def pack_box_attr(soup):
 
 def raster_primary_frame(
     box_lo, box_size, box_attr, tree_height: int, cam_pos, cam_basis,
-    sun, width_px: int, height_px: int, **kw,
+    sun, width_px: int, height_px: int, table=None, root=None, **kw,
 ):
     """Shaded primary-visibility frame (software.rs:260-276 shading),
-    rasterizer edition — same output as shade.svo_primary_frame."""
-    r = raster_cast(
+    rasterizer edition — same output as shade.svo_primary_frame. Pass
+    table/root to resolve incomplete tiles exactly."""
+    r = raster_cast_exact(
         box_lo, box_size, box_attr, cam_pos, cam_basis, tree_height,
-        width_px, height_px, **kw,
+        width_px, height_px, table=table, root=root, **kw,
     )
     lighting = jnp.sum(sun * r["normal"], axis=-1) / 2.0 + 1.0
     return r["rgb"] * lighting[..., None] * r["hit"][..., None]

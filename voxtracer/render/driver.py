@@ -78,7 +78,13 @@ class Renderer:
         fog_steps: int = 64,
         seed: int | None = None,
         row_tiles: int | None = None,
+        devices: int | None = None,
     ):
+        """``devices``: shard rendering over the first N JAX devices
+        (sample sharding: each chip traces the whole frame with its own
+        seed, one psum merges the batch — dist/shard.py). None/1 =
+        single-device. Each ``sample()`` call then accumulates N
+        samples."""
         self.table = jnp.asarray(device_svo.table.view(np.int32))
         self.root = np.int32(
             device_svo.root if device_svo.root != 0xFFFFFFFF else -1
@@ -98,6 +104,8 @@ class Renderer:
             row_tiles = max(b for b in range(1, min(height, 32) + 1)
                             if height % b == 0)
         self.row_tiles = row_tiles
+        self.devices = devices if devices and devices > 1 else None
+        self._dist_step = None  # built lazily (and rebuilt after edits)
 
     def update_space(self, device_svo):
         """Re-upload the node table after world edits (fragment.rs:274-313)."""
@@ -107,13 +115,44 @@ class Renderer:
         )
         self.tree_height = device_svo.height
         self.solid_leaf = device_svo.solid_leaf
+        self._dist_step = None  # world changed: rebuild the sharded step
         self.acc.invalidate()
 
+    def _dist(self):
+        """The sample-sharded multi-chip step (built lazily)."""
+        if self._dist_step is None:
+            from voxtracer.dist.mesh import make_mesh
+            from voxtracer.dist.shard import (replicate_world,
+                                              sample_sharded_step)
+
+            mesh = make_mesh(self.devices)
+            self.table, self.lut = replicate_world(mesh, self.table,
+                                                   self.lut)
+            self._dist_step = sample_sharded_step(
+                mesh, self.table, self.root, self.tree_height, self.lut,
+                self.width, self.height, max_bounces=self.max_bounces,
+                fog_steps=self.fog_steps,
+            )
+        return self._dist_step
+
     def sample(self, cam: vcam.Camera, sun: np.ndarray):
-        """One progressive sample (1 spectral path/pixel)."""
+        """One progressive step: 1 spectral path/pixel per device (N
+        samples per call when ``devices=N``)."""
         sun = np.asarray(sun, np.float64)
         sun_unit = (sun / np.linalg.norm(sun)).astype(np.float32)
         self.acc.begin_sample(cam.pos, cam.yaw, cam.pitch, sun_unit)
+        if self.devices:
+            seeds = np.stack(
+                [vrng.host_frame_seed(self.host_rng)
+                 for _ in range(self.devices)]
+            )
+            total = self._dist()(
+                jnp.asarray(seeds), np.asarray(cam.pos, np.float32),
+                cam.basis(), jnp.asarray(sun_unit),
+            )
+            self.acc.buffer = self.acc.buffer + total
+            self.acc.samples += self.devices
+            return
         seed = vrng.host_frame_seed(self.host_rng)
         sample = render_sample(
             self.table,
@@ -155,6 +194,10 @@ class Renderer:
     def render(self, cam, sun, spp: int, batch: int = 8):
         done = 0
         while done < spp:
+            if self.devices:
+                self.sample(cam, sun)  # one step = `devices` samples
+                done += self.devices
+                continue
             k = min(batch, spp - done)
             if k == 1:
                 self.sample(cam, sun)

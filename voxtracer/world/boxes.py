@@ -29,25 +29,24 @@ from voxtracer.world.svo import EMPTY, DeviceSvo
 class BoxSoup:
     """World-space box instances, host-side (upload via jnp.asarray).
 
-    Boxes are ordered volume-descending: the first ``n_big`` entries have
-    volume >= 8 (solid cubes and long strips — the rasterizer's phase-1
-    occluder set). Unit voxels are greedily merged into same-leaf runs
-    along x ("strips"), which is exact: the union of same-leaf collinear
-    units is itself a box of uniform color, so entry t / normal / albedo
-    match the per-voxel result."""
+    Unit voxels are greedily merged into same-leaf runs along x
+    ("strips"), which is exact: the union of same-leaf collinear units is
+    itself a box of uniform color, so entry t / normal / albedo match the
+    per-voxel result. Box extents are bounded (max_size / max_strip) so
+    every box has a tight camera-distance bound for occlusion culling."""
 
     lo: np.ndarray  # int32[M, 3] low corner (voxel coords)
     size: np.ndarray  # int32[M, 3] per-axis extents
     leaf: np.ndarray  # int32[M] leaf slot id (color source / hit node)
     rgb: np.ndarray  # float32[M, 3] albedo (decoded from the leaf row)
     height: int  # tree height (world edge = 2^height)
-    n_big: int = 0  # count of volume>=8 boxes (ordered first)
 
     def __len__(self):
         return len(self.size)
 
 
-def extract_boxes(dev: DeviceSvo, cull_enclosed: bool = True) -> BoxSoup:
+def extract_boxes(dev: DeviceSvo, cull_enclosed: bool = True,
+                  max_size: int = 8, max_strip: int = 16) -> BoxSoup:
     """Enumerate leaf / solid-cube instances of a serialized SVO.
 
     ``solid_leaf[n] >= 0`` marks a subtree that is entirely solid with one
@@ -62,6 +61,12 @@ def extract_boxes(dev: DeviceSvo, cull_enclosed: bool = True) -> BoxSoup:
     overdraw measured at 1024^3). The only behavioral difference is for
     rays *starting inside solid matter* (after the t==0 skip), which the
     reference renders as garbage anyway.
+
+    ``max_size`` splits larger solid cubes into sub-cubes before the
+    enclosure cull (which then drops their interiors, leaving a shell)
+    and ``max_strip`` caps merged-run length: a box spanning a huge depth
+    range carries a uselessly small camera-distance lower bound, which
+    defeats the rasterizer's per-tile occlusion culling.
     """
     assert dev.solid_leaf is not None, "box soup needs solid_leaf"
     table = dev.table
@@ -108,13 +113,35 @@ def extract_boxes(dev: DeviceSvo, cull_enclosed: bool = True) -> BoxSoup:
     lo = (np.concatenate(out_lo) if out_lo else np.zeros((0, 3))).astype(np.int32)
     size = (np.concatenate(out_sz) if out_sz else np.zeros(0)).astype(np.int32)
     leaf = (np.concatenate(out_leaf) if out_leaf else np.zeros(0)).astype(np.int32)
+    # split big solid cubes into <= max_size sub-cubes (the enclosure
+    # cull below drops the interior subs, leaving a shell)
+    big = size > max_size
+    if big.any():
+        parts = [lo[~big]]
+        sizes = [size[~big]]
+        leaves = [leaf[~big]]
+        for s in np.unique(size[big]):
+            m = big & (size == s)
+            k = s // max_size
+            offs = np.stack(
+                np.meshgrid(*[np.arange(k) * max_size] * 3, indexing="ij"),
+                axis=-1,
+            ).reshape(-1, 3)
+            parts.append((lo[m][:, None, :] + offs[None]).reshape(-1, 3))
+            sizes.append(np.full(int(m.sum()) * len(offs), max_size,
+                                 size.dtype))
+            leaves.append(np.repeat(leaf[m], len(offs)))
+        lo = np.concatenate(parts)
+        size = np.concatenate(sizes)
+        leaf = np.concatenate(leaves)
+
     if cull_enclosed and len(size):
         keep = ~_enclosed_mask(lo, size, H)
         lo, size, leaf = lo[keep], size[keep], leaf[keep]
 
     # merge unit voxels into same-leaf runs along x (strips)
     unit = size == 1
-    lo_u, leaf_u = _merge_strips(lo[unit], leaf[unit])
+    lo_u, leaf_u = _merge_strips(lo[unit], leaf[unit], max_strip)
     lo3 = np.concatenate([lo[~unit], lo_u[:, :3]])
     size3 = np.concatenate(
         [np.repeat(size[~unit][:, None], 3, axis=1),
@@ -123,21 +150,17 @@ def extract_boxes(dev: DeviceSvo, cull_enclosed: bool = True) -> BoxSoup:
     )
     leaf = np.concatenate([leaf[~unit], leaf_u])
 
-    vol = size3.prod(axis=1)
-    order = np.argsort(-vol, kind="stable")  # volume-descending
-    lo3, size3, leaf = lo3[order], size3[order], leaf[order]
     rgb = (
         np.ascontiguousarray(table[leaf.astype(np.int64), :3]).view(np.float32)
         if len(leaf)
         else np.zeros((0, 3), np.float32)
     )
     return BoxSoup(lo=lo3.astype(np.int32), size=size3.astype(np.int32),
-                   leaf=leaf.astype(np.int32), rgb=rgb, height=H,
-                   n_big=int((vol[order] >= 8).sum()))
+                   leaf=leaf.astype(np.int32), rgb=rgb, height=H)
 
 
-def _merge_strips(lo: np.ndarray, leaf: np.ndarray):
-    """Merge unit boxes into maximal same-leaf runs along x.
+def _merge_strips(lo: np.ndarray, leaf: np.ndarray, max_len: int = 16):
+    """Merge unit boxes into same-leaf runs along x, capped at max_len.
 
     Returns (int64[K, 4] of [x, y, z, len], int64[K] leaf)."""
     if len(lo) == 0:
@@ -149,6 +172,9 @@ def _merge_strips(lo: np.ndarray, leaf: np.ndarray):
     prev_adjacent[1:] = (
         (s[1:, 1] == s[:-1, 1]) & (s[1:, 2] == s[:-1, 2])
         & (s[1:, 0] == s[:-1, 0] + 1) & (sl[1:] == sl[:-1])
+        # break runs at aligned max_len boundaries (caps strip length so
+        # its camera-distance bound stays useful for occlusion culling)
+        & (s[1:, 0] % max_len != 0)
     )
     starts = np.nonzero(~prev_adjacent)[0]
     ends = np.r_[starts[1:], len(s)]
