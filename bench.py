@@ -87,7 +87,34 @@ def main():
 
     results = {}
 
-    # --- headline: primary-ray frame at 1080p, beam engine ---
+    # --- headline candidate: gather-free box rasterizer ---
+    try:
+        from voxtracer.kernels import raster as raster_mod
+        from voxtracer.world.boxes import extract_boxes
+
+        t0 = time.monotonic()
+        soup = extract_boxes(dev)
+        log(f"box soup: {len(soup)} boxes in {time.monotonic() - t0:.1f}s")
+        box_lo = jnp.asarray(soup.lo)
+        box_size = jnp.asarray(soup.size)
+        box_attr = jnp.asarray(raster_mod.pack_box_attr(soup))
+        basis = cam.basis()
+
+        def f_raster(_):
+            r = raster_mod.raster_cast_exact(
+                box_lo, box_size, box_attr, op, basis, dev.height,
+                W, H, table=table, root=root,
+            )
+            return r["t"]
+
+        dt, _ = _time(f_raster, 0)
+        results["raster"] = W * H / dt / 1e6
+        log(f"raster frame {dt * 1e3:.1f} ms -> "
+            f"{results['raster']:.2f} Mrays/s")
+    except Exception as e:
+        log("raster bench failed:", type(e).__name__, str(e)[:200])
+
+    # --- beam engine (tree-walk amortized per tile) ---
     try:
         f_beam = jax.jit(lambda d: beam_mod.beam_primary_frame(
             table, aug, root, dev.height, op, d, sun_j,

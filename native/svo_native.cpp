@@ -64,7 +64,10 @@ struct InternTable {
 
 struct Space {
     std::vector<Node> nodes;
+    std::vector<int32_t> solidv;   // maintained uniform solid-leaf id | -1
     std::vector<uint32_t> free_slots;
+    std::vector<uint32_t> dirty;   // slots changed since last serialize
+    bool synced = false;           // a baseline full serialize exists
     uint32_t root = EMPTY;
 
     // intern map
@@ -105,6 +108,7 @@ struct Space {
         } else {
             id = (uint32_t)nodes.size();
             nodes.emplace_back();
+            solidv.push_back(-1);
         }
         Node& n = nodes[id];
         std::memset(n.payload, 0, sizeof n.payload);
@@ -112,6 +116,7 @@ struct Space {
         n.refcount = 0;
         n.level = level;
         n.kind = kind;
+        if (synced) dirty.push_back(id);
         return id;
     }
 
@@ -139,6 +144,17 @@ struct Space {
             }
         }
         uint32_t id = alloc(kind, payload, level);
+        if (kind == BLOCK) {
+            solidv[id] = (int32_t)id;
+        } else {
+            // children are immutable once interned, so the solid-leaf id
+            // is computable at creation and never revisited
+            int32_t sl = payload[0] == EMPTY ? -1 : solidv[payload[0]];
+            bool ok = sl >= 0;
+            for (int c = 1; ok && c < 8; c++)
+                ok = payload[c] != EMPTY && solidv[payload[c]] == sl;
+            solidv[id] = ok ? sl : -1;
+        }
         h_hash[i] = h;
         h_id[i] = id;
         h_count++;
@@ -184,7 +200,9 @@ struct Space {
                         stack.push_back(nodes[n].payload[c]);
             }
             nodes[n].kind = FREE;
+            solidv[n] = -1;
             free_slots.push_back(n);
+            if (synced) dirty.push_back(n);
         }
     }
 
@@ -389,28 +407,11 @@ void vx_set(void* h, uint32_t x, uint32_t y, uint32_t z, int has_color,
 
 // Fill out (capacity i32) with the uniform solid-leaf id per node: for a
 // node whose subtree is entirely solid with one color, the id of that
-// leaf block; else -1. (Level-ascending DP; used by the beam traversal.)
+// leaf block; else -1. (Maintained at node creation; used by the beam
+// traversal and the box-soup extractor.)
 void vx_solid_leaf(void* h, int32_t* out) {
     Space* s = (Space*)h;
-    size_t cap = s->nodes.size();
-    std::vector<uint32_t> order(cap);
-    for (size_t i = 0; i < cap; i++) order[i] = (uint32_t)i;
-    std::sort(order.begin(), order.end(), [&](uint32_t a, uint32_t b) {
-        return s->nodes[a].level < s->nodes[b].level;
-    });
-    for (size_t i = 0; i < cap; i++) out[i] = -1;
-    for (uint32_t id : order) {
-        const Node& n = s->nodes[id];
-        if (n.kind == BLOCK) {
-            out[id] = (int32_t)id;
-        } else if (n.kind == CHILDREN) {
-            int32_t sl = n.payload[0] == EMPTY ? -1 : out[n.payload[0]];
-            bool ok = sl >= 0;
-            for (int c = 1; ok && c < 8; c++)
-                ok = n.payload[c] != EMPTY && out[n.payload[c]] == sl;
-            out[id] = ok ? sl : -1;
-        }
-    }
+    std::memcpy(out, s->solidv.data(), s->solidv.size() * 4);
 }
 
 // Serialize into out_table (capacity * 8 u32, caller-allocated). Dead
@@ -432,7 +433,49 @@ uint32_t vx_serialize(void* h, uint32_t* out_table) {
             for (int c = 0; c < 8; c++) row[c] = EMPTY;
         }
     }
+    s->dirty.clear();
+    s->synced = true;
     return s->root;
+}
+
+// --- incremental device updates (voxtracer/world/svo.py serialize_delta) ---
+//
+// After a baseline vx_serialize, edits track dirty slots; the delta is the
+// sorted unique dirty set with each slot's current row + solid value
+// (freed slots appear as all-EMPTY rows). Protocol: vx_synced -> 1, then
+// vx_delta_size (dedupes in place), then vx_delta_drain with buffers of
+// that size (clears the set).
+
+int vx_synced(void* h) { return ((Space*)h)->synced ? 1 : 0; }
+
+uint32_t vx_delta_size(void* h) {
+    Space* s = (Space*)h;
+    std::sort(s->dirty.begin(), s->dirty.end());
+    s->dirty.erase(std::unique(s->dirty.begin(), s->dirty.end()),
+                   s->dirty.end());
+    return (uint32_t)s->dirty.size();
+}
+
+void vx_delta_drain(void* h, uint32_t* rows, uint32_t* vals, int32_t* solid) {
+    Space* s = (Space*)h;
+    for (size_t k = 0; k < s->dirty.size(); k++) {
+        uint32_t id = s->dirty[k];
+        rows[k] = id;
+        uint32_t* row = vals + k * 8;
+        const Node& n = s->nodes[id];
+        if (n.kind == BLOCK) {
+            row[0] = n.payload[0];
+            row[1] = n.payload[1];
+            row[2] = n.payload[2];
+            for (int c = 3; c < 8; c++) row[c] = EMPTY;
+        } else if (n.kind == CHILDREN) {
+            std::memcpy(row, n.payload, 32);
+        } else {
+            for (int c = 0; c < 8; c++) row[c] = EMPTY;
+        }
+        solid[k] = s->solidv[id];
+    }
+    s->dirty.clear();
 }
 
 } // extern "C"

@@ -1,0 +1,143 @@
+"""Incremental edit path: serialize_delta / Renderer.apply_edits.
+
+Contract (world/svo.py serialize_delta): after a baseline full serialize,
+applying the drained delta rows to the baseline table must reproduce a
+fresh full serialize exactly — including freed slots (all-EMPTY rows),
+capacity growth, solid_leaf values, and the new root. The reference
+re-uploads the whole table per edit (fragment.rs:274-313); this is the
+O(changed nodes) replacement promised in SURVEY §7.2-6.
+"""
+
+import numpy as np
+import pytest
+
+from voxtracer.world import native
+from voxtracer.world.svo import EMPTY, SvoSpace, from_dense
+
+
+def _tiny_world(n=8):
+    rng = np.random.default_rng(7)
+    solid = rng.random((n, n, n)) < 0.3
+    rgb = rng.random((n, n, n, 3)).astype(np.float32)
+    return solid, rgb
+
+
+def _apply_delta(base_table, base_solid, delta):
+    rows, vals, solid, root, height, cap = delta
+    table = base_table.copy()
+    sld = base_solid.copy()
+    if cap > len(table):
+        table = np.concatenate(
+            [table, np.full((cap - len(table), 8), EMPTY, np.uint32)]
+        )
+        sld = np.concatenate([sld, np.full(cap - len(sld), -1, np.int32)])
+    table[rows] = vals
+    sld[rows] = solid
+    return table, sld, root
+
+
+def _edit_script(space, n):
+    # deletes, placements with new colors (forces new slots), overwrite,
+    # no-op, and a clear of a previously-placed voxel
+    space.set((0, 0, 0), None)
+    space.set((1, 2, 3), (0.125, 0.25, 0.5))
+    space.set((n - 1, n - 1, n - 1), (1.0, 1.0, 1.0))
+    space.set((1, 2, 3), (0.9, 0.1, 0.1))
+    space.set((4, 4, 4), None)
+    space.set((4, 4, 4), None)  # no-op on empty
+    space.set((n - 1, n - 1, n - 1), None)
+
+
+def test_python_delta_matches_full_serialize():
+    n = 8
+    space = from_dense(*_tiny_world(n))
+    base = space.serialize()
+    d0 = space.serialize_delta()  # no edits since sync -> empty delta
+    assert d0 is not None and len(d0[0]) == 0
+
+    _edit_script(space, n)
+    delta = space.serialize_delta()
+    assert delta is not None and len(delta[0]) > 0
+
+    table, solid, root = _apply_delta(base.table, base.solid_leaf, delta)
+    full = space.serialize()
+    assert table.shape == full.table.shape
+    np.testing.assert_array_equal(table, full.table)
+    np.testing.assert_array_equal(solid, full.solid_leaf)
+    assert root == full.root
+
+    # draining resets the dirty set
+    d2 = space.serialize_delta()
+    assert len(d2[0]) == 0
+
+
+def test_delta_before_baseline_is_none():
+    space = from_dense(*_tiny_world(4))
+    assert space.serialize_delta() is None
+
+
+def test_delta_capacity_growth():
+    space = SvoSpace()
+    solid = np.zeros((4, 4, 4), bool)
+    solid[0, 0, 0] = True
+    rgb = np.full((4, 4, 4, 3), 0.5, np.float32)
+    space = from_dense(solid, rgb)
+    base = space.serialize()
+    # many distinct colors -> new leaf slots beyond the baseline capacity
+    for i in range(12):
+        space.set((i % 4, (i // 4) % 4, 3), (0.01 * i, 0.5, 0.5))
+    delta = space.serialize_delta()
+    table, sld, root = _apply_delta(base.table, base.solid_leaf, delta)
+    full = space.serialize()
+    np.testing.assert_array_equal(table, full.table)
+    np.testing.assert_array_equal(sld, full.solid_leaf)
+    assert root == full.root
+    assert len(table) > len(base.table)
+
+
+@pytest.mark.skipif(not native.available(), reason="no native library")
+def test_native_delta_matches_full_serialize():
+    n = 8
+    heights = np.random.default_rng(3).integers(0, n, (n, n)).astype(np.uint32)
+    space = native.NativeSvoSpace()
+    space.build_terrain(heights, rgb=(0.3, 0.6, 0.2))
+    assert space.serialize_delta() is None  # no baseline yet
+    base = space.serialize()
+    _edit_script(space, n)
+    delta = space.serialize_delta()
+    assert delta is not None and len(delta[0]) > 0
+    table, solid, root = _apply_delta(base.table, base.solid_leaf, delta)
+    full = space.serialize()
+    np.testing.assert_array_equal(table, full.table)
+    np.testing.assert_array_equal(solid, full.solid_leaf)
+    assert root == full.root
+    assert len(space.serialize_delta()[0]) == 0
+
+
+def test_renderer_apply_edits_matches_rebuild():
+    from voxtracer.render.driver import Renderer
+
+    n = 8
+    space = from_dense(*_tiny_world(n))
+    r = Renderer(space.serialize(), 16, 12, max_bounces=2, fog_steps=4,
+                 seed=11)
+    _edit_script(space, n)
+    r.apply_edits(space)
+    full = space.serialize()
+    np.testing.assert_array_equal(
+        np.asarray(r.table), full.table.view(np.int32)
+    )
+    np.testing.assert_array_equal(np.asarray(r.solid_leaf), full.solid_leaf)
+    assert int(r.root) == (full.root if full.root != EMPTY else -1)
+
+    # rendered output equals a from-scratch renderer with the same seed
+    r2 = Renderer(full, 16, 12, max_bounces=2, fog_steps=4, seed=11)
+    from voxtracer.core import camera as vcam
+
+    cam = vcam.Camera(pos=(4.0, 6.0, -3.0), yaw=0.1, pitch=-0.4)
+    sun = np.array([0.3, 0.8, 0.5])
+    r.sample(cam, sun)
+    r2.sample(cam, sun)
+    np.testing.assert_allclose(
+        np.asarray(r.acc.mean()), np.asarray(r2.acc.mean()), rtol=0, atol=0
+    )

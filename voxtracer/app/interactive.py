@@ -186,7 +186,7 @@ def run_interactive(args, input_fn=None, log=print):
                     target = tuple(voxel + normal)
                     space.set(target, (1.0, 1.0, 1.0))
                     log(f"placed emissive block at {target}")
-                renderer.update_space(space.serialize())
+                renderer.apply_edits(space)  # O(changed nodes) upload
         elif cmd == "pose":
             log(f"pos={tuple(pos)} yaw={yaw} pitch={pitch}")
             continue

@@ -118,6 +118,38 @@ class Renderer:
         self._dist_step = None  # world changed: rebuild the sharded step
         self.acc.invalidate()
 
+    def apply_edits(self, space):
+        """Incremental device update after point edits: upload only the
+        rows the host SVO marked dirty (O(changed nodes); the reference
+        re-uploads the whole table, fragment.rs:274-313). Falls back to a
+        full ``update_space`` when the space has no delta baseline or the
+        tree height changed."""
+        delta = (space.serialize_delta()
+                 if hasattr(space, "serialize_delta") else None)
+        if delta is None:
+            self.update_space(space.serialize())
+            return
+        rows, vals, solid, root, height, cap = delta
+        if height != self.tree_height or self.solid_leaf is None:
+            self.update_space(space.serialize())
+            return
+        if cap > self.table.shape[0]:  # slot store grew: pad with EMPTY rows
+            pad = jnp.full((cap - self.table.shape[0], 8), -1, jnp.int32)
+            self.table = jnp.concatenate([self.table, pad])
+            self.solid_leaf = np.concatenate([
+                self.solid_leaf,
+                np.full(cap - len(self.solid_leaf), -1, np.int32),
+            ])
+        if len(rows):
+            self.table = self.table.at[jnp.asarray(rows)].set(
+                jnp.asarray(vals.view(np.int32))
+            )
+            self.solid_leaf = np.asarray(self.solid_leaf).copy()
+            self.solid_leaf[rows] = solid
+        self.root = np.int32(root if root != 0xFFFFFFFF else -1)
+        self._dist_step = None
+        self.acc.invalidate()
+
     def _dist(self):
         """The sample-sharded multi-chip step (built lazily)."""
         if self._dist_step is None:

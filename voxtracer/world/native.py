@@ -94,6 +94,14 @@ def load_library():
     lib.vx_serialize.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint32)]
     lib.vx_serialize.restype = ctypes.c_uint32
     lib.vx_solid_leaf.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_int32)]
+    lib.vx_synced.argtypes = [ctypes.c_void_p]
+    lib.vx_synced.restype = ctypes.c_int
+    lib.vx_delta_size.argtypes = [ctypes.c_void_p]
+    lib.vx_delta_size.restype = ctypes.c_uint32
+    lib.vx_delta_drain.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint32),
+        ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_int32),
+    ]
     _lib = lib
     return lib
 
@@ -179,3 +187,23 @@ class NativeSvoSpace:
         return DeviceSvo(
             table=table, root=int(root), height=self.height(), solid_leaf=solid
         )
+
+    def serialize_delta(self):
+        """Rows changed since the last serialize/serialize_delta, or None
+        before a baseline full serialize (world/svo.py serialize_delta
+        contract). Returns (rows, vals, solid, root, height, capacity)."""
+        if not self._lib.vx_synced(self._h):
+            return None
+        k = int(self._lib.vx_delta_size(self._h))
+        rows = np.empty(k, np.uint32)
+        vals = np.empty((k, 8), np.uint32)
+        solid = np.empty(k, np.int32)
+        self._lib.vx_delta_drain(
+            self._h,
+            rows.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+            vals.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+            solid.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        )
+        r = self._lib.vx_root(self._h)
+        return (rows.astype(np.int64), vals, solid, int(r), self.height(),
+                self.capacity())

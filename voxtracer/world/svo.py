@@ -51,7 +51,12 @@ class SvoSpace:
         self._payload = []  # node id -> (r,g,b) u32 bits | tuple of 8 child ids
         self._refcount = []
         self._level = []
+        self._solid = []  # node id -> uniform solid-leaf id | -1 (maintained)
         self._free = []
+        # slots changed since the last serialize()/serialize_delta(); only
+        # tracked once a baseline full serialize exists (_synced)
+        self._dirty: set = set()
+        self._synced = False
         self.root: Optional[int] = None
 
     # -- construction ------------------------------------------------------
@@ -69,6 +74,9 @@ class SvoSpace:
             self._payload.append(payload)
             self._refcount.append(0)
             self._level.append(level)
+            self._solid.append(-1)
+        if self._synced:
+            self._dirty.add(nid)
         return nid
 
     def create_block(self, rgb) -> int:
@@ -77,6 +85,7 @@ class SvoSpace:
         nid = self._intern.get(key)
         if nid is None:
             nid = self._alloc(_BLOCK, key[1:], 0)
+            self._solid[nid] = nid
             self._intern[key] = nid
         return nid
 
@@ -96,6 +105,12 @@ class SvoSpace:
                     self._refcount[c] += 1
                     level = max(level, self._level[c] + 1)
             nid = self._alloc(_CHILDREN, children, level)
+            # maintained solid-leaf id: children are immutable once interned,
+            # so this never needs revisiting (serialize uses it directly)
+            if all(c is not None for c in children):
+                sl = self._solid[children[0]]
+                if sl >= 0 and all(self._solid[c] == sl for c in children[1:]):
+                    self._solid[nid] = sl
             self._intern[key] = nid
         return nid
 
@@ -110,7 +125,10 @@ class SvoSpace:
             kind, payload = self._kind[nid], self._payload[nid]
             self._kind[nid] = None
             self._payload[nid] = None
+            self._solid[nid] = -1
             self._free.append(nid)
+            if self._synced:
+                self._dirty.add(nid)
             if kind == _CHILDREN:
                 for c in payload:
                     if c is not None:
@@ -250,32 +268,50 @@ class SvoSpace:
         """
         cap = max(self.capacity(), 1)
         table = np.full((cap, 8), EMPTY, dtype=np.uint32)
+        for nid, kind in enumerate(self._kind):
+            self._write_row(table[nid], nid, kind)
         solid = np.full((cap,), -1, dtype=np.int32)
-        by_level = sorted(
-            (nid for nid, k in enumerate(self._kind) if k is not None),
-            key=lambda nid: self._level[nid],
-        )
-        for nid in by_level:
-            kind = self._kind[nid]
-            if kind == _BLOCK:
-                r, g, b = self._payload[nid]
-                table[nid, 0] = r
-                table[nid, 1] = g
-                table[nid, 2] = b
-                solid[nid] = nid
-            elif kind == _CHILDREN:
-                children = self._payload[nid]
-                for i, c in enumerate(children):
-                    if c is not None:
-                        table[nid, i] = c
-                if all(c is not None for c in children):
-                    sl = {int(solid[c]) for c in children}
-                    if len(sl) == 1 and solid[children[0]] >= 0:
-                        solid[nid] = solid[children[0]]
+        solid[: len(self._solid)] = self._solid
         root = EMPTY if self.root is None else self.root
+        self._dirty.clear()
+        self._synced = True
         return DeviceSvo(
             table=table, root=root, height=self.height(), solid_leaf=solid
         )
+
+    def _write_row(self, row, nid, kind):
+        if kind == _BLOCK:
+            row[:3] = self._payload[nid]
+        elif kind == _CHILDREN:
+            for i, c in enumerate(self._payload[nid]):
+                if c is not None:
+                    row[i] = c
+
+    def serialize_delta(self):
+        """Rows changed since the last ``serialize``/``serialize_delta``.
+
+        Incremental device update for point edits (SURVEY §7.2-6): the
+        host tracks dirty slots (allocated or freed since the last sync),
+        so an edit uploads O(changed nodes) rows instead of the whole
+        table (the reference re-uploads everything, fragment.rs:274-313).
+
+        Returns ``(rows, vals, solid, root, height, capacity)`` — rows
+        int64[K] ascending, vals uint32[K, 8], solid int32[K] — or None
+        when no baseline full ``serialize`` has happened yet (callers
+        must then do a full upload). Freed slots appear as all-EMPTY
+        rows, so applying the delta reproduces ``serialize`` exactly.
+        """
+        if not self._synced:
+            return None
+        rows = np.array(sorted(self._dirty), dtype=np.int64)
+        vals = np.full((len(rows), 8), EMPTY, dtype=np.uint32)
+        solid = np.full((len(rows),), -1, dtype=np.int32)
+        for k, nid in enumerate(rows):
+            self._write_row(vals[k], nid, self._kind[nid])
+            solid[k] = self._solid[nid]
+        self._dirty.clear()
+        root = EMPTY if self.root is None else self.root
+        return rows, vals, solid, root, self.height(), self.capacity()
 
     def mem_usage(self) -> int:
         """Rough bytes estimate (table + intern map), for worldgen logs."""
