@@ -479,3 +479,206 @@ void vx_delta_drain(void* h, uint32_t* rows, uint32_t* vals, int32_t* solid) {
 }
 
 } // extern "C"
+
+// --- box-soup extraction (voxtracer/world/boxes.py, native edition) -------
+//
+// Flattens the octree into world-space box instances for the rasterizer:
+// BFS emit of uniform-solid subtrees (solidv >= 0), big cubes split to
+// max_size, enclosed boxes culled against a bit-packed occupancy grid,
+// unit voxels merged into same-leaf x-strips capped at max_strip (same
+// pipeline and box decomposition as the Python extractor; cross-checked
+// in tests/test_boxes_native.py).
+
+namespace {
+
+struct BoxOut {
+    std::vector<int32_t> lo;    // 3 per box
+    std::vector<int32_t> size;  // 3 per box
+    std::vector<int32_t> leaf;
+};
+
+struct BitGrid {
+    // occupancy bit per voxel, packed along x into u64 words
+    std::vector<uint64_t> bits;
+    uint32_t n, wpr; // edge, words per x-row
+    BitGrid(uint32_t n_) : n(n_), wpr((n_ + 63) / 64) {
+        bits.assign((size_t)n * n * wpr, 0);
+    }
+    uint64_t* row(uint32_t y, uint32_t z) {
+        return bits.data() + ((size_t)y * n + z) * wpr;
+    }
+    void fill_run(uint32_t y, uint32_t z, uint32_t x0, uint32_t x1) {
+        uint64_t* r = row(y, z); // [x0, x1)
+        uint32_t w0 = x0 >> 6, w1 = (x1 - 1) >> 6;
+        uint64_t m0 = ~0ULL << (x0 & 63);
+        uint64_t m1 = ~0ULL >> (63 - ((x1 - 1) & 63));
+        if (w0 == w1) { r[w0] |= m0 & m1; return; }
+        r[w0] |= m0;
+        for (uint32_t w = w0 + 1; w < w1; w++) r[w] = ~0ULL;
+        r[w1] |= m1;
+    }
+    bool run_full(uint32_t y, uint32_t z, uint32_t x0, uint32_t x1) {
+        const uint64_t* r = row(y, z);
+        uint32_t w0 = x0 >> 6, w1 = (x1 - 1) >> 6;
+        uint64_t m0 = ~0ULL << (x0 & 63);
+        uint64_t m1 = ~0ULL >> (63 - ((x1 - 1) & 63));
+        if (w0 == w1) return (r[w0] & (m0 & m1)) == (m0 & m1);
+        if ((r[w0] & m0) != m0 || (r[w1] & m1) != m1) return false;
+        for (uint32_t w = w0 + 1; w < w1; w++)
+            if (r[w] != ~0ULL) return false;
+        return true;
+    }
+    bool get(uint32_t y, uint32_t z, uint32_t x) {
+        return (row(y, z)[x >> 6] >> (x & 63)) & 1;
+    }
+};
+
+} // namespace
+
+extern "C" {
+
+// Extract the box soup. Output arrays are owned by the returned handle
+// (read them out, then vx_boxes_free). cull_enclosed requires
+// height <= max_cull_log2 memory-wise (bitgrid = 2^(3h-3) bytes); callers
+// pass 0 to skip. Returns nullptr only on a null space.
+void* vx_extract_boxes(void* h, int cull_enclosed, int max_size,
+                       int max_strip) {
+    Space* s = (Space*)h;
+    if (!s) return nullptr;
+    auto* out = new BoxOut();
+    if (s->root == EMPTY) return out;
+    uint32_t H = s->height();
+    uint32_t n = 1u << H;
+
+    // BFS emit: (node, level, pos) with uniform-solid subtrees emitted
+    struct Item { uint32_t node, level; uint32_t p[3]; };
+    std::vector<Item> stack{{s->root, H, {0, 0, 0}}};
+    std::vector<int32_t> elo, esz, elf; // emitted cubes (pre-split)
+    while (!stack.empty()) {
+        Item it = stack.back();
+        stack.pop_back();
+        int32_t sl = s->solidv[it.node];
+        if (sl >= 0) {
+            elo.insert(elo.end(), {(int32_t)it.p[0], (int32_t)it.p[1],
+                                   (int32_t)it.p[2]});
+            esz.push_back(1 << it.level);
+            elf.push_back(sl);
+            continue;
+        }
+        const Node& nd = s->nodes[it.node];
+        uint32_t half = 1u << (it.level - 1);
+        for (int c = 0; c < 8; c++) {
+            if (nd.payload[c] == EMPTY) continue;
+            stack.push_back({nd.payload[c], it.level - 1,
+                             {it.p[0] + (c & 1 ? half : 0),
+                              it.p[1] + (c & 2 ? half : 0),
+                              it.p[2] + (c & 4 ? half : 0)}});
+        }
+    }
+
+    // split cubes larger than max_size
+    std::vector<int32_t> lo, sz, lf;
+    for (size_t i = 0; i < esz.size(); i++) {
+        int32_t cs = esz[i];
+        if (cs <= max_size) {
+            lo.insert(lo.end(), {elo[3 * i], elo[3 * i + 1], elo[3 * i + 2]});
+            sz.push_back(cs);
+            lf.push_back(elf[i]);
+            continue;
+        }
+        for (int32_t dx = 0; dx < cs; dx += max_size)
+            for (int32_t dy = 0; dy < cs; dy += max_size)
+                for (int32_t dz = 0; dz < cs; dz += max_size) {
+                    lo.insert(lo.end(), {elo[3 * i] + dx, elo[3 * i + 1] + dy,
+                                         elo[3 * i + 2] + dz});
+                    sz.push_back(max_size);
+                    lf.push_back(elf[i]);
+                }
+    }
+
+    // enclosure cull against bit-packed occupancy
+    std::vector<char> keep(sz.size(), 1);
+    if (cull_enclosed && !sz.empty()) {
+        BitGrid g(n);
+        for (size_t i = 0; i < sz.size(); i++) {
+            uint32_t x0 = lo[3 * i], y0 = lo[3 * i + 1], z0 = lo[3 * i + 2];
+            uint32_t cs = sz[i];
+            for (uint32_t y = y0; y < y0 + cs; y++)
+                for (uint32_t z = z0; z < z0 + cs; z++)
+                    g.fill_run(y, z, x0, x0 + cs);
+        }
+        for (size_t i = 0; i < sz.size(); i++) {
+            uint32_t x0 = lo[3 * i], y0 = lo[3 * i + 1], z0 = lo[3 * i + 2];
+            uint32_t cs = sz[i];
+            bool enc = x0 >= 1 && y0 >= 1 && z0 >= 1 && x0 + cs < n
+                       && y0 + cs < n && z0 + cs < n;
+            // -x/+x: bit columns at x0-1 / x0+cs over the (y,z) face
+            for (uint32_t y = y0; enc && y < y0 + cs; y++)
+                for (uint32_t z = z0; enc && z < z0 + cs; z++)
+                    enc = g.get(y, z, x0 - 1) && g.get(y, z, x0 + cs);
+            // -y/+y: x-runs at y0-1 / y0+cs over z range
+            for (uint32_t z = z0; enc && z < z0 + cs; z++)
+                enc = g.run_full(y0 - 1, z, x0, x0 + cs)
+                      && g.run_full(y0 + cs, z, x0, x0 + cs);
+            // -z/+z
+            for (uint32_t y = y0; enc && y < y0 + cs; y++)
+                enc = g.run_full(y, z0 - 1, x0, x0 + cs)
+                      && g.run_full(y, z0 + cs, x0, x0 + cs);
+            keep[i] = !enc;
+        }
+    }
+
+    // non-unit boxes pass through; unit voxels merge into x-strips
+    struct Unit { uint64_t key; int32_t leaf; };
+    std::vector<Unit> units;
+    for (size_t i = 0; i < sz.size(); i++) {
+        if (!keep[i]) continue;
+        if (sz[i] == 1) {
+            uint64_t key = (((uint64_t)(uint32_t)lo[3 * i + 1] * n
+                             + (uint32_t)lo[3 * i + 2]) << 20)
+                           | (uint32_t)lo[3 * i]; // (y,z) major, x minor
+            units.push_back({key, lf[i]});
+        } else {
+            out->lo.insert(out->lo.end(),
+                           {lo[3 * i], lo[3 * i + 1], lo[3 * i + 2]});
+            out->size.insert(out->size.end(), {sz[i], sz[i], sz[i]});
+            out->leaf.push_back(lf[i]);
+        }
+    }
+    std::sort(units.begin(), units.end(),
+              [](const Unit& a, const Unit& b) { return a.key < b.key; });
+    size_t i = 0;
+    while (i < units.size()) {
+        uint64_t row = units[i].key >> 20;
+        uint32_t x0 = units[i].key & 0xFFFFF;
+        int32_t leaf = units[i].leaf;
+        uint32_t len = 1;
+        while (i + len < units.size()
+               && units[i + len].key == units[i].key + len
+               && (units[i + len].key >> 20) == row
+               && units[i + len].leaf == leaf
+               && (int32_t)((x0 + len) % max_strip) != 0)
+            len++;
+        uint32_t y = (uint32_t)(row / n), z = (uint32_t)(row % n);
+        out->lo.insert(out->lo.end(), {(int32_t)x0, (int32_t)y, (int32_t)z});
+        out->size.insert(out->size.end(), {(int32_t)len, 1, 1});
+        out->leaf.push_back(leaf);
+        i += len;
+    }
+    return out;
+}
+
+uint32_t vx_boxes_count(void* r) {
+    return (uint32_t)((BoxOut*)r)->leaf.size();
+}
+
+void vx_boxes_fill(void* r, int32_t* lo, int32_t* size, int32_t* leaf) {
+    BoxOut* b = (BoxOut*)r;
+    std::memcpy(lo, b->lo.data(), b->lo.size() * 4);
+    std::memcpy(size, b->size.data(), b->size.size() * 4);
+    std::memcpy(leaf, b->leaf.data(), b->leaf.size() * 4);
+}
+
+void vx_boxes_free(void* r) { delete (BoxOut*)r; }
+
+} // extern "C"

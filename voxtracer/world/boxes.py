@@ -73,6 +73,27 @@ def extract_boxes(dev: DeviceSvo, cull_enclosed: bool = True,
     solid = dev.solid_leaf
     H = dev.height
 
+    # enclosure cull needs a dense occupancy grid (2^(3H-3) bytes packed);
+    # above 2048^3 skip it rather than blow memory
+    cull_enclosed = cull_enclosed and H <= 11
+
+    if getattr(dev, "space", None) is not None and hasattr(
+        dev.space, "extract_boxes_raw"
+    ):
+        # native (C++) extractor: same pipeline, ~50x faster host time
+        lo3, size3, leaf = dev.space.extract_boxes_raw(
+            cull_enclosed=cull_enclosed, max_size=max_size,
+            max_strip=max_strip,
+        )
+        rgb = (
+            np.ascontiguousarray(
+                table[leaf.astype(np.int64), :3]
+            ).view(np.float32)
+            if len(leaf)
+            else np.zeros((0, 3), np.float32)
+        )
+        return BoxSoup(lo=lo3, size=size3, leaf=leaf, rgb=rgb, height=H)
+
     out_lo, out_sz, out_leaf = [], [], []
 
     if dev.root == EMPTY:

@@ -102,6 +102,17 @@ def load_library():
         ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint32),
         ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_int32),
     ]
+    lib.vx_extract_boxes.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+    ]
+    lib.vx_extract_boxes.restype = ctypes.c_void_p
+    lib.vx_boxes_count.argtypes = [ctypes.c_void_p]
+    lib.vx_boxes_count.restype = ctypes.c_uint32
+    lib.vx_boxes_fill.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+    ]
+    lib.vx_boxes_free.argtypes = [ctypes.c_void_p]
     _lib = lib
     return lib
 
@@ -184,9 +195,37 @@ class NativeSvoSpace:
         self._lib.vx_solid_leaf(
             self._h, solid.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
         )
-        return DeviceSvo(
+        dev = DeviceSvo(
             table=table, root=int(root), height=self.height(), solid_leaf=solid
         )
+        dev.space = self  # lets extract_boxes take the native fast path
+        return dev
+
+    def extract_boxes_raw(self, cull_enclosed=True, max_size=8,
+                          max_strip=16):
+        """Native box-soup extraction (world/boxes.py pipeline in C++).
+
+        Returns (lo int32[M,3], size int32[M,3] per-axis extents,
+        leaf int32[M]) — consumed by world.boxes.extract_boxes, which
+        wraps it into a BoxSoup with decoded albedos."""
+        r = self._lib.vx_extract_boxes(
+            self._h, int(bool(cull_enclosed)), int(max_size), int(max_strip)
+        )
+        try:
+            m = int(self._lib.vx_boxes_count(r))
+            lo = np.empty((m, 3), np.int32)
+            size = np.empty((m, 3), np.int32)
+            leaf = np.empty(m, np.int32)
+            if m:
+                self._lib.vx_boxes_fill(
+                    r,
+                    lo.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                    size.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                    leaf.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                )
+        finally:
+            self._lib.vx_boxes_free(r)
+        return lo, size, leaf
 
     def serialize_delta(self):
         """Rows changed since the last serialize/serialize_delta, or None

@@ -332,6 +332,10 @@ class DeviceSvo:
     root: int
     height: int
     solid_leaf: np.ndarray | None = None
+    # backref to the host space that produced this (set by
+    # NativeSvoSpace.serialize); lets boxes.extract_boxes use the native
+    # extractor instead of re-walking the table in numpy
+    space: object = None
 
     def leaf_colors(self):
         """float32[capacity, 3] view of the leaf RGB bit patterns."""
