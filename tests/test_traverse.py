@@ -150,3 +150,42 @@ def test_negative_direction_mirroring(rng):
                 assert np.array_equal(
                     np.asarray(rs["voxel"])[both], np.asarray(rd["voxel"])[both]
                 )
+
+
+def test_bucketed_cast_bit_identical(rng):
+    """svo_raycast_bucketed shares the cast body, so every output must be
+    bit-identical to svo_raycast — including misses, voxel ids, and the
+    advisory-distance-cap contour — across random worlds and ray soups."""
+    from voxtracer.kernels.traverse import svo_raycast_bucketed
+
+    for trial in range(3):
+        n = 16
+        _, _, space = random_world(rng, n=n, fill=0.1 + 0.2 * trial)
+        table, root, H = device_table(space)
+        start, d = random_rays(rng, 8192, n)
+        dist = jnp.asarray(
+            rng.choice([4.0, 16.0, 1e12], size=8192).astype(np.float32)
+        )
+        a = svo_raycast(table, root, H, start, d, distance=dist)
+        b = svo_raycast_bucketed(table, root, H, start, d, distance=dist,
+                                 min_bucket=512)
+        for k in a:
+            np.testing.assert_array_equal(
+                np.asarray(a[k]), np.asarray(b[k]), err_msg=k
+            )
+
+
+def test_bucketed_cast_active_mask(rng):
+    from voxtracer.kernels.traverse import svo_raycast_bucketed
+
+    n = 16
+    _, _, space = random_world(rng, n=n)
+    table, root, H = device_table(space)
+    start, d = random_rays(rng, 4096, n)
+    act = jnp.asarray(rng.random(4096) < 0.5)
+    a = svo_raycast(table, root, H, start, d, active=act)
+    b = svo_raycast_bucketed(table, root, H, start, d, active=act,
+                             min_bucket=256)
+    for k in a:
+        np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]),
+                                      err_msg=k)

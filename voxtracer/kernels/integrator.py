@@ -40,7 +40,8 @@ from voxtracer.core.sampling import COS_SUN_RADIUS, PI, SUN_COLOR, SUN_WEIGHT
 from voxtracer.core.spectra import fog_density, spectral_throughput
 from voxtracer.core.vecmath import dot
 from voxtracer.kernels import atmosphere
-from voxtracer.kernels.traverse import FAR, leaf_rgb, svo_raycast
+from voxtracer.kernels.traverse import (FAR, leaf_rgb, svo_raycast,
+                                        svo_raycast_bucketed)
 
 
 @partial(jax.jit, static_argnames=("height", "max_bounces", "fog_steps",
@@ -83,6 +84,21 @@ def trace_paths(
         table remains the color source. ~10x fewer gathers per bounce
         cast (PERF.md).
     """
+    def svo_cast(pos_, d_, distance=FAR):
+        """Bounce/NEE casts are incoherent with heavy-tailed finish times,
+        so compact finished lanes out of the traversal loop (bit-identical
+        — kernels.traverse.svo_raycast_bucketed). Small batches stay on
+        the plain cast (compaction overhead dominates)."""
+        nb = 1
+        for s in d_.shape[:-1]:
+            nb *= int(s)
+        if compact and nb >= 16384:
+            return svo_raycast_bucketed(
+                table, root, height, pos_, d_, distance=distance,
+                min_bucket=max(4096, nb // 8),
+            )
+        return svo_raycast(table, root, height, pos_, d_, distance=distance)
+
     density = fog_density(wavelength)
     light = spectral_throughput(lut, wavelength)
     color = jnp.zeros_like(light)
@@ -109,7 +125,7 @@ def trace_paths(
             svo_rgb = svo_color_at(table, root, height, svo["voxel"],
                                    use_svo & alive)
         else:
-            svo = svo_raycast(table, root, height, pos, d, distance=cap)
+            svo = svo_cast(pos, d, distance=cap)
             # nearer-event-wins like the reference (raytrace.wgsl:344-347):
             # the traversal's distance cap is advisory — a crossing taken
             # when no subvoxel bit is set can step past it (the reference
@@ -147,7 +163,7 @@ def trace_paths(
 
             sun_svo = bitgrid_raycast(*bitworld, bit_size, pos, sun_dir)
         else:
-            sun_svo = svo_raycast(table, root, height, pos, sun_dir)
+            sun_svo = svo_cast(pos, sun_dir)
         sun_visible = ~sun_planet["hit"] & ~sun_svo["hit"]
         nee = (
             SUN_COLOR
