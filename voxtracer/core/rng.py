@@ -14,10 +14,15 @@ per-frame seed with the pixel's fragment coordinates
 
 from __future__ import annotations
 
+import numpy as np
+
 import jax.numpy as jnp
 
-_MUL = jnp.uint32(1664525)
-_ADD = jnp.uint32(1013904223)
+# numpy scalars, NOT jnp: creating a device array at import time would
+# initialize the XLA backend before jax.distributed.initialize can run
+# (dist/multihost.py) and pins a constant to the default device
+_MUL = np.uint32(1664525)
+_ADD = np.uint32(1013904223)
 
 
 def pcg3d(state):
