@@ -207,9 +207,14 @@ def raster_cast(
     dmin_b = jnp.linalg.norm(clamped - cam_pos, axis=-1)
 
     # ---- dense pass for near/huge boxes --------------------------------
+    # (sort-based selection of the near-box indices: top_k's TPU lowering
+    # is far slower to compile/run than one i32 sort at these sizes)
     n_near = jnp.sum(near.astype(jnp.int32))
-    _, near_idx = jax.lax.top_k(near.astype(jnp.int32), near_slots)
-    near_valid = near[near_idx]
+    midx = jnp.arange(M, dtype=jnp.int32)
+    near_key = jnp.where(near, midx, jnp.int32(M))
+    near_idx = jax.lax.sort(near_key)[:near_slots]
+    near_valid = near_idx < M
+    near_idx = jnp.clip(near_idx, 0, M - 1)
 
     pyg, pxg = vcam.pixel_grid(W, H)
     d_frame = _ray_dirs_for_pixels(pxg, pyg, basis, W, H)  # (H, W, 3)
@@ -243,8 +248,17 @@ def raster_cast(
     # pair demand <= boxes (>=1 tile each, ~1.5 at sub-tile size) + bbox
     # area spread over tiles + slack
     PAIRS = max(2 * M + 8 * NT, 64)
-    powner = jnp.repeat(
-        jnp.arange(M, dtype=jnp.int32), tile_count, total_repeat_length=PAIRS
+    # expansion (repeat each box id tile_count times) as scatter-max +
+    # running max: start offsets are monotone, so owner[k] = max over
+    # boxes whose segment starts at or before k. (jnp.repeat's lowering
+    # is another compile sink at these sizes.)
+    starts = jnp.where(tile_count > 0, t_off - tile_count, PAIRS)
+    powner = (
+        jnp.full(PAIRS + 1, -1, jnp.int32)
+        .at[starts].max(jnp.arange(M, dtype=jnp.int32), mode="drop")[:PAIRS]
+    )
+    powner = jnp.maximum(
+        jax.lax.associative_scan(jnp.maximum, powner), 0
     )
     col = lambda a: a[:, None].astype(jnp.float32)
     pair_attr = jnp.concatenate(
@@ -329,8 +343,11 @@ def raster_cast(
     tile_max_t = jnp.max(jnp.where(ok_t, tb, -jnp.inf), axis=1)
     incomplete = jnp.isfinite(drop_dmin) & (drop_dmin < tile_max_t)
     n_fb = jnp.sum(incomplete.astype(jnp.int32))
-    _, fb_tiles = jax.lax.top_k(incomplete.astype(jnp.int32), NFB)
-    fb_valid = incomplete[fb_tiles]
+    fb_key = jnp.where(incomplete, jnp.arange(NT, dtype=jnp.int32),
+                       jnp.int32(NT))
+    fb_tiles = jax.lax.sort(fb_key)[:NFB]
+    fb_valid = fb_tiles < NT
+    fb_tiles = jnp.clip(fb_tiles, 0, NT - 1)
 
     # ---- reassemble dense frame ---------------------------------------------
     def untile(a):
