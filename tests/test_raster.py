@@ -138,3 +138,70 @@ def test_raster_distance_cap(clutter):
     both = hb & in_cap
     assert np.allclose(np.asarray(rb["t"])[both], rt[both],
                        rtol=1e-4, atol=1e-3)
+
+
+def test_terrain_soup_first_hit():
+    """extract_boxes_terrain emits exactly the exposed voxel set of a
+    heightfield, which must be first-hit-equivalent to the SVO traversal
+    for rays starting in non-solid space (the flagship-scale soup path)."""
+    from voxtracer.world.boxes import extract_boxes_terrain, terrain_leaf_id
+    from voxtracer.world.native import NativeSvoSpace, available
+
+    if not available():
+        pytest.skip("no native library")
+    n = 32
+    rng = np.random.default_rng(5)
+    # rough terrain incl. empty columns, full columns, and cliffs
+    heights = rng.integers(0, n + 1, (n, n)).astype(np.uint32)
+    heights[0:4, :] = 0
+    heights[:, 10:12] = n
+    space = NativeSvoSpace()
+    space.build_terrain(heights, rgb=(0.3, 0.55, 0.25))
+    dev = space.serialize()
+    table = jnp.asarray(dev.table.view(np.int32))
+    root = np.int32(dev.root)
+
+    leaf = terrain_leaf_id(dev)
+    rgb = dev.table[leaf, :3].view(np.float32)
+    soup = extract_boxes_terrain(np.asarray(heights), leaf, rgb)
+    assert (soup.size <= 16).all() and (soup.size >= 1).all()
+
+    # random rays from outside solid matter (above the terrain or beyond
+    # the world), in all directions
+    B = 4096
+    start = np.stack([
+        rng.random(B) * n * 2 - n * 0.5,
+        rng.random(B) * n + n,  # always above the world top
+        rng.random(B) * n * 2 - n * 0.5,
+    ], axis=1).astype(np.float32)
+    d = rng.normal(size=(B, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+
+    ref = svo_raycast(table, root, dev.height, jnp.asarray(start),
+                      jnp.asarray(d))
+
+    # resolve the soup per-ray with the rasterizer's exact slab test:
+    # brute-force nearest box (no binning) — tests the SOUP, not the tiler
+    from voxtracer.kernels.raster import _mirrored_slab
+
+    lo = jnp.asarray(soup.lo, jnp.float32)
+    hi = jnp.asarray(soup.lo + soup.size, jnp.float32)
+
+    jstart = jnp.asarray(start)
+    jd = jnp.asarray(d)
+
+    def nearest(i):
+        t, axis, hit = _mirrored_slab(
+            lo, hi, jstart[i][None, :], jd[i][None, :],
+            dev.height, jnp.float32(1e12),
+        )
+        return jnp.min(t), jnp.any(hit)
+
+    import jax
+
+    tmin, hit = jax.lax.map(nearest, jnp.arange(B), batch_size=256)
+    np.testing.assert_array_equal(np.asarray(hit), np.asarray(ref["hit"]))
+    ok = np.asarray(ref["hit"])
+    np.testing.assert_allclose(
+        np.asarray(tmin)[ok], np.asarray(ref["t"])[ok], rtol=1e-5, atol=1e-4
+    )

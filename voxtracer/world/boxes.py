@@ -77,6 +77,17 @@ def extract_boxes(dev: DeviceSvo, cull_enclosed: bool = True,
     # above 2048^3 skip it rather than blow memory
     cull_enclosed = cull_enclosed and H <= 11
 
+    # flagship-scale worlds: unedited terrain takes the heightfield path
+    # (exposed-set extraction; first-hit-equivalent — see
+    # extract_boxes_terrain), where instance enumeration would explode
+    space = getattr(dev, "space", None)
+    heights = getattr(space, "heights", None)
+    if H > 11 and heights is not None and not getattr(space, "edited", False):
+        leaf = terrain_leaf_id(dev)
+        rgb = np.ascontiguousarray(table[leaf, :3]).view(np.float32)
+        return extract_boxes_terrain(heights, leaf, rgb,
+                                     max_strip=max_strip)
+
     if getattr(dev, "space", None) is not None and hasattr(
         dev.space, "extract_boxes_raw"
     ):
@@ -178,6 +189,143 @@ def extract_boxes(dev: DeviceSvo, cull_enclosed: bool = True,
     )
     return BoxSoup(lo=lo3.astype(np.int32), size=size3.astype(np.int32),
                    leaf=leaf.astype(np.int32), rgb=rgb, height=H)
+
+
+def extract_boxes_terrain(heights: np.ndarray, leaf: int, rgb,
+                          max_strip: int = 16, max_tall: int = 16) -> BoxSoup:
+    """Box soup straight from a terrain heightmap — the flagship-scale
+    path (8192^3), where enumerating octree instances and a dense
+    enclosure cull are both infeasible.
+
+    The terrain world is a heightfield: voxel (x,y,z) is solid iff
+    y < heights[x,z] (worldgen.rs:26-59). Its *exposed* voxels are
+    computable per column with no 3D work at all:
+
+      * side faces: y >= min of the 4 neighbor columns (out-of-world
+        neighbors count as height 0 — world-boundary faces are exposed),
+      * the top voxel y = h-1 (or its top face is the world boundary),
+      * the bottom voxel y = 0 (bottom face on the world boundary).
+
+    so the exposed set is the y-range [ylo, h) plus the floor voxel,
+    with ylo = min(neighbor heights, h-1). Every ray from non-solid
+    space first enters solid matter through an exposed face, so a soup
+    of exactly the exposed voxels is first-hit-equivalent to the full
+    SVO traversal (tests/test_raster.py::test_terrain_soup_first_hit) —
+    the same contract as ``cull_enclosed``. Columns are emitted as
+    vertical boxes (split at ``max_tall``) merged along x into runs of
+    equal (ylo, h) (split at aligned ``max_strip`` boundaries), which
+    collapses flat regions to one box per 16 columns.
+
+    ``leaf``/``rgb``: the terrain's single block (slot id + albedo) —
+    worldgen colors every voxel identically, and edited worlds must use
+    ``extract_boxes`` instead.
+    """
+    h = heights.astype(np.int64)  # [x, z]
+    n = h.shape[0]
+    assert h.shape == (n, n)
+    pad = np.zeros((n + 2, n + 2), np.int64)
+    pad[1:-1, 1:-1] = h
+    nbr = np.minimum(
+        np.minimum(pad[:-2, 1:-1], pad[2:, 1:-1]),
+        np.minimum(pad[1:-1, :-2], pad[1:-1, 2:]),
+    )
+    ylo = np.minimum(nbr, np.maximum(h - 1, 0))
+
+    # x-runs of equal (ylo, h) per z row; work in [z, x] layout
+    hz = h.T
+    yz = ylo.T
+    solid = hz > 0
+    xs = np.broadcast_to(np.arange(n, dtype=np.int64)[None, :], (n, n))
+    new_run = np.ones((n, n), bool)
+    new_run[:, 1:] = (
+        (hz[:, 1:] != hz[:, :-1])
+        | (yz[:, 1:] != yz[:, :-1])
+        | (xs[:, 1:] % max_strip == 0)
+    )
+    start = new_run & solid
+    # run length = distance to the next run start, the row end, or the
+    # first air cell — whichever comes first (air→solid transitions
+    # always key-change since air has h == 0, so runs never span air)
+    idx = np.nonzero(start.reshape(-1))[0]
+    nxt = np.empty_like(idx)
+    if len(idx):
+        nxt[:-1] = idx[1:]
+        nxt[-1] = n * n
+    row_end = (idx // n + 1) * n
+    air_after = _next_member(np.nonzero(~solid.reshape(-1))[0], idx, n * n)
+    end = np.minimum(np.minimum(nxt, row_end), air_after)
+    length = end - idx
+
+    z0 = idx // n
+    x0 = idx % n
+    rl = yz.reshape(-1)[idx]
+    rh = hz.reshape(-1)[idx]
+
+    # split each run's [ylo, h) vertically into chunks of max_tall
+    tall = rh - rl
+    chunks = (tall + max_tall - 1) // max_tall
+    total = int(chunks.sum())
+    ends = np.cumsum(chunks)
+    starts_c = ends - chunks
+    owner = np.searchsorted(ends, np.arange(total, dtype=np.int64),
+                            side="right")
+    k = np.arange(total, dtype=np.int64) - starts_c[owner]
+    ylo_c = rl[owner] + k * max_tall
+    ext_c = np.minimum(rh[owner] - ylo_c, max_tall)
+    lo = np.stack([x0[owner], ylo_c, z0[owner]], axis=1)
+    size = np.stack([length[owner], ext_c, np.ones(total, np.int64)], axis=1)
+
+    # floor voxels (y = 0) not already inside [ylo, h): same x-run merge
+    # keyed only on (ylo > 0, solid)
+    fmask = solid & (yz > 0)
+    fnew = np.ones((n, n), bool)
+    fnew[:, 1:] = (~fmask[:, :-1]) | (xs[:, 1:] % max_strip == 0)
+    fstart = fnew & fmask
+    fidx = np.nonzero(fstart.reshape(-1))[0]
+    fnxt = np.empty_like(fidx)
+    if len(fidx):
+        fnxt[:-1] = fidx[1:]
+        fnxt[-1] = n * n
+    f_after = _next_member(np.nonzero(~fmask.reshape(-1))[0], fidx, n * n)
+    frow_end = (fidx // n + 1) * n
+    flen = np.minimum(np.minimum(fnxt, frow_end), f_after) - fidx
+    flo = np.stack([fidx % n, np.zeros(len(fidx), np.int64), fidx // n],
+                   axis=1)
+    fsize = np.stack([flen, np.ones(len(fidx), np.int64),
+                      np.ones(len(fidx), np.int64)], axis=1)
+
+    lo = np.concatenate([lo, flo]).astype(np.int32)
+    size = np.concatenate([size, fsize]).astype(np.int32)
+    m = len(lo)
+    return BoxSoup(
+        lo=lo, size=size,
+        leaf=np.full(m, leaf, np.int32),
+        rgb=np.broadcast_to(
+            np.asarray(rgb, np.float32)[None, :], (m, 3)
+        ).copy(),
+        height=int(n).bit_length() - 1,
+    )
+
+
+def _next_member(sorted_pos: np.ndarray, query: np.ndarray, fill):
+    """For each query index, the smallest member of sorted_pos >= it
+    (``fill`` if none)."""
+    if len(sorted_pos) == 0 or len(query) == 0:
+        return np.full(len(query), fill, np.int64)
+    p = np.searchsorted(sorted_pos, query)
+    safe = p < len(sorted_pos)
+    return np.where(safe, sorted_pos[np.minimum(p, len(sorted_pos) - 1)],
+                    fill)
+
+
+def terrain_leaf_id(dev: DeviceSvo) -> int:
+    """Slot id of the terrain's (single) block leaf: blocks are exactly
+    the nodes whose solid_leaf points at themselves."""
+    ids = np.nonzero(
+        dev.solid_leaf == np.arange(len(dev.solid_leaf), dtype=np.int64)
+    )[0]
+    assert len(ids) >= 1, "no block leaves in this world"
+    return int(ids[0])
 
 
 def _merge_strips(lo: np.ndarray, leaf: np.ndarray, max_len: int = 16):

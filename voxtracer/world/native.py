@@ -130,6 +130,7 @@ class NativeSvoSpace:
             raise RuntimeError("native SVO library unavailable (no g++?)")
         self._lib = lib
         self._h = lib.vx_new()
+        self.edited = False  # any point edit since construction
 
     def __del__(self):
         if getattr(self, "_h", None):
@@ -177,6 +178,7 @@ class NativeSvoSpace:
         assert all(0 <= int(c) < n for c in p), (
             f"voxel {tuple(p)} outside [0, {n})^3"
         )
+        self.edited = True
         if rgb is None:
             self._lib.vx_set(self._h, int(p[0]), int(p[1]), int(p[2]), 0,
                              0.0, 0.0, 0.0)

@@ -57,6 +57,7 @@ class SvoSpace:
         # tracked once a baseline full serialize exists (_synced)
         self._dirty: set = set()
         self._synced = False
+        self.edited = False  # any point edit since construction
         self.root: Optional[int] = None
 
     # -- construction ------------------------------------------------------
@@ -240,6 +241,7 @@ class SvoSpace:
         elif rgb is None:
             return
 
+        self.edited = True
         new_node = self.create_block(rgb) if rgb is not None else None
         while stack:
             n, idx = stack.pop()
@@ -276,7 +278,8 @@ class SvoSpace:
         self._dirty.clear()
         self._synced = True
         return DeviceSvo(
-            table=table, root=root, height=self.height(), solid_leaf=solid
+            table=table, root=root, height=self.height(), solid_leaf=solid,
+            space=self,
         )
 
     def _write_row(self, row, nid, kind):

@@ -251,4 +251,7 @@ def generate(
         print(f"worldgen in {t2 - t0:.3f}s")
         print(f"world size: {space.mem_usage() / 1024 / 1024:.0f} mib "
               f"({space.num_nodes()} nodes)")
+    # keep the heightmap: unedited terrain worlds get the flagship-scale
+    # heightfield box extraction (world/boxes.py extract_boxes_terrain)
+    space.heights = h
     return space
