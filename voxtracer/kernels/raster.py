@@ -85,7 +85,7 @@ def _mirrored_slab(lo, hi, cam_pos, d, tree_height: int, distance):
 
 @partial(jax.jit, static_argnames=(
     "tree_height", "width_px", "height_px", "cand_k", "fallback_tiles",
-    "near_cap", "near_slots",
+    "near_cap", "near_slots", "mid_slots", "_stage",
 ))
 def raster_cast(
     box_lo,
@@ -100,7 +100,9 @@ def raster_cast(
     cand_k: int = 24,
     fallback_tiles: int = 512,
     near_cap: int = 16384,
-    near_slots: int = 64,
+    near_slots: int = 128,
+    mid_slots: int = 1 << 17,
+    _stage: int = 0,
 ):
     """Rasterize the box soup for one camera; per-pixel nearest hit.
 
@@ -118,9 +120,15 @@ def raster_cast(
       fallback_tiles: static capacity of the incomplete-tile list
         returned for the exact per-ray fallback (``apply_fallback`` /
         ``raster_cast_exact``); exceeding it sets ``overflow``.
-      near_cap/near_slots: boxes covering > near_cap pixels (or with
-        corners behind the camera) take the dense path; at most
-        near_slots of them per frame (excess sets ``overflow``).
+      near_cap/near_slots: boxes covering > near_cap pixels, spanning
+        more than 4x4 tiles, or with corners behind the camera take the
+        dense path; at most near_slots of them per frame (excess sets
+        ``overflow``).
+      mid_slots: capacity of the 16-pair mid tier (boxes spanning more
+        than 2x2 but at most 4x4 tiles); excess sets ``overflow``.
+      _stage: debug-only early return after pipeline stage 1..6 (projection,
+        near selection, near scan, pair expansion, binning, resolve) —
+        used to bisect the axon remote compiler's per-stage cost.
 
     Returns dict: hit (H,W) bool, t (H,W) f32, normal (H,W,3), node (H,W)
     i32 leaf slot (-1 miss), rgb (H,W,3), voxel (H,W,3) i32, overflow ()
@@ -197,8 +205,22 @@ def raster_cast(
     empty = (bw <= 0) | (bh <= 0) | all_behind | outside
     pix_count = jnp.where(empty, 0, bw * bh)
 
-    near = (~empty) & (any_behind | (pix_count > near_cap))
+    # tile spans (needed for tier assignment before the near pass)
+    tx0 = x0 // TILE
+    tx1 = x1 // TILE
+    ty0 = y0 // TILE
+    ty1 = y1 // TILE
+    tw = tx1 - tx0 + 1
+    th = ty1 - ty0 + 1
+
+    # near/dense tier: behind-camera corners, huge pixel coverage, or a
+    # tile span beyond the fixed-arity emission tiers (> 4x4 tiles)
+    near = (~empty) & (
+        any_behind | (pix_count > near_cap) | (tw > 4) | (th > 4)
+    )
     usable = (~empty) & ~near
+    if _stage == 1:  # compile-time bisection aid (`_stage`: see docstring)
+        return dict(pix_count=pix_count, near=near)
 
     # camera->box distance lower bound: for unit-direction rays t equals
     # euclidean distance, so the point-box distance bounds any ray's
@@ -215,6 +237,8 @@ def raster_cast(
     near_idx = jax.lax.sort(near_key)[:near_slots]
     near_valid = near_idx < M
     near_idx = jnp.clip(near_idx, 0, M - 1)
+    if _stage == 2:
+        return dict(near_idx=near_idx, n_near=n_near)
 
     pyg, pxg = vcam.pixel_grid(W, H)
     d_frame = _ray_dirs_for_pixels(pxg, pyg, basis, W, H)  # (H, W, 3)
@@ -235,53 +259,71 @@ def raster_cast(
     (near_t, near_pl), _ = jax.lax.scan(
         near_step, init, jnp.arange(near_slots)
     )
+    if _stage == 3:
+        return dict(near_t=near_t, near_pl=near_pl)
 
-    # ---- (tile, box) pairs ------------------------------------------------
-    tx0 = x0 // TILE
-    tx1 = x1 // TILE
-    ty0 = y0 // TILE
-    ty1 = y1 // TILE
-    tw = tx1 - tx0 + 1
-    tile_count = jnp.where(usable, tw * (ty1 - ty0 + 1), 0)
-    t_off = jnp.cumsum(tile_count)
-    n_pair = t_off[-1]
-    # pair demand <= boxes (>=1 tile each, ~1.5 at sub-tile size) + bbox
-    # area spread over tiles + slack
-    PAIRS = max(2 * M + 8 * NT, 64)
-    # expansion (repeat each box id tile_count times) as scatter-max +
-    # running max: start offsets are monotone, so owner[k] = max over
-    # boxes whose segment starts at or before k. (jnp.repeat's lowering
-    # is another compile sink at these sizes.)
-    starts = jnp.where(tile_count > 0, t_off - tile_count, PAIRS)
-    powner = (
-        jnp.full(PAIRS + 1, -1, jnp.int32)
-        .at[starts].max(jnp.arange(M, dtype=jnp.int32), mode="drop")[:PAIRS]
+    # ---- (tile, box) pairs: FIXED-ARITY emission --------------------------
+    # Data-dependent expansion (cumsum offsets + repeat/scatter+scan) is
+    # the axon remote compiler's tarpit (20+ min for this one stage), so
+    # pairs are emitted with static arity instead — pure iota/select math:
+    #   tier 1 (span <= 2x2 tiles; the vast majority): 4 pairs per box,
+    #     the bbox's corner tiles, duplicates masked exactly;
+    #   tier 2 (span <= 4x4): mid_slots boxes selected by an index sort
+    #     emit 16 pairs each, off-span entries masked;
+    #   larger spans joined the near/dense tier above.
+    tier1 = usable & (tw <= 2) & (th <= 2)
+    tier2 = usable & ~tier1
+    n_t2 = jnp.sum(tier2.astype(jnp.int32))
+    T2 = min(mid_slots, M) if M else 1
+    key2 = jnp.where(tier2, midx, jnp.int32(M))
+    idx2 = jax.lax.sort(key2)[:T2]
+    valid2 = idx2 < M
+    idx2 = jnp.clip(idx2, 0, M - 1)
+
+    k4 = jnp.arange(4, dtype=jnp.int32)
+    dx1 = (k4 & 1)[None, :]
+    dy1 = (k4 >> 1)[None, :]
+    ptx1 = jnp.where(dx1 == 1, tx1[:, None], tx0[:, None])  # (M, 4)
+    pty1 = jnp.where(dy1 == 1, ty1[:, None], ty0[:, None])
+    pv1 = (
+        tier1[:, None]
+        & ((dx1 == 0) | (tx1 > tx0)[:, None])
+        & ((dy1 == 0) | (ty1 > ty0)[:, None])
     )
-    powner = jnp.maximum(
-        jax.lax.associative_scan(jnp.maximum, powner), 0
+    tile1 = jnp.where(pv1, pty1 * TW + ptx1, NT).reshape(M * 4)
+    owner1 = jnp.broadcast_to(midx[:, None], (M, 4)).reshape(M * 4)
+    dmin1 = jnp.where(pv1, dmin_b[:, None], jnp.inf).reshape(M * 4)
+
+    k16 = jnp.arange(16, dtype=jnp.int32)
+    ix2 = (k16 & 3)[None, :]
+    iy2 = (k16 >> 2)[None, :]
+    btx0, btx1 = tx0[idx2], tx1[idx2]
+    bty0, bty1 = ty0[idx2], ty1[idx2]
+    ptx2 = btx0[:, None] + ix2
+    pty2 = bty0[:, None] + iy2
+    pv2 = (
+        valid2[:, None] & (ptx2 <= btx1[:, None]) & (pty2 <= bty1[:, None])
     )
-    col = lambda a: a[:, None].astype(jnp.float32)
-    pair_attr = jnp.concatenate(
-        [col(t_off - tile_count), col(tx0), col(ty0), col(tw),
-         dmin_b[:, None]],
-        axis=1,
-    )  # (M, 5)
-    pa = pair_attr[powner]
+    tile2 = jnp.where(pv2, pty2 * TW + ptx2, NT).reshape(T2 * 16)
+    owner2 = jnp.broadcast_to(idx2[:, None], (T2, 16)).reshape(T2 * 16)
+    dmin2 = jnp.where(pv2, dmin_b[idx2][:, None], jnp.inf).reshape(T2 * 16)
+
+    PAIRS = M * 4 + T2 * 16
+    ptile = jnp.concatenate([tile1, tile2])
+    powner = jnp.concatenate([owner1, owner2])
+    pdmin = jnp.concatenate([dmin1, dmin2]).astype(jnp.float32)
+    n_pair = jnp.sum((ptile < NT).astype(jnp.int32))
     kid = jnp.arange(PAIRS, dtype=jnp.int32)
-    pvalid = kid < n_pair
-    plocal = kid - pa[:, 0].astype(jnp.int32)
-    ptw = jnp.maximum(pa[:, 3].astype(jnp.int32), 1)
-    pty = pa[:, 2].astype(jnp.int32) + plocal // ptw
-    ptx = pa[:, 1].astype(jnp.int32) + plocal % ptw
-    ptile = jnp.where(pvalid, pty * TW + ptx, NT)
-    pdmin = jnp.where(pvalid, pa[:, 4], jnp.float32(jnp.inf))
+    if _stage == 4:
+        return dict(ptile=ptile, pdmin=pdmin, powner=powner)
 
     # ---- nearest-K candidates per tile -------------------------------------
     stile, sdmin, sowner = jax.lax.sort((ptile, pdmin, powner), num_keys=2)
     first = jnp.concatenate([jnp.ones(1, bool), stile[1:] != stile[:-1]])
-    seg_start = jax.lax.associative_scan(
-        jnp.maximum, jnp.where(first, kid, -1)
-    )
+    # running max via lax.cummax (dedicated TPU lowering) — the generic
+    # lax.associative_scan builds log2(PAIRS) levels of multi-MB
+    # slice/pad/concat ops, which stalls the axon remote compiler
+    seg_start = jax.lax.cummax(jnp.where(first, kid, -1))
     rank = kid - seg_start
     keep = (stile < NT) & (rank < K)
     cand = jnp.full(NT * K + 1, -1, jnp.int32).at[
@@ -294,6 +336,8 @@ def raster_cast(
     drop_dmin = jnp.full(NT + 1, jnp.inf, jnp.float32).at[
         jnp.where(dropped, stile, NT)
     ].min(sdmin, mode="drop")[:NT]
+    if _stage == 5:
+        return dict(cand=cand, drop_dmin=drop_dmin)
 
     # ---- dense per-tile resolve --------------------------------------------
     # pixel dirs tiled: (NT, 64, 3); partial tiles padded with clamped
@@ -334,6 +378,8 @@ def raster_cast(
     (tb, plb), _ = jax.lax.scan(
         cand_step, init, cand.T.reshape(K, NT)
     )
+    if _stage == 6:
+        return dict(tb=tb, plb=plb)
 
     # ---- completeness ---------------------------------------------------
     # A tile is provably resolved unless a candidate was dropped nearer
@@ -399,7 +445,7 @@ def raster_cast(
     voxel = jnp.where(hit_px[:, None], voxel, 0)
 
     t_out = jnp.where(hit_px, t_px, 0.0)
-    overflow = (n_pair > PAIRS) | (n_near > near_slots) | (n_fb > NFB)
+    overflow = (n_t2 > T2) | (n_near > near_slots) | (n_fb > NFB)
     shp = (H, W)
     return dict(
         hit=hit_px.reshape(shp),
