@@ -43,7 +43,8 @@ import jax
 import jax.numpy as jnp
 
 from voxtracer.core import camera as vcam
-from voxtracer.kernels.traverse import EPS, FAR, leaf_rgb, svo_raycast
+from voxtracer.kernels.traverse import (EPS, FAR, leaf_rgb,
+                                        svo_raycast_bucketed)
 
 NEAR_EPS = 1.0e-4  # camera-space z below which corners are unprojectable
 TILE = 8  # screen tile edge (pixels)
@@ -85,7 +86,7 @@ def _mirrored_slab(lo, hi, cam_pos, d, tree_height: int, distance):
 
 @partial(jax.jit, static_argnames=(
     "tree_height", "width_px", "height_px", "cand_k", "fallback_tiles",
-    "near_cap", "near_slots", "mid_slots", "_stage",
+    "near_cap", "near_slots", "mid_slots", "big_slots", "_stage",
 ))
 def raster_cast(
     box_lo,
@@ -98,10 +99,11 @@ def raster_cast(
     height_px: int,
     distance=FAR,
     cand_k: int = 24,
-    fallback_tiles: int = 512,
+    fallback_tiles: int = 4096,
     near_cap: int = 16384,
-    near_slots: int = 128,
+    near_slots: int = 512,
     mid_slots: int = 1 << 17,
+    big_slots: int = 1 << 14,
     _stage: int = 0,
 ):
     """Rasterize the box soup for one camera; per-pixel nearest hit.
@@ -126,6 +128,8 @@ def raster_cast(
         ``overflow``).
       mid_slots: capacity of the 16-pair mid tier (boxes spanning more
         than 2x2 but at most 4x4 tiles); excess sets ``overflow``.
+      big_slots: capacity of the 64-pair big tier (spans up to 8x8
+        tiles); excess sets ``overflow``.
       _stage: debug-only early return after pipeline stage 1..6 (projection,
         near selection, near scan, pair expansion, binning, resolve) —
         used to bisect the axon remote compiler's per-stage cost.
@@ -214,9 +218,9 @@ def raster_cast(
     th = ty1 - ty0 + 1
 
     # near/dense tier: behind-camera corners, huge pixel coverage, or a
-    # tile span beyond the fixed-arity emission tiers (> 4x4 tiles)
+    # tile span beyond the fixed-arity emission tiers (> 8x8 tiles)
     near = (~empty) & (
-        any_behind | (pix_count > near_cap) | (tw > 4) | (th > 4)
+        any_behind | (pix_count > near_cap) | (tw > 8) | (th > 8)
     )
     usable = (~empty) & ~near
     if _stage == 1:  # compile-time bisection aid (`_stage`: see docstring)
@@ -270,15 +274,23 @@ def raster_cast(
     #     the bbox's corner tiles, duplicates masked exactly;
     #   tier 2 (span <= 4x4): mid_slots boxes selected by an index sort
     #     emit 16 pairs each, off-span entries masked;
+    #   tier 3 (span <= 8x8): big_slots boxes emit 64 pairs each;
     #   larger spans joined the near/dense tier above.
     tier1 = usable & (tw <= 2) & (th <= 2)
-    tier2 = usable & ~tier1
+    tier2 = usable & ~tier1 & (tw <= 4) & (th <= 4)
+    tier3 = usable & ~tier1 & ~tier2
     n_t2 = jnp.sum(tier2.astype(jnp.int32))
+    n_t3 = jnp.sum(tier3.astype(jnp.int32))
     T2 = min(mid_slots, M) if M else 1
+    T3 = min(big_slots, M) if M else 1
     key2 = jnp.where(tier2, midx, jnp.int32(M))
     idx2 = jax.lax.sort(key2)[:T2]
     valid2 = idx2 < M
     idx2 = jnp.clip(idx2, 0, M - 1)
+    key3 = jnp.where(tier3, midx, jnp.int32(M))
+    idx3 = jax.lax.sort(key3)[:T3]
+    valid3 = idx3 < M
+    idx3 = jnp.clip(idx3, 0, M - 1)
 
     k4 = jnp.arange(4, dtype=jnp.int32)
     dx1 = (k4 & 1)[None, :]
@@ -308,10 +320,24 @@ def raster_cast(
     owner2 = jnp.broadcast_to(idx2[:, None], (T2, 16)).reshape(T2 * 16)
     dmin2 = jnp.where(pv2, dmin_b[idx2][:, None], jnp.inf).reshape(T2 * 16)
 
-    PAIRS = M * 4 + T2 * 16
-    ptile = jnp.concatenate([tile1, tile2])
-    powner = jnp.concatenate([owner1, owner2])
-    pdmin = jnp.concatenate([dmin1, dmin2]).astype(jnp.float32)
+    k64 = jnp.arange(64, dtype=jnp.int32)
+    ix3 = (k64 & 7)[None, :]
+    iy3 = (k64 >> 3)[None, :]
+    ctx0, ctx1 = tx0[idx3], tx1[idx3]
+    cty0, cty1 = ty0[idx3], ty1[idx3]
+    ptx3 = ctx0[:, None] + ix3
+    pty3 = cty0[:, None] + iy3
+    pv3 = (
+        valid3[:, None] & (ptx3 <= ctx1[:, None]) & (pty3 <= cty1[:, None])
+    )
+    tile3 = jnp.where(pv3, pty3 * TW + ptx3, NT).reshape(T3 * 64)
+    owner3 = jnp.broadcast_to(idx3[:, None], (T3, 64)).reshape(T3 * 64)
+    dmin3 = jnp.where(pv3, dmin_b[idx3][:, None], jnp.inf).reshape(T3 * 64)
+
+    PAIRS = M * 4 + T2 * 16 + T3 * 64
+    ptile = jnp.concatenate([tile1, tile2, tile3])
+    powner = jnp.concatenate([owner1, owner2, owner3])
+    pdmin = jnp.concatenate([dmin1, dmin2, dmin3]).astype(jnp.float32)
     n_pair = jnp.sum((ptile < NT).astype(jnp.int32))
     kid = jnp.arange(PAIRS, dtype=jnp.int32)
     if _stage == 4:
@@ -445,7 +471,9 @@ def raster_cast(
     voxel = jnp.where(hit_px[:, None], voxel, 0)
 
     t_out = jnp.where(hit_px, t_px, 0.0)
-    overflow = (n_t2 > T2) | (n_near > near_slots) | (n_fb > NFB)
+    overflow = (
+        (n_t2 > T2) | (n_t3 > T3) | (n_near > near_slots) | (n_fb > NFB)
+    )
     shp = (H, W)
     return dict(
         hit=hit_px.reshape(shp),
@@ -457,6 +485,8 @@ def raster_cast(
         overflow=overflow,
         n_pair=n_pair,
         n_near=n_near,
+        n_mid=n_t2,
+        n_big=n_t3,
         n_fallback=n_fb,
         fb_tiles=fb_tiles,
         fb_valid=fb_valid,
@@ -489,9 +519,10 @@ def apply_fallback(
     fd = _ray_dirs_for_pixels(
         jnp.minimum(fpx, W - 1), jnp.minimum(fpy, H - 1), basis, W, H
     )
-    fr = svo_raycast(
+    fr = svo_raycast_bucketed(
         table, root, tree_height, cam_pos, fd, distance=distance,
         active=jnp.broadcast_to(fb_valid[:, None], fpx.shape),
+        min_bucket=2048,
     )
     # the traversal's cap is advisory — enforce it strictly here
     fb_hit = fr["hit"] & (fr["t"] <= distance) & fb_valid[:, None]
