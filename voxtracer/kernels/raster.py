@@ -8,25 +8,32 @@ tile with sorts and dense vector math. Pipeline (all one jit):
 
   1. project every box's corners (dense math), conservative pixel bbox,
      frustum cull;
-  2. expand boxes to 8x8-tile (tile, box) pairs; ONE 2-key sort by
-     (tile, camera-distance lower bound) + a cumulative-max rank scan
-     bins the K nearest candidate boxes per tile — occlusion culling
-     falls out of the K-truncation (hidden hillsides and buried cubes
-     rank behind the surface and are dropped);
-  3. dense resolve: a K-step lax.scan tests all 64 rays of every tile
-     against one candidate box per step — pure VPU math, in-register
-     z-min, no fragment arrays, no data-dependent budgets. The slab test
-     uses the traversal's own mirrored arithmetic (same planes, same
-     f32 ops), so hits are bit-identical to
-     kernels/traverse.svo_raycast away from degenerate edge-grazes;
-  4. completeness: a tile is provably done unless candidates were
-     dropped nearer than its farthest resolved t. Incomplete tiles
-     (deep silhouette stacks; at most ``fallback_tiles`` per frame) are
-     re-resolved exactly by a compacted per-ray ``svo_raycast`` when the
-     node table is supplied;
-  5. boxes that are unprojectable (corners behind the camera) or cover
-     more than ``near_cap`` pixels take a dense full-screen pass instead
-     (a lax.scan over ``near_slots`` boxes).
+  2. emit (tile, box) pairs with FIXED arity by tile-span tier (1/4/16/
+     64/256 pairs for spans up to 1/2/4/8/16 tiles square; one composite
+     index sort selects every tier's boxes); ONE 2-key sort by
+     (tile, camera-distance lower bound) groups each tile's candidates
+     contiguously nearest-first — occlusion culling falls out of
+     K-truncation (hidden hillsides and buried cubes rank behind the
+     surface and are dropped);
+  3. binning is pure position arithmetic on the sorted pairs: a
+     searchsorted finds each tile's segment start and the K nearest
+     candidates are row gathers at [start, start+K) (no multi-million-
+     element scatters — see PERF.md on scatter cost);
+  4. dense resolve: a chunked lax.scan tests all 64 rays of every tile
+     against its candidate boxes — pure VPU math, in-register z-min, no
+     fragment arrays, no data-dependent budgets. The slab test uses the
+     traversal's own mirrored arithmetic (same planes, same f32 ops), so
+     hits are bit-identical to kernels/traverse.svo_raycast away from
+     degenerate edge-grazes. Boxes too near/degenerate to project
+     (corners behind the camera, or spanning > 16x16 tiles) seed the
+     same carry from a dense all-tiles pre-pass;
+  5. completeness: a tile is provably done unless candidates were
+     dropped nearer than its farthest resolved t. Incomplete tiles get a
+     SECOND CHANCE in-jit: their next ``widen_k`` candidates are read
+     from the same sorted segment (position gathers again) and resolved
+     densely. Tiles still incomplete after that (at most
+     ``fallback_tiles``) are re-resolved exactly by a compacted per-ray
+     ``svo_raycast`` when the node table is supplied.
 
 Per-frame cost is O(boxes + pairs + tiles*K), independent of tree depth
 and of fragment counts. Behavioral reference for hit semantics:
@@ -48,6 +55,7 @@ from voxtracer.kernels.traverse import (EPS, FAR, leaf_rgb,
 
 NEAR_EPS = 1.0e-4  # camera-space z below which corners are unprojectable
 TILE = 8  # screen tile edge (pixels)
+CHUNK = 8  # candidate boxes resolved per scan step
 
 
 def _ray_dirs_for_pixels(px, py, basis, width, height):
@@ -85,8 +93,8 @@ def _mirrored_slab(lo, hi, cam_pos, d, tree_height: int, distance):
 
 
 @partial(jax.jit, static_argnames=(
-    "tree_height", "width_px", "height_px", "cand_k", "fallback_tiles",
-    "near_cap", "near_slots", "mid_slots", "big_slots", "_stage",
+    "tree_height", "width_px", "height_px", "cand_k", "widen_k",
+    "widen_tiles", "fallback_tiles", "near_slots", "pair_slots", "_stage",
 ))
 def raster_cast(
     box_lo,
@@ -99,11 +107,13 @@ def raster_cast(
     height_px: int,
     distance=FAR,
     cand_k: int = 24,
-    fallback_tiles: int = 4096,
-    near_cap: int = 16384,
-    near_slots: int = 512,
-    mid_slots: int = 1 << 17,
-    big_slots: int = 1 << 14,
+    widen_k: int = 104,
+    widen_tiles: int = 4096,
+    widen2_k: int = 256,
+    widen2_tiles: int = 512,
+    fallback_tiles: int = 1024,
+    near_slots: int = 64,
+    pair_slots: tuple = (1 << 20, 1 << 16, 1 << 13, 1 << 12),
     _stage: int = 0,
 ):
     """Rasterize the box soup for one camera; per-pixel nearest hit.
@@ -118,25 +128,32 @@ def raster_cast(
       cam_pos/cam_basis: camera (pos (3,), basis (3,3)).
       distance: scalar far cap (strict, unlike the traversal's advisory
         cap — see traverse.svo_raycast).
-      cand_k: candidate boxes kept per tile (nearest-first).
-      fallback_tiles: static capacity of the incomplete-tile list
+      cand_k: candidate boxes resolved per tile first pass (nearest-K).
+      widen_k: extra candidates resolved for tiles the first pass left
+        incomplete (the second-chance pass).
+      widen_tiles: static capacity of the second-chance tile list.
+      widen2_k/widen2_tiles: a third round for tiles still incomplete
+        after the second chance (deep silhouette stacks) — much smaller
+        tile budget, much deeper candidate budget.
+      fallback_tiles: static capacity of the still-incomplete tile list
         returned for the exact per-ray fallback (``apply_fallback`` /
         ``raster_cast_exact``); exceeding it sets ``overflow``.
-      near_cap/near_slots: boxes covering > near_cap pixels, spanning
-        more than 4x4 tiles, or with corners behind the camera take the
-        dense path; at most near_slots of them per frame (excess sets
+      near_slots: capacity of the dense all-tiles pre-pass for boxes with
+        corners behind the camera or spanning > 16x16 tiles (excess sets
         ``overflow``).
-      mid_slots: capacity of the 16-pair mid tier (boxes spanning more
-        than 2x2 but at most 4x4 tiles); excess sets ``overflow``.
-      big_slots: capacity of the 64-pair big tier (spans up to 8x8
-        tiles); excess sets ``overflow``.
-      _stage: debug-only early return after pipeline stage 1..6 (projection,
-        near selection, near scan, pair expansion, binning, resolve) —
-        used to bisect the axon remote compiler's per-stage cost.
+      pair_slots: per-tier box capacities for tile spans up to
+        (2x2, 4x4, 8x8, 16x16); 1x1-span boxes are unbounded (1 pair
+        each). Excess in any tier sets ``overflow``.
+      _stage: debug-only early return after pipeline stage 1..8
+        (projection, tier selection, near pre-pass, pair emission,
+        binning, resolve, widen, untile+winner-gather) — used to bisect
+        the axon remote compiler's / runtime's per-stage cost (each
+        stage program is dead-code-eliminated to that stage's true
+        dependencies).
 
     Returns dict: hit (H,W) bool, t (H,W) f32, normal (H,W,3), node (H,W)
     i32 leaf slot (-1 miss), rgb (H,W,3), voxel (H,W,3) i32, overflow ()
-    bool, n_pair/n_near/n_fallback () i32 demand counters, and
+    bool, n_pair/n_near/n_widen/n_fallback () i32 demand counters, and
     fb_tiles/fb_valid — tiles whose result is not provably complete
     (resolve them with ``apply_fallback`` for exactness; without it they
     may show a farther surface than the true nearest).
@@ -147,9 +164,14 @@ def raster_cast(
     TH = -(-H // TILE)
     NT = TW * TH
     M = box_lo.shape[0]
-    K = cand_k
+    K = -(-cand_k // CHUNK) * CHUNK
+    widen_plan = (
+        (-(-widen_k // CHUNK) * CHUNK, min(widen_tiles, NT)),
+        (-(-widen2_k // CHUNK) * CHUNK, min(widen2_tiles, NT)),
+    )
     NFB = min(fallback_tiles, NT)
-    near_slots = min(near_slots, M) if M else 1
+    NS = max(min(near_slots, M), 1)  # real near capacity
+    NSP = -(-NS // CHUNK) * CHUNK  # padded to whole scan chunks
     cam_pos = jnp.asarray(cam_pos, jnp.float32)
     basis = jnp.asarray(cam_basis, jnp.float32)
 
@@ -207,9 +229,8 @@ def raster_cast(
     bw = x1 - x0 + 1
     bh = y1 - y0 + 1
     empty = (bw <= 0) | (bh <= 0) | all_behind | outside
-    pix_count = jnp.where(empty, 0, bw * bh)
 
-    # tile spans (needed for tier assignment before the near pass)
+    # tile spans (drive the emission tiers)
     tx0 = x0 // TILE
     tx1 = x1 // TILE
     ty0 = y0 // TILE
@@ -217,14 +238,13 @@ def raster_cast(
     tw = tx1 - tx0 + 1
     th = ty1 - ty0 + 1
 
-    # near/dense tier: behind-camera corners, huge pixel coverage, or a
-    # tile span beyond the fixed-arity emission tiers (> 8x8 tiles)
-    near = (~empty) & (
-        any_behind | (pix_count > near_cap) | (tw > 8) | (th > 8)
-    )
+    # dense pre-pass tier: behind-camera corners or a tile span beyond
+    # the fixed-arity emission tiers (> 16x16 tiles; a box that large on
+    # screen is close enough to be worth testing against every tile)
+    near = (~empty) & (any_behind | (tw > 16) | (th > 16))
     usable = (~empty) & ~near
-    if _stage == 1:  # compile-time bisection aid (`_stage`: see docstring)
-        return dict(pix_count=pix_count, near=near)
+    if _stage == 1:  # runtime bisection aid (`_stage`: see docstring)
+        return dict(near=near, usable=usable)
 
     # camera->box distance lower bound: for unit-direction rays t equals
     # euclidean distance, so the point-box distance bounds any ray's
@@ -232,142 +252,41 @@ def raster_cast(
     clamped = jnp.clip(cam_pos, lo_f, hi_f)
     dmin_b = jnp.linalg.norm(clamped - cam_pos, axis=-1)
 
-    # ---- dense pass for near/huge boxes --------------------------------
-    # (sort-based selection of the near-box indices: top_k's TPU lowering
-    # is far slower to compile/run than one i32 sort at these sizes)
-    n_near = jnp.sum(near.astype(jnp.int32))
+    # ---- tier selection: ONE composite sort ----------------------------
+    # tiers: 0 = near/dense, 1..4 = spans <= 2/4/8/16 tiles square
+    # (1x1-span boxes emit their single pair directly, no selection).
+    # Sorting (tier * M + index) groups each tier's box indices
+    # contiguously and in index order; per-tier slot arrays are dynamic
+    # slices at searchsorted segment starts (top_k and per-tier sorts are
+    # strictly slower on TPU).
+    span = jnp.maximum(tw, th)
+    tier = jnp.where(span <= 2, 1,
+                     jnp.where(span <= 4, 2, jnp.where(span <= 8, 3, 4)))
+    tier = jnp.where(near, 0, jnp.where(usable & (span > 1), tier, 5))
     midx = jnp.arange(M, dtype=jnp.int32)
-    near_key = jnp.where(near, midx, jnp.int32(M))
-    near_idx = jax.lax.sort(near_key)[:near_slots]
-    near_valid = near_idx < M
-    near_idx = jnp.clip(near_idx, 0, M - 1)
+    csort = jax.lax.sort(tier * M + midx)
+    seg = jnp.searchsorted(
+        csort, jnp.arange(1, 6, dtype=jnp.int32) * M
+    ).astype(jnp.int32)
+    n_near = seg[0]
+    n_tier = jnp.concatenate([seg[:1], jnp.diff(seg)])  # [near, t1..t4]
+
+    def tier_slots(k: int, slots: int):
+        S = max(min(slots, M), 1)
+        v = jax.lax.dynamic_slice(csort, (seg[k - 1],), (S,))
+        valid = (v >= k * M) & (v < (k + 1) * M)
+        return jnp.where(valid, v - k * M, 0), valid
+
+    near_v = jnp.concatenate([
+        csort[:NS], jnp.full(NSP - NS, 6 * M, jnp.int32)
+    ])
+    near_valid = near_v < M
+    near_idx = jnp.where(near_valid, near_v, 0)
     if _stage == 2:
-        return dict(near_idx=near_idx, n_near=n_near)
+        return dict(near_idx=near_idx, n_near=n_near, n_tier=n_tier)
 
-    pyg, pxg = vcam.pixel_grid(W, H)
-    d_frame = _ray_dirs_for_pixels(pxg, pyg, basis, W, H)  # (H, W, 3)
-    d_flat = d_frame.reshape(P, 3)
-
-    def near_step(carry, k):
-        bt, bpl = carry
-        i = near_idx[k]
-        valid = near_valid[k]
-        t, axis, hit = _mirrored_slab(lo_f[i], hi_f[i], cam_pos, d_flat,
-                                      tree_height, distance)
-        t = jnp.where(valid & hit, t, jnp.float32(jnp.inf))
-        pl = (i.astype(jnp.int32) << 2) | axis
-        better = t < bt
-        return (jnp.where(better, t, bt), jnp.where(better, pl, bpl)), None
-
-    init = (jnp.full(P, jnp.inf, jnp.float32), jnp.full(P, -1, jnp.int32))
-    (near_t, near_pl), _ = jax.lax.scan(
-        near_step, init, jnp.arange(near_slots)
-    )
-    if _stage == 3:
-        return dict(near_t=near_t, near_pl=near_pl)
-
-    # ---- (tile, box) pairs: FIXED-ARITY emission --------------------------
-    # Data-dependent expansion (cumsum offsets + repeat/scatter+scan) is
-    # the axon remote compiler's tarpit (20+ min for this one stage), so
-    # pairs are emitted with static arity instead — pure iota/select math:
-    #   tier 1 (span <= 2x2 tiles; the vast majority): 4 pairs per box,
-    #     the bbox's corner tiles, duplicates masked exactly;
-    #   tier 2 (span <= 4x4): mid_slots boxes selected by an index sort
-    #     emit 16 pairs each, off-span entries masked;
-    #   tier 3 (span <= 8x8): big_slots boxes emit 64 pairs each;
-    #   larger spans joined the near/dense tier above.
-    tier1 = usable & (tw <= 2) & (th <= 2)
-    tier2 = usable & ~tier1 & (tw <= 4) & (th <= 4)
-    tier3 = usable & ~tier1 & ~tier2
-    n_t2 = jnp.sum(tier2.astype(jnp.int32))
-    n_t3 = jnp.sum(tier3.astype(jnp.int32))
-    T2 = min(mid_slots, M) if M else 1
-    T3 = min(big_slots, M) if M else 1
-    key2 = jnp.where(tier2, midx, jnp.int32(M))
-    idx2 = jax.lax.sort(key2)[:T2]
-    valid2 = idx2 < M
-    idx2 = jnp.clip(idx2, 0, M - 1)
-    key3 = jnp.where(tier3, midx, jnp.int32(M))
-    idx3 = jax.lax.sort(key3)[:T3]
-    valid3 = idx3 < M
-    idx3 = jnp.clip(idx3, 0, M - 1)
-
-    k4 = jnp.arange(4, dtype=jnp.int32)
-    dx1 = (k4 & 1)[None, :]
-    dy1 = (k4 >> 1)[None, :]
-    ptx1 = jnp.where(dx1 == 1, tx1[:, None], tx0[:, None])  # (M, 4)
-    pty1 = jnp.where(dy1 == 1, ty1[:, None], ty0[:, None])
-    pv1 = (
-        tier1[:, None]
-        & ((dx1 == 0) | (tx1 > tx0)[:, None])
-        & ((dy1 == 0) | (ty1 > ty0)[:, None])
-    )
-    tile1 = jnp.where(pv1, pty1 * TW + ptx1, NT).reshape(M * 4)
-    owner1 = jnp.broadcast_to(midx[:, None], (M, 4)).reshape(M * 4)
-    dmin1 = jnp.where(pv1, dmin_b[:, None], jnp.inf).reshape(M * 4)
-
-    k16 = jnp.arange(16, dtype=jnp.int32)
-    ix2 = (k16 & 3)[None, :]
-    iy2 = (k16 >> 2)[None, :]
-    btx0, btx1 = tx0[idx2], tx1[idx2]
-    bty0, bty1 = ty0[idx2], ty1[idx2]
-    ptx2 = btx0[:, None] + ix2
-    pty2 = bty0[:, None] + iy2
-    pv2 = (
-        valid2[:, None] & (ptx2 <= btx1[:, None]) & (pty2 <= bty1[:, None])
-    )
-    tile2 = jnp.where(pv2, pty2 * TW + ptx2, NT).reshape(T2 * 16)
-    owner2 = jnp.broadcast_to(idx2[:, None], (T2, 16)).reshape(T2 * 16)
-    dmin2 = jnp.where(pv2, dmin_b[idx2][:, None], jnp.inf).reshape(T2 * 16)
-
-    k64 = jnp.arange(64, dtype=jnp.int32)
-    ix3 = (k64 & 7)[None, :]
-    iy3 = (k64 >> 3)[None, :]
-    ctx0, ctx1 = tx0[idx3], tx1[idx3]
-    cty0, cty1 = ty0[idx3], ty1[idx3]
-    ptx3 = ctx0[:, None] + ix3
-    pty3 = cty0[:, None] + iy3
-    pv3 = (
-        valid3[:, None] & (ptx3 <= ctx1[:, None]) & (pty3 <= cty1[:, None])
-    )
-    tile3 = jnp.where(pv3, pty3 * TW + ptx3, NT).reshape(T3 * 64)
-    owner3 = jnp.broadcast_to(idx3[:, None], (T3, 64)).reshape(T3 * 64)
-    dmin3 = jnp.where(pv3, dmin_b[idx3][:, None], jnp.inf).reshape(T3 * 64)
-
-    PAIRS = M * 4 + T2 * 16 + T3 * 64
-    ptile = jnp.concatenate([tile1, tile2, tile3])
-    powner = jnp.concatenate([owner1, owner2, owner3])
-    pdmin = jnp.concatenate([dmin1, dmin2, dmin3]).astype(jnp.float32)
-    n_pair = jnp.sum((ptile < NT).astype(jnp.int32))
-    kid = jnp.arange(PAIRS, dtype=jnp.int32)
-    if _stage == 4:
-        return dict(ptile=ptile, pdmin=pdmin, powner=powner)
-
-    # ---- nearest-K candidates per tile -------------------------------------
-    stile, sdmin, sowner = jax.lax.sort((ptile, pdmin, powner), num_keys=2)
-    first = jnp.concatenate([jnp.ones(1, bool), stile[1:] != stile[:-1]])
-    # running max via lax.cummax (dedicated TPU lowering) — the generic
-    # lax.associative_scan builds log2(PAIRS) levels of multi-MB
-    # slice/pad/concat ops, which stalls the axon remote compiler
-    seg_start = jax.lax.cummax(jnp.where(first, kid, -1))
-    rank = kid - seg_start
-    keep = (stile < NT) & (rank < K)
-    cand = jnp.full(NT * K + 1, -1, jnp.int32).at[
-        jnp.where(keep, stile * K + rank, NT * K)
-    ].set(sowner, mode="drop")[:NT * K].reshape(NT, K)
-    # nearest dropped candidate per tile (inf = nothing dropped): if it
-    # lies nearer than the tile's farthest resolved t, the tile is not
-    # provably complete and takes the exact fallback.
-    dropped = (stile < NT) & (rank >= K)
-    drop_dmin = jnp.full(NT + 1, jnp.inf, jnp.float32).at[
-        jnp.where(dropped, stile, NT)
-    ].min(sdmin, mode="drop")[:NT]
-    if _stage == 5:
-        return dict(cand=cand, drop_dmin=drop_dmin)
-
-    # ---- dense per-tile resolve --------------------------------------------
-    # pixel dirs tiled: (NT, 64, 3); partial tiles padded with clamped
-    # pixels (their results are discarded on reassembly)
+    # padded per-tile ray directions: (NT, 64, 3); partial tiles padded
+    # with clamped pixels (their results are discarded on reassembly)
     WP, HP = TW * TILE, TH * TILE
     pyp, pxp = jnp.meshgrid(
         jnp.arange(HP, dtype=jnp.int32), jnp.arange(WP, dtype=jnp.int32),
@@ -385,43 +304,197 @@ def raster_cast(
 
     cand_geom = jnp.concatenate([lo_f, size_f], axis=1)  # (M, 6)
 
-    def cand_step(carry, ck):
+    # ---- dense pre-pass: near boxes vs every tile (chunked scan) -------
+    def near_chunk(carry, xs):
         bt, bpl = carry
-        g = cand_geom[jnp.clip(ck, 0, None)]  # (NT, 6)
+        idx, valid = xs  # (CHUNK,)
+        g = cand_geom[idx]  # (CHUNK, 6)
+        glo = g[:, 0:3][None, :, None, :]
+        ghi = glo + g[:, 3:6][None, :, None, :]
         t, axis, hit = _mirrored_slab(
-            g[:, None, 0:3], g[:, None, 0:3] + g[:, None, 3:6],
-            cam_pos, d_t, tree_height, distance,
-        )
-        t = jnp.where((ck >= 0)[:, None] & hit, t, jnp.float32(jnp.inf))
-        pl = (ck[:, None] << 2) | axis
-        better = t < bt
-        return (jnp.where(better, t, bt), jnp.where(better, pl, bpl)), None
+            glo, ghi, cam_pos, d_t[:, None, :, :], tree_height, distance,
+        )  # (NT, CHUNK, 64)
+        t = jnp.where(valid[None, :, None] & hit, t, jnp.float32(jnp.inf))
+        k_best = jnp.argmin(t, axis=1)
+        t_k = jnp.min(t, axis=1)
+        pl = (idx[None, :, None] << 2) | axis
+        onehot = k_best[:, None, :] == jnp.arange(CHUNK)[None, :, None]
+        pl_k = jnp.sum(jnp.where(onehot, pl, 0), axis=1)
+        better = t_k < bt
+        return (
+            jnp.where(better, t_k, bt), jnp.where(better, pl_k, bpl)
+        ), None
 
-    init = (
+    carry0 = (
         jnp.full((NT, TILE * TILE), jnp.inf, jnp.float32),
         jnp.full((NT, TILE * TILE), -1, jnp.int32),
     )
-    (tb, plb), _ = jax.lax.scan(
-        cand_step, init, cand.T.reshape(K, NT)
+    carry, _ = jax.lax.scan(
+        near_chunk, carry0,
+        (near_idx.reshape(-1, CHUNK), near_valid.reshape(-1, CHUNK)),
     )
+    if _stage == 3:
+        return dict(near_t=carry[0], near_pl=carry[1])
+
+    # ---- (tile, box) pairs: FIXED-ARITY emission ------------------------
+    # Data-dependent expansion (cumsum offsets + repeat/scatter+scan) is
+    # the axon remote compiler's tarpit (20+ min for this one stage), so
+    # pairs are emitted with static arity: 1x1-span boxes contribute
+    # their single pair unconditionally; larger spans emit span^2 pairs
+    # from their tier's slot array, off-span entries masked.
+    tier_list = []  # (tile, owner, dmin) triples
+
+    one = usable & (span <= 1)
+    tier_list.append((
+        jnp.where(one, ty0 * TW + tx0, NT),
+        midx,
+        jnp.where(one, dmin_b, jnp.inf),
+    ))
+
+    for k, (slots, sp) in enumerate(zip(pair_slots, (2, 4, 8, 16)), 1):
+        idx, valid = tier_slots(k, slots)
+        kk = jnp.arange(sp * sp, dtype=jnp.int32)
+        ix = (kk % sp)[None, :]
+        iy = (kk // sp)[None, :]
+        etx0, etx1 = tx0[idx], tx1[idx]
+        ety0, ety1 = ty0[idx], ty1[idx]
+        ptx = etx0[:, None] + ix
+        pty = ety0[:, None] + iy
+        pv = valid[:, None] & (ptx <= etx1[:, None]) & (pty <= ety1[:, None])
+        S = idx.shape[0]
+        tier_list.append((
+            jnp.where(pv, pty * TW + ptx, NT).reshape(S * sp * sp),
+            jnp.broadcast_to(idx[:, None], (S, sp * sp)).reshape(-1),
+            jnp.where(pv, dmin_b[idx][:, None], jnp.inf).reshape(-1),
+        ))
+
+    ptile = jnp.concatenate([t for t, _, _ in tier_list])
+    powner = jnp.concatenate([o for _, o, _ in tier_list])
+    pdmin = jnp.concatenate([d for _, _, d in tier_list]).astype(jnp.float32)
+    PAIRS = ptile.shape[0]
+    n_pair = jnp.sum((ptile < NT).astype(jnp.int32))
+    if _stage == 4:
+        return dict(ptile=ptile, pdmin=pdmin, powner=powner)
+
+    # ---- binning: sort once, then pure position arithmetic --------------
+    # Pairs sorted by (tile, dmin) put each tile's candidates in one
+    # contiguous nearest-first segment; segment starts come from a
+    # searchsorted (binary search: log2(PAIRS) small gathers) and the
+    # K nearest candidates are row gathers at [start, start+K). This
+    # replaces the scatter-based binning that dominated the frame
+    # (multi-million-source scatters run ~9 ns/element, PERF.md).
+    stile, sdmin, sowner = jax.lax.sort((ptile, pdmin, powner), num_keys=2)
+    spacked = jnp.stack([stile, sowner], axis=1)  # (PAIRS, 2) one-gather rows
+    tix = jnp.arange(NT, dtype=jnp.int32)
+    seg_start = jnp.searchsorted(stile, tix).astype(jnp.int32)
+    pos = jnp.minimum(
+        seg_start[:, None] + jnp.arange(K, dtype=jnp.int32), PAIRS - 1
+    )
+    g = spacked[pos]  # (NT, K, 2)
+    cand = jnp.where(g[..., 0] == tix[:, None], g[..., 1], -1)
+    # nearest dropped candidate per tile (inf = nothing dropped): the
+    # segment is dmin-ascending, so it is exactly the entry at rank K.
+    posk = jnp.minimum(seg_start + K, PAIRS - 1)
+    drop_dmin = jnp.where(stile[posk] == tix, sdmin[posk], jnp.float32(jnp.inf))
+    if _stage == 5:
+        return dict(cand=cand, drop_dmin=drop_dmin)
+
+    # ---- dense per-tile resolve (chunked scan, CHUNK boxes/step) --------
+    def resolve_scan(carry_in, cand_mat, d_loc):
+        """Fold cand_mat (N, Kx) candidate boxes into the (N, 64) best-hit
+        carry, CHUNK boxes per scan step (keeps per-step HBM traffic to
+        one read of d_loc + one carry round-trip)."""
+
+        def step(c, ck):
+            bt, bpl = c
+            g = cand_geom[jnp.clip(ck, 0, None)]  # (N, CHUNK, 6)
+            glo = g[..., 0:3][:, :, None, :]
+            ghi = glo + g[..., 3:6][:, :, None, :]
+            t, axis, hit = _mirrored_slab(
+                glo, ghi, cam_pos, d_loc[:, None, :, :], tree_height,
+                distance,
+            )  # (N, CHUNK, 64)
+            t = jnp.where(
+                (ck >= 0)[:, :, None] & hit, t, jnp.float32(jnp.inf)
+            )
+            k_best = jnp.argmin(t, axis=1)
+            t_k = jnp.min(t, axis=1)
+            pl = (ck[:, :, None] << 2) | axis
+            onehot = k_best[:, None, :] == jnp.arange(CHUNK)[None, :, None]
+            pl_k = jnp.sum(jnp.where(onehot, pl, 0), axis=1)
+            better = t_k < bt
+            return (
+                jnp.where(better, t_k, bt), jnp.where(better, pl_k, bpl)
+            ), None
+
+        N, Kx = cand_mat.shape
+        out, _ = jax.lax.scan(
+            step, carry_in,
+            cand_mat.reshape(N, Kx // CHUNK, CHUNK).transpose(1, 0, 2),
+        )
+        return out
+
+    tb, plb = resolve_scan(carry, cand, d_t)
     if _stage == 6:
         return dict(tb=tb, plb=plb)
 
-    # ---- completeness ---------------------------------------------------
+    # ---- widen rounds: deepen K for tiles not provably complete ---------
     # A tile is provably resolved unless a candidate was dropped nearer
-    # than its farthest resolved t; such tiles are listed for the exact
-    # per-ray fallback (apply_fallback — a separate jit so this program
-    # stays free of the traversal's while_loop).
-    tile_max_t = jnp.max(jnp.where(ok_t, tb, -jnp.inf), axis=1)
-    incomplete = jnp.isfinite(drop_dmin) & (drop_dmin < tile_max_t)
-    n_fb = jnp.sum(incomplete.astype(jnp.int32))
-    fb_key = jnp.where(incomplete, jnp.arange(NT, dtype=jnp.int32),
-                       jnp.int32(NT))
+    # than its farthest resolved t. Such tiles re-enter the same dense
+    # resolve with the NEXT candidates of their sorted segment — no
+    # rebinning, just position gathers at [start+consumed, +k_extra).
+    # Two rounds: many tiles / modest depth, then few tiles / deep.
+    consumed = jnp.full(NT, K, jnp.int32)
+    drop_cur = drop_dmin
+    n_widen = jnp.int32(0)
+    for rnd, (k_extra, NWr) in enumerate(widen_plan):
+        tile_max = jnp.max(jnp.where(ok_t, tb, -jnp.inf), axis=1)
+        incomplete = jnp.isfinite(drop_cur) & (drop_cur < tile_max)
+        if rnd == 0:
+            n_widen = jnp.sum(incomplete.astype(jnp.int32))
+        wkey = jnp.where(incomplete, tix, jnp.int32(NT))
+        wt = jax.lax.sort(wkey)[:NWr]
+        wvalid = wt < NT
+        wt_c = jnp.where(wvalid, wt, 0)
+        pos2 = jnp.minimum(
+            seg_start[wt_c][:, None] + consumed[wt_c][:, None]
+            + jnp.arange(k_extra, dtype=jnp.int32),
+            PAIRS - 1,
+        )
+        g2 = spacked[pos2]  # (NWr, k_extra, 2)
+        cand2 = jnp.where(
+            wvalid[:, None] & (g2[..., 0] == wt_c[:, None]), g2[..., 1], -1
+        )
+        t2, pl2 = resolve_scan(
+            (tb[wt_c], plb[wt_c]), cand2, d_t[wt_c]
+        )
+        wix = jnp.where(wvalid, wt, NT)
+        row_put = lambda dst, src: jnp.concatenate(
+            [dst, jnp.zeros_like(dst[:1])]
+        ).at[wix].set(src, mode="drop")[:NT]
+        tb = row_put(tb, t2)
+        plb = row_put(plb, pl2)
+        widened = jnp.zeros(NT + 1, bool).at[wix].set(
+            True, mode="drop")[:NT]
+        consumed = jnp.where(widened, consumed + k_extra, consumed)
+        posr = jnp.minimum(seg_start + consumed, PAIRS - 1)
+        dropr = jnp.where(
+            stile[posr] == tix, sdmin[posr], jnp.float32(jnp.inf)
+        )
+        drop_cur = jnp.where(widened, dropr, drop_cur)
+    if _stage == 7:
+        return dict(tb=tb, plb=plb)
+
+    # residual incompleteness goes to the exact per-ray fallback
+    tile_max2 = jnp.max(jnp.where(ok_t, tb, -jnp.inf), axis=1)
+    still = jnp.isfinite(drop_cur) & (drop_cur < tile_max2)
+    n_fb = jnp.sum(still.astype(jnp.int32))
+    fb_key = jnp.where(still, tix, jnp.int32(NT))
     fb_tiles = jax.lax.sort(fb_key)[:NFB]
     fb_valid = fb_tiles < NT
-    fb_tiles = jnp.clip(fb_tiles, 0, NT - 1)
+    fb_tiles = jnp.where(fb_valid, fb_tiles, 0)
 
-    # ---- reassemble dense frame ---------------------------------------------
+    # ---- reassemble dense frame -----------------------------------------
     def untile(a):
         return a.reshape(TH, TW, TILE, TILE).transpose(0, 2, 1, 3).reshape(
             HP, WP
@@ -429,18 +502,21 @@ def raster_cast(
 
     t_px = untile(tb)
     pl_px = untile(plb)
-    use_near = near_t < t_px
-    t_px = jnp.where(use_near, near_t, t_px)
-    pl_px = jnp.where(use_near, near_pl, pl_px)
     hit_px = jnp.isfinite(t_px) & (pl_px >= 0)
 
     win_owner = jnp.where(hit_px, pl_px >> 2, 0)
     win_axis = jnp.where(hit_px, pl_px & 3, 3)
-    shade = box_attr[win_owner]  # (P, 4) gather
+    # ONE row gather per pixel for every winner attribute (row gathers
+    # cost ~13 ns regardless of width, PERF.md — never gather thrice)
+    packed_attr = jnp.concatenate([box_attr, lo_f, size_f], axis=1)
+    win = packed_attr[win_owner]  # (P, 10)
+    if _stage == 8:
+        return dict(t_px=t_px, pl_px=pl_px, win=win)
     node = jnp.where(
-        hit_px, jax.lax.bitcast_convert_type(shade[:, 0], jnp.int32), -1
+        hit_px, jax.lax.bitcast_convert_type(win[:, 0], jnp.int32), -1
     )
-    rgb = jnp.where(hit_px[:, None], shade[:, 1:4], 0.0)
+    rgb = jnp.where(hit_px[:, None], win[:, 1:4], 0.0)
+    d_flat = d_pad[:H, :W].reshape(P, 3)
     d_sign = jnp.sign(d_flat)
     normal = jnp.where(
         (win_axis[:, None] == jnp.arange(3, dtype=jnp.int32)[None, :])
@@ -452,9 +528,8 @@ def raster_cast(
     # hit voxel (un-mirrored integer coords) for picking/editing parity:
     # entry-axis coordinate is the hit plane; others floor the entry point
     # (in mirrored space, then un-mirror).
-    wlo = box_lo[win_owner].astype(jnp.float32)
-    wsz = box_size[win_owner].astype(jnp.float32)
-    whi = wlo + wsz
+    wlo = win[:, 4:7]
+    whi = wlo + win[:, 7:10]
     bound_w = jnp.float32(1 << tree_height)
     flip = d_flat < 0.0
     dd = jnp.maximum(jnp.abs(d_flat), EPS)
@@ -472,7 +547,8 @@ def raster_cast(
 
     t_out = jnp.where(hit_px, t_px, 0.0)
     overflow = (
-        (n_t2 > T2) | (n_t3 > T3) | (n_near > near_slots) | (n_fb > NFB)
+        jnp.any(n_tier > jnp.asarray((NS,) + pair_slots))
+        | (n_fb > NFB)
     )
     shp = (H, W)
     return dict(
@@ -485,8 +561,8 @@ def raster_cast(
         overflow=overflow,
         n_pair=n_pair,
         n_near=n_near,
-        n_mid=n_t2,
-        n_big=n_t3,
+        n_tier=n_tier,
+        n_widen=n_widen,
         n_fallback=n_fb,
         fb_tiles=fb_tiles,
         fb_valid=fb_valid,

@@ -77,12 +77,13 @@ def extract_boxes(dev: DeviceSvo, cull_enclosed: bool = True,
     # above 2048^3 skip it rather than blow memory
     cull_enclosed = cull_enclosed and H <= 11
 
-    # flagship-scale worlds: unedited terrain takes the heightfield path
-    # (exposed-set extraction; first-hit-equivalent — see
-    # extract_boxes_terrain), where instance enumeration would explode
+    # unedited terrain takes the heightfield path (exposed-set extraction
+    # with column + rectangle merging; first-hit-equivalent — see
+    # extract_boxes_terrain): ~4x fewer boxes than instance enumeration,
+    # and the only feasible route at flagship scale (8192^3)
     space = getattr(dev, "space", None)
     heights = getattr(space, "heights", None)
-    if H > 11 and heights is not None and not getattr(space, "edited", False):
+    if heights is not None and not getattr(space, "edited", False):
         leaf = terrain_leaf_id(dev)
         rgb = np.ascontiguousarray(table[leaf, :3]).view(np.float32)
         return extract_boxes_terrain(heights, leaf, rgb,
@@ -261,6 +262,13 @@ def extract_boxes_terrain(heights: np.ndarray, leaf: int, rgb,
     rl = yz.reshape(-1)[idx]
     rh = hz.reshape(-1)[idx]
 
+    # merge identical x-runs across consecutive z into rectangles (greedy
+    # meshing's second axis): flat regions collapse to one box per
+    # max_strip x max_strip patch. Exact for the same reason strips are —
+    # the union of same-color adjacent runs is itself a uniform box.
+    g, zlen = _merge_z(z0, (x0, rl, rh, length), max_depth=max_strip)
+    z0, x0, rl, rh, length = z0[g], x0[g], rl[g], rh[g], length[g]
+
     # split each run's [ylo, h) vertically into chunks of max_tall
     tall = rh - rl
     chunks = (tall + max_tall - 1) // max_tall
@@ -273,7 +281,7 @@ def extract_boxes_terrain(heights: np.ndarray, leaf: int, rgb,
     ylo_c = rl[owner] + k * max_tall
     ext_c = np.minimum(rh[owner] - ylo_c, max_tall)
     lo = np.stack([x0[owner], ylo_c, z0[owner]], axis=1)
-    size = np.stack([length[owner], ext_c, np.ones(total, np.int64)], axis=1)
+    size = np.stack([length[owner], ext_c, zlen[owner]], axis=1)
 
     # floor voxels (y = 0) not already inside [ylo, h): same x-run merge
     # keyed only on (ylo > 0, solid)
@@ -289,10 +297,12 @@ def extract_boxes_terrain(heights: np.ndarray, leaf: int, rgb,
     f_after = _next_member(np.nonzero(~fmask.reshape(-1))[0], fidx, n * n)
     frow_end = (fidx // n + 1) * n
     flen = np.minimum(np.minimum(fnxt, frow_end), f_after) - fidx
-    flo = np.stack([fidx % n, np.zeros(len(fidx), np.int64), fidx // n],
-                   axis=1)
-    fsize = np.stack([flen, np.ones(len(fidx), np.int64),
-                      np.ones(len(fidx), np.int64)], axis=1)
+    fx0 = fidx % n
+    fz0 = fidx // n
+    fg, fzlen = _merge_z(fz0, (fx0, flen), max_depth=max_strip)
+    fx0, fz0, flen = fx0[fg], fz0[fg], flen[fg]
+    flo = np.stack([fx0, np.zeros(len(fx0), np.int64), fz0], axis=1)
+    fsize = np.stack([flen, np.ones(len(fx0), np.int64), fzlen], axis=1)
 
     lo = np.concatenate([lo, flo]).astype(np.int32)
     size = np.concatenate([size, fsize]).astype(np.int32)
@@ -305,6 +315,27 @@ def extract_boxes_terrain(heights: np.ndarray, leaf: int, rgb,
         ).copy(),
         height=int(n).bit_length() - 1,
     )
+
+
+def _merge_z(z0: np.ndarray, keys: tuple, max_depth: int = 16):
+    """Group entries with identical ``keys`` at consecutive z into one
+    box of z-extent == group size (split at aligned ``max_depth``
+    boundaries). Returns (indices of group starts, int64 z-extents)."""
+    m = len(z0)
+    if m == 0:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    order = np.lexsort((z0,) + keys)
+    adj = np.zeros(m, bool)
+    if m > 1:
+        same = np.ones(m - 1, bool)
+        for kk in keys:
+            ks = kk[order]
+            same &= ks[1:] == ks[:-1]
+        zs = z0[order]
+        adj[1:] = same & (zs[1:] == zs[:-1] + 1) & (zs[1:] % max_depth != 0)
+    starts = np.nonzero(~adj)[0]
+    ends = np.r_[starts[1:], m]
+    return order[starts], (ends - starts).astype(np.int64)
 
 
 def _next_member(sorted_pos: np.ndarray, query: np.ndarray, fill):
