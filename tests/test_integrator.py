@@ -203,3 +203,34 @@ def test_compaction_bit_identical(rng):
     # lane's state advanced from the seed
     assert st_b.shape == state.shape and st_b.dtype == state.dtype
     assert not np.array_equal(np.asarray(st_b), np.asarray(state))
+
+
+def test_soup_primary_matches_per_ray():
+    """render_sample with the rasterized first bounce reproduces the plain
+    path tracer (same RNG stream; jittered primary rays resolved by the
+    box rasterizer — kernels/raster.py; differences only at edge-graze
+    pixels)."""
+    from voxtracer.kernels.raster import pack_box_attr
+    from voxtracer.world import worldgen
+    from voxtracer.world.boxes import extract_boxes
+
+    space = worldgen.generate(log2_size=6, verbose=False, backend="python")
+    dev = space.serialize()
+    table = jnp.asarray(dev.table.view(np.int32))
+    root = np.int32(dev.root)
+    soup = extract_boxes(dev)
+    soup_args = (jnp.asarray(soup.lo), jnp.asarray(soup.size),
+                 jnp.asarray(pack_box_attr(soup)))
+    cam = vcam.Camera(pos=(12.123, 25.071, 5.043), yaw=-5.38, pitch=0.22)
+    seed = jnp.asarray(np.array([11, 22, 33], np.uint32))
+    sun = sun_vec()
+    kw = dict(max_bounces=3, fog_steps=8)
+    a = render_sample(table, root, dev.height, LUT,
+                      np.asarray(cam.pos, np.float32), cam.basis(), sun,
+                      seed, 64, 40, **kw)
+    b = render_sample(table, root, dev.height, LUT,
+                      np.asarray(cam.pos, np.float32), cam.basis(), sun,
+                      seed, 64, 40, soup=soup_args, **kw)
+    aa, bb = np.asarray(a), np.asarray(b)
+    differ = ~np.isclose(aa, bb, rtol=1e-5, atol=1e-4)
+    assert differ.mean() < 0.01, f"{differ.mean():.2%} differ"

@@ -289,6 +289,7 @@ def render_sample(
     fog_steps: int = 64,
     row_tiles: int = 1,
     aug=None,
+    soup=None,
     bitworld=None,
     bit_size: int = 0,
 ):
@@ -304,6 +305,13 @@ def render_sample(
     ``aug``: optional augmented node rows (kernels.beam.build_aug_table);
     when given (and the band is 8-aligned) the coherent first bounce is
     cast by the beam engine instead of per-ray traversal.
+
+    ``soup``: optional (box_lo, box_size, box_attr) box-soup arrays
+    (world.boxes / kernels.raster.pack_box_attr); when given and the
+    call renders the full frame, the first bounce is cast by the
+    gather-free rasterizer on the jittered primary rays (fastest
+    primary engine — PERF.md) and takes precedence over ``aug``.
+    Callers must not combine ``soup`` with a row band (row0 != 0).
     """
     from voxtracer.core import camera as vcam
 
@@ -322,7 +330,17 @@ def render_sample(
     pos = jnp.broadcast_to(jnp.asarray(cam_pos, jnp.float32), d.shape)
 
     primary = None
-    if aug is not None:
+    if soup is not None and rows == height_px:
+        from voxtracer.kernels import raster as raster_mod
+
+        pr = raster_mod.raster_cast_exact(
+            soup[0], soup[1], soup[2], jnp.asarray(cam_pos, jnp.float32),
+            cam_basis, height, width_px, height_px, table=table,
+            root=root, ray_dirs=d, want_voxel=False,
+        )
+        primary = dict(hit=pr["hit"], t=pr["t"], normal=pr["normal"],
+                       rgb=pr["rgb"])
+    elif aug is not None:
         from voxtracer.kernels import beam as beam_mod
 
         assert rows % 8 == 0 and width_px % 8 == 0, (
@@ -387,7 +405,7 @@ def render_sample(
 def render_samples(
     table, root, height: int, lut, cam_pos, cam_basis, sun, frame_seeds,
     width_px: int, height_px: int, max_bounces: int = 24,
-    fog_steps: int = 64, row_tiles: int = 1, aug=None,
+    fog_steps: int = 64, row_tiles: int = 1, aug=None, soup=None,
     bitworld=None, bit_size: int = 0,
 ):
     """Accumulate a batch of progressive samples in one device program.
@@ -400,7 +418,7 @@ def render_samples(
         s = render_sample(
             table, root, height, lut, cam_pos, cam_basis, sun, seed,
             width_px, height_px, max_bounces=max_bounces,
-            fog_steps=fog_steps, row_tiles=row_tiles, aug=aug,
+            fog_steps=fog_steps, row_tiles=row_tiles, aug=aug, soup=soup,
             bitworld=bitworld, bit_size=bit_size,
         )
         return acc + s, None

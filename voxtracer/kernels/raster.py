@@ -94,7 +94,8 @@ def _mirrored_slab(lo, hi, cam_pos, d, tree_height: int, distance):
 
 @partial(jax.jit, static_argnames=(
     "tree_height", "width_px", "height_px", "cand_k", "widen_k",
-    "widen_tiles", "fallback_tiles", "near_slots", "pair_slots", "_stage",
+    "widen_tiles", "fallback_tiles", "near_slots", "pair_slots",
+    "want_voxel", "_stage",
 ))
 def raster_cast(
     box_lo,
@@ -112,8 +113,10 @@ def raster_cast(
     widen2_k: int = 256,
     widen2_tiles: int = 512,
     fallback_tiles: int = 1024,
-    near_slots: int = 64,
-    pair_slots: tuple = (1 << 20, 1 << 16, 1 << 13, 1 << 12),
+    near_slots: int = 128,
+    pair_slots: tuple = (1 << 17, 1 << 14, 1 << 12, 1 << 10),
+    ray_dirs=None,
+    want_voxel: bool = True,
     _stage: int = 0,
 ):
     """Rasterize the box soup for one camera; per-pixel nearest hit.
@@ -139,11 +142,20 @@ def raster_cast(
         returned for the exact per-ray fallback (``apply_fallback`` /
         ``raster_cast_exact``); exceeding it sets ``overflow``.
       near_slots: capacity of the dense all-tiles pre-pass for boxes with
-        corners behind the camera or spanning > 16x16 tiles (excess sets
+        corners behind the camera or spanning > 32x32 tiles (excess sets
         ``overflow``).
       pair_slots: per-tier box capacities for tile spans up to
-        (2x2, 4x4, 8x8, 16x16); 1x1-span boxes are unbounded (1 pair
-        each). Excess in any tier sets ``overflow``.
+        (4x4, 8x8, 16x16, 32x32); spans <= 2x2 are unbounded (4 pairs
+        each, emitted unconditionally). Excess in any tier sets
+        ``overflow``.
+      want_voxel: compute the integer hit-voxel output (picking/editing).
+        Shading-only callers (PT primaries, bench) pass False — the
+        un-mirroring math is a measurable slice of the frame.
+      ray_dirs: optional (H, W, 3) world-space unit directions replacing
+        the pixel-center rays — for sub-pixel-jittered path-tracing
+        primaries (render_sample). Each ray must stay within its pixel's
+        footprint (the box bboxes are then padded by the half-pixel
+        jitter range).
       _stage: debug-only early return after pipeline stage 1..8
         (projection, tier selection, near pre-pass, pair emission,
         binning, resolve, widen, untile+winner-gather) — used to bisect
@@ -217,7 +229,8 @@ def raster_cast(
     ly = -v[..., 1] / vz_safe
     pxc = (lx * H + W) * 0.5 - 0.5  # pixel-center coordinate space
     pyc = (ly * H + H) * 0.5 - 0.5
-    pad = 0.01  # fp conservativeness
+    # fp conservativeness; jittered rays roam +-0.5 px off center
+    pad = 0.01 if ray_dirs is None else 0.51
     x0 = jnp.ceil(jnp.min(pxc, axis=1) - pad).astype(jnp.int32)
     x1 = jnp.floor(jnp.max(pxc, axis=1) + pad).astype(jnp.int32)
     y0 = jnp.ceil(jnp.min(pyc, axis=1) - pad).astype(jnp.int32)
@@ -239,9 +252,10 @@ def raster_cast(
     th = ty1 - ty0 + 1
 
     # dense pre-pass tier: behind-camera corners or a tile span beyond
-    # the fixed-arity emission tiers (> 16x16 tiles; a box that large on
+    # the fixed-arity emission tiers (> 32x32 tiles; a box that large on
     # screen is close enough to be worth testing against every tile)
-    near = (~empty) & (any_behind | (tw > 16) | (th > 16))
+    span = jnp.maximum(tw, th)
+    near = (~empty) & (any_behind | (span > 32))
     usable = (~empty) & ~near
     if _stage == 1:  # runtime bisection aid (`_stage`: see docstring)
         return dict(near=near, usable=usable)
@@ -253,16 +267,17 @@ def raster_cast(
     dmin_b = jnp.linalg.norm(clamped - cam_pos, axis=-1)
 
     # ---- tier selection: ONE composite sort ----------------------------
-    # tiers: 0 = near/dense, 1..4 = spans <= 2/4/8/16 tiles square
-    # (1x1-span boxes emit their single pair directly, no selection).
-    # Sorting (tier * M + index) groups each tier's box indices
-    # contiguously and in index order; per-tier slot arrays are dynamic
-    # slices at searchsorted segment starts (top_k and per-tier sorts are
-    # strictly slower on TPU).
-    span = jnp.maximum(tw, th)
-    tier = jnp.where(span <= 2, 1,
-                     jnp.where(span <= 4, 2, jnp.where(span <= 8, 3, 4)))
-    tier = jnp.where(near, 0, jnp.where(usable & (span > 1), tier, 5))
+    # tiers: 0 = near/dense, 1..4 = spans <= 4/8/16/32 tiles square.
+    # Spans <= 2x2 (the vast majority) skip selection entirely — they
+    # emit 4 pairs unconditionally below. Sorting (tier * M + index)
+    # groups each selected tier's box indices contiguously and in index
+    # order; per-tier slot arrays are dynamic slices at searchsorted
+    # segment starts (top_k and per-tier sorts are strictly slower on
+    # TPU).
+    sel = usable & (span > 2)
+    tier = jnp.where(span <= 4, 1,
+                     jnp.where(span <= 8, 2, jnp.where(span <= 16, 3, 4)))
+    tier = jnp.where(near, 0, jnp.where(sel, tier, 5))
     midx = jnp.arange(M, dtype=jnp.int32)
     csort = jax.lax.sort(tier * M + midx)
     seg = jnp.searchsorted(
@@ -293,9 +308,15 @@ def raster_cast(
         indexing="ij",
     )
     pix_ok = (pxp < W) & (pyp < H)
-    d_pad = _ray_dirs_for_pixels(
-        jnp.minimum(pxp, W - 1), jnp.minimum(pyp, H - 1), basis, W, H
-    )
+    if ray_dirs is None:
+        d_pad = _ray_dirs_for_pixels(
+            jnp.minimum(pxp, W - 1), jnp.minimum(pyp, H - 1), basis, W, H
+        )
+    else:
+        d_pad = jnp.pad(
+            jnp.asarray(ray_dirs, jnp.float32),
+            ((0, HP - H), (0, WP - W), (0, 0)), mode="edge",
+        )
     tile_of = lambda a: a.reshape(TH, TILE, TW, TILE, -1).transpose(
         0, 2, 1, 3, 4
     ).reshape(NT, TILE * TILE, -1)
@@ -339,25 +360,39 @@ def raster_cast(
     # ---- (tile, box) pairs: FIXED-ARITY emission ------------------------
     # Data-dependent expansion (cumsum offsets + repeat/scatter+scan) is
     # the axon remote compiler's tarpit (20+ min for this one stage), so
-    # pairs are emitted with static arity: 1x1-span boxes contribute
-    # their single pair unconditionally; larger spans emit span^2 pairs
-    # from their tier's slot array, off-span entries masked.
+    # pairs are emitted with static arity: spans <= 2x2 contribute 4
+    # pairs unconditionally (pure elementwise math on the M arrays — no
+    # gathers; sentinels sort to the end); larger spans emit span^2
+    # pairs from their tier's slot array, with ALL per-box fields read
+    # by ONE packed row gather per slot (element gathers per field were
+    # the whole stage's cost).
     tier_list = []  # (tile, owner, dmin) triples
 
-    one = usable & (span <= 1)
+    small = usable & (span <= 2)
+    k4 = jnp.arange(4, dtype=jnp.int32)
+    sx = (k4 & 1)[None, :]
+    sy = (k4 >> 1)[None, :]
+    ptx1 = tx0[:, None] + sx
+    pty1 = ty0[:, None] + sy
+    pv1 = small[:, None] & (ptx1 <= tx1[:, None]) & (pty1 <= ty1[:, None])
     tier_list.append((
-        jnp.where(one, ty0 * TW + tx0, NT),
-        midx,
-        jnp.where(one, dmin_b, jnp.inf),
+        jnp.where(pv1, pty1 * TW + ptx1, NT).reshape(M * 4),
+        jnp.broadcast_to(midx[:, None], (M, 4)).reshape(-1),
+        jnp.where(pv1, dmin_b[:, None], jnp.inf).reshape(M * 4),
     ))
 
-    for k, (slots, sp) in enumerate(zip(pair_slots, (2, 4, 8, 16)), 1):
+    packed_span = jnp.stack([
+        tx0, tx1, ty0, ty1,
+        jax.lax.bitcast_convert_type(dmin_b, jnp.int32),
+    ], axis=1)  # (M, 5)
+    for k, (slots, sp) in enumerate(zip(pair_slots, (4, 8, 16, 32)), 1):
         idx, valid = tier_slots(k, slots)
+        rows = packed_span[idx]  # (S, 5) one row gather per slot
+        etx0, etx1, ety0, ety1 = (rows[:, i] for i in range(4))
+        edmin = jax.lax.bitcast_convert_type(rows[:, 4], jnp.float32)
         kk = jnp.arange(sp * sp, dtype=jnp.int32)
         ix = (kk % sp)[None, :]
         iy = (kk // sp)[None, :]
-        etx0, etx1 = tx0[idx], tx1[idx]
-        ety0, ety1 = ty0[idx], ty1[idx]
         ptx = etx0[:, None] + ix
         pty = ety0[:, None] + iy
         pv = valid[:, None] & (ptx <= etx1[:, None]) & (pty <= ety1[:, None])
@@ -365,7 +400,7 @@ def raster_cast(
         tier_list.append((
             jnp.where(pv, pty * TW + ptx, NT).reshape(S * sp * sp),
             jnp.broadcast_to(idx[:, None], (S, sp * sp)).reshape(-1),
-            jnp.where(pv, dmin_b[idx][:, None], jnp.inf).reshape(-1),
+            jnp.where(pv, edmin[:, None], jnp.inf).reshape(-1),
         ))
 
     ptile = jnp.concatenate([t for t, _, _ in tier_list])
@@ -508,8 +543,9 @@ def raster_cast(
     win_axis = jnp.where(hit_px, pl_px & 3, 3)
     # ONE row gather per pixel for every winner attribute (row gathers
     # cost ~13 ns regardless of width, PERF.md — never gather thrice)
-    packed_attr = jnp.concatenate([box_attr, lo_f, size_f], axis=1)
-    win = packed_attr[win_owner]  # (P, 10)
+    packed_attr = (jnp.concatenate([box_attr, lo_f, size_f], axis=1)
+                   if want_voxel else box_attr)
+    win = packed_attr[win_owner]  # (P, 10) / (P, 4)
     if _stage == 8:
         return dict(t_px=t_px, pl_px=pl_px, win=win)
     node = jnp.where(
@@ -528,22 +564,27 @@ def raster_cast(
     # hit voxel (un-mirrored integer coords) for picking/editing parity:
     # entry-axis coordinate is the hit plane; others floor the entry point
     # (in mirrored space, then un-mirror).
-    wlo = win[:, 4:7]
-    whi = wlo + win[:, 7:10]
-    bound_w = jnp.float32(1 << tree_height)
-    flip = d_flat < 0.0
-    dd = jnp.maximum(jnp.abs(d_flat), EPS)
-    s0 = jnp.where(flip, bound_w - cam_pos, cam_pos)
-    mlo = jnp.where(flip, bound_w - whi, wlo)
-    mhi = jnp.where(flip, bound_w - wlo, whi)
-    pm = s0 + dd * t_px[:, None]
-    vox_m = jnp.clip(jnp.floor(pm), mlo, mhi - 1.0)
-    on_axis = win_axis[:, None] == jnp.arange(3, dtype=jnp.int32)[None, :]
-    vox_m = jnp.where(on_axis, mlo, vox_m).astype(jnp.int32)
-    voxel = jnp.where(
-        flip, jnp.int32(1 << tree_height) - vox_m - 1, vox_m
-    )
-    voxel = jnp.where(hit_px[:, None], voxel, 0)
+    if want_voxel:
+        wlo = win[:, 4:7]
+        whi = wlo + win[:, 7:10]
+        bound_w = jnp.float32(1 << tree_height)
+        flip = d_flat < 0.0
+        dd = jnp.maximum(jnp.abs(d_flat), EPS)
+        s0 = jnp.where(flip, bound_w - cam_pos, cam_pos)
+        mlo = jnp.where(flip, bound_w - whi, wlo)
+        mhi = jnp.where(flip, bound_w - wlo, whi)
+        pm = s0 + dd * t_px[:, None]
+        vox_m = jnp.clip(jnp.floor(pm), mlo, mhi - 1.0)
+        on_axis = (
+            win_axis[:, None] == jnp.arange(3, dtype=jnp.int32)[None, :]
+        )
+        vox_m = jnp.where(on_axis, mlo, vox_m).astype(jnp.int32)
+        voxel = jnp.where(
+            flip, jnp.int32(1 << tree_height) - vox_m - 1, vox_m
+        )
+        voxel = jnp.where(hit_px[:, None], voxel, 0)
+    else:
+        voxel = jnp.zeros((P, 3), jnp.int32)
 
     t_out = jnp.where(hit_px, t_px, 0.0)
     overflow = (
@@ -572,7 +613,7 @@ def raster_cast(
 @partial(jax.jit, static_argnames=("tree_height", "width_px", "height_px"))
 def apply_fallback(
     res, table, root, tree_height: int, cam_pos, cam_basis,
-    width_px: int, height_px: int, distance=FAR,
+    width_px: int, height_px: int, distance=FAR, ray_dirs=None,
 ):
     """Exact per-ray re-resolve of the tiles raster_cast flagged as not
     provably complete, merged into its result. Its own jit so the
@@ -592,9 +633,14 @@ def apply_fallback(
     lane = jnp.arange(TILE * TILE, dtype=jnp.int32)[None, :]
     fpx = ftx[:, None] * TILE + lane % TILE
     fpy = fty[:, None] * TILE + lane // TILE
-    fd = _ray_dirs_for_pixels(
-        jnp.minimum(fpx, W - 1), jnp.minimum(fpy, H - 1), basis, W, H
-    )
+    if ray_dirs is None:
+        fd = _ray_dirs_for_pixels(
+            jnp.minimum(fpx, W - 1), jnp.minimum(fpy, H - 1), basis, W, H
+        )
+    else:
+        fd = jnp.asarray(ray_dirs, jnp.float32)[
+            jnp.minimum(fpy, H - 1), jnp.minimum(fpx, W - 1)
+        ]
     fr = svo_raycast_bucketed(
         table, root, tree_height, cam_pos, fd, distance=distance,
         active=jnp.broadcast_to(fb_valid[:, None], fpx.shape),
@@ -628,20 +674,28 @@ def apply_fallback(
 def raster_cast_exact(
     box_lo, box_size, box_attr, cam_pos, cam_basis, tree_height: int,
     width_px: int, height_px: int, table=None, root=None, distance=FAR,
-    **kw,
+    ray_dirs=None, **kw,
 ):
     """raster_cast + exact per-ray fallback on incomplete tiles (two
     device programs; pixel-parity with svo_raycast when the node table is
     supplied)."""
     res = raster_cast(
         box_lo, box_size, box_attr, cam_pos, cam_basis, tree_height,
-        width_px, height_px, distance=distance, **kw,
+        width_px, height_px, distance=distance, ray_dirs=ray_dirs, **kw,
     )
     if table is not None and root is not None:
-        res = apply_fallback(
-            res, table, root, tree_height, cam_pos, cam_basis,
-            width_px, height_px, distance=distance,
-        )
+        nfb = res["n_fallback"]
+        # outside a trace, skip the fallback program when no tile needs
+        # it (the no-op program still costs a traversal dispatch). NOTE:
+        # the int() forces a device sync, trading cross-frame dispatch
+        # pipelining for the skip — steady-state throughput loops should
+        # probe n_fallback once and then call raster_cast directly when
+        # their scene never needs the fallback (see bench.py).
+        if isinstance(nfb, jax.core.Tracer) or int(nfb) > 0:
+            res = apply_fallback(
+                res, table, root, tree_height, cam_pos, cam_basis,
+                width_px, height_px, distance=distance, ray_dirs=ray_dirs,
+            )
     return res
 
 

@@ -79,12 +79,19 @@ class Renderer:
         seed: int | None = None,
         row_tiles: int | None = None,
         devices: int | None = None,
+        use_soup: bool = True,
     ):
         """``devices``: shard rendering over the first N JAX devices
         (sample sharding: each chip traces the whole frame with its own
         seed, one psum merges the batch — dist/shard.py). None/1 =
         single-device. Each ``sample()`` call then accumulates N
-        samples."""
+        samples.
+
+        ``use_soup``: cast first bounces with the gather-free box
+        rasterizer (fastest primary engine, kernels/raster.py). The soup
+        is extracted lazily on first sample; point edits disable it (its
+        rebuild would dominate edit latency) until the next
+        ``update_space``."""
         self.table = jnp.asarray(device_svo.table.view(np.int32))
         self.root = np.int32(
             device_svo.root if device_svo.root != 0xFFFFFFFF else -1
@@ -106,6 +113,9 @@ class Renderer:
         self.row_tiles = row_tiles
         self.devices = devices if devices and devices > 1 else None
         self._dist_step = None  # built lazily (and rebuilt after edits)
+        self.use_soup = use_soup
+        self._dev = device_svo
+        self._soup = None  # lazy (box_lo, box_size, box_attr) on device
 
     def update_space(self, device_svo):
         """Re-upload the node table after world edits (fragment.rs:274-313)."""
@@ -116,6 +126,8 @@ class Renderer:
         self.tree_height = device_svo.height
         self.solid_leaf = device_svo.solid_leaf
         self._dist_step = None  # world changed: rebuild the sharded step
+        self._dev = device_svo
+        self._soup = None
         self.acc.invalidate()
 
     def apply_edits(self, space):
@@ -148,7 +160,34 @@ class Renderer:
             self.solid_leaf[rows] = solid
         self.root = np.int32(root if root != 0xFFFFFFFF else -1)
         self._dist_step = None
+        # a point edit invalidates the soup; rebuilding it would dominate
+        # the O(changed nodes) edit path, so drop rasterized primaries
+        # until the next full update_space
+        self._soup = None
+        self.use_soup = False
         self.acc.invalidate()
+
+    def _get_soup(self):
+        """Device box-soup arrays for rasterized primaries (lazy)."""
+        if not self.use_soup:
+            return None
+        if self._soup is None:
+            from voxtracer.kernels.raster import pack_box_attr
+            from voxtracer.world.boxes import extract_boxes
+
+            try:
+                soup = extract_boxes(self._dev)
+            except Exception:
+                self.use_soup = False  # e.g. missing solid_leaf
+                return None
+            if len(soup) == 0:
+                self.use_soup = False
+                return None
+            self._soup = (
+                jnp.asarray(soup.lo), jnp.asarray(soup.size),
+                jnp.asarray(pack_box_attr(soup)),
+            )
+        return self._soup
 
     def _dist(self):
         """The sample-sharded multi-chip step (built lazily)."""
@@ -200,6 +239,7 @@ class Renderer:
             max_bounces=self.max_bounces,
             fog_steps=self.fog_steps,
             row_tiles=self.row_tiles,
+            soup=self._get_soup(),
         )
         self.acc.add(sample)
 
@@ -219,6 +259,7 @@ class Renderer:
             jnp.asarray(sun_unit), jnp.asarray(seeds),
             self.width, self.height, max_bounces=self.max_bounces,
             fog_steps=self.fog_steps, row_tiles=self.row_tiles,
+            soup=self._get_soup(),
         )
         self.acc.buffer = self.acc.buffer + total
         self.acc.samples += k
