@@ -26,6 +26,10 @@ import time
 
 import numpy as np
 
+# above this box count, primaries raster the frustum-culled active set
+# (world/active.py) instead of the whole soup — flagship 8192^3 is ~53M
+ACTIVE_SOUP_THRESHOLD = 4_000_000
+
 
 def _add_common(p):
     p.add_argument("--log2-size", type=int, default=10,
@@ -127,10 +131,22 @@ def cmd_render(args):
 
             soup = extract_boxes(dev)
             print(f"box soup: {len(soup)} boxes")
+            if len(soup) > ACTIVE_SOUP_THRESHOLD:
+                from voxtracer.world.active import ActiveSoup
+
+                act = ActiveSoup(soup, args.width, args.height)
+                soup_args = act.active(np.asarray(cam.pos, np.float32),
+                                       cam.basis())
+                print(f"active set: {act.n_active} boxes"
+                      + (" (OVERFLOW)" if act.overflowed else ""))
+            else:
+                soup_args = (
+                    jnp.asarray(soup.lo), jnp.asarray(soup.size),
+                    jnp.asarray(raster.pack_box_attr(soup)),
+                )
             t0 = time.monotonic()
             img = raster.raster_primary_frame(
-                jnp.asarray(soup.lo), jnp.asarray(soup.size),
-                jnp.asarray(raster.pack_box_attr(soup)), dev.height,
+                *soup_args, dev.height,
                 np.asarray(cam.pos, np.float32), cam.basis(), sun_unit,
                 args.width, args.height, table=table, root=root,
             )

@@ -167,8 +167,12 @@ class Renderer:
         self.use_soup = False
         self.acc.invalidate()
 
-    def _get_soup(self):
-        """Device box-soup arrays for rasterized primaries (lazy)."""
+    ACTIVE_THRESHOLD = 4_000_000  # boxes; above this, frustum-cull
+
+    def _get_soup(self, cam=None):
+        """Device box-soup arrays for rasterized primaries (lazy). Big
+        worlds go through the ActiveSoup frustum cull, refreshed per
+        camera pose (world/active.py)."""
         if not self.use_soup:
             return None
         if self._soup is None:
@@ -183,10 +187,20 @@ class Renderer:
             if len(soup) == 0:
                 self.use_soup = False
                 return None
-            self._soup = (
-                jnp.asarray(soup.lo), jnp.asarray(soup.size),
-                jnp.asarray(pack_box_attr(soup)),
-            )
+            if len(soup) > self.ACTIVE_THRESHOLD:
+                from voxtracer.world.active import ActiveSoup
+
+                self._soup = ActiveSoup(soup, self.width, self.height)
+            else:
+                self._soup = (
+                    jnp.asarray(soup.lo), jnp.asarray(soup.size),
+                    jnp.asarray(pack_box_attr(soup)),
+                )
+        if not isinstance(self._soup, tuple):
+            if cam is None:
+                return None
+            return self._soup.active(np.asarray(cam.pos, np.float32),
+                                     cam.basis())
         return self._soup
 
     def _dist(self):
@@ -239,7 +253,7 @@ class Renderer:
             max_bounces=self.max_bounces,
             fog_steps=self.fog_steps,
             row_tiles=self.row_tiles,
-            soup=self._get_soup(),
+            soup=self._get_soup(cam),
         )
         self.acc.add(sample)
 
@@ -259,7 +273,7 @@ class Renderer:
             jnp.asarray(sun_unit), jnp.asarray(seeds),
             self.width, self.height, max_bounces=self.max_bounces,
             fog_steps=self.fog_steps, row_tiles=self.row_tiles,
-            soup=self._get_soup(),
+            soup=self._get_soup(cam),
         )
         self.acc.buffer = self.acc.buffer + total
         self.acc.samples += k

@@ -1,0 +1,132 @@
+"""Active-set box soup: device-side frustum cull for flagship worlds.
+
+The 8192^3 terrain's exact box soup is ~53M boxes (world/boxes.py) —
+projecting and pair-sorting all of them every frame would dominate the
+rasterizer. This module keeps the FULL soup resident in HBM and
+maintains a compacted *active subset*: boxes that could be hit by any
+ray from cameras near the current pose. The subset refreshes only when
+the camera leaves the validity volume of the last cull, so steady-state
+frames pay zero cull cost.
+
+Conservativeness argument (exactness contract): a box is culled only if
+its bounding sphere lies outside an INFLATED frustum — the actual view
+frustum widened by ``margin_deg`` on every side plus a ``keep_radius``
+ball around the camera. A later frame whose camera has translated less
+than ``keep_radius/2`` and rotated less than ``margin_deg/2`` casts
+every primary ray inside the inflated frustum, so culled boxes cannot
+be first hits, and the active-soup raster frame equals the full-soup
+frame pixel-exactly (tests/test_active.py). Non-primary (bounce/NEE)
+rays must NOT use the active set.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@partial(jax.jit, static_argnames=("cap",))
+def _cull(packed, lo_f, half_f, cam_pos, basis, fx, fy, keep_r, cap: int):
+    """Conservative frustum cull + compaction.
+
+    packed: (M, 10) f32 [attr4, lo3, size3]; lo_f/half_f: (M,3) f32 box
+    low corner / half extents. Returns ((cap,10) rows, n_active).
+    """
+    M = lo_f.shape[0]
+    c = lo_f + half_f  # center
+    r = jnp.linalg.norm(half_f, axis=-1)  # bounding-sphere radius
+    v = (c - cam_pos) @ basis  # camera space (x right, y up, z forward)
+    vx, vy, vz = v[:, 0], v[:, 1], v[:, 2]
+    # inflated side planes: |vx| <= vz*fx (+ sphere slack); the plane
+    # normal norm is sqrt(1+fx^2), so slack = r * sqrt(1+fx^2)
+    sx = r * jnp.sqrt(1.0 + fx * fx)
+    sy = r * jnp.sqrt(1.0 + fy * fy)
+    in_frustum = (
+        (vz * fx + sx >= vx)
+        & (vz * fx + sx >= -vx)
+        & (vz * fy + sy >= vy)
+        & (vz * fy + sy >= -vy)
+        & (vz + r >= 0.0)
+    )
+    near = jnp.linalg.norm(c - cam_pos, axis=-1) <= keep_r + r
+    keep = in_frustum | near
+    n_active = jnp.sum(keep.astype(jnp.int32))
+    midx = jnp.arange(M, dtype=jnp.int32)
+    key = jnp.where(keep, midx, jnp.int32(M))
+    idx = jax.lax.sort(key)[:cap]
+    valid = idx < M
+    rows = packed[jnp.where(valid, idx, 0)]
+    rows = jnp.where(valid[:, None], rows, 0.0)  # inert: size 0 at origin
+    return rows, n_active
+
+
+class ActiveSoup:
+    """HBM-resident full soup + lazily-refreshed active subset.
+
+    ``active(cam_pos, basis)`` returns (box_lo, box_size, box_attr)
+    device arrays of static shape (cap,) for kernels.raster, refreshing
+    the cull only when the camera exits the last cull's validity volume.
+    ``overflowed`` reports a too-small cap (frame still renders, but
+    completeness vs the full soup is no longer guaranteed)."""
+
+    def __init__(self, soup, width_px: int, height_px: int,
+                 cap: int = 1 << 24, margin_deg: float = 12.0,
+                 keep_radius: float = 128.0):
+        from voxtracer.kernels.raster import pack_box_attr
+
+        attr = np.asarray(pack_box_attr(soup), np.float32)
+        lo = np.asarray(soup.lo, np.float32)
+        size = np.asarray(soup.size, np.float32)
+        self._packed = jnp.asarray(
+            np.concatenate([attr, lo, size], axis=1)
+        )  # (M, 10)
+        self._lo_f = jnp.asarray(lo)
+        self._half_f = jnp.asarray(size * 0.5)
+        self.cap = min(cap, len(soup))
+        self.margin = math.radians(margin_deg)
+        self.keep_radius = float(keep_radius)
+        # actual frustum half-extent tangents (camera.pixel_ndc mapping)
+        hx = (width_px - 1) / height_px
+        hy = 1.0
+        # inflate by the angular margin
+        self._fx = math.tan(min(math.atan(hx) + self.margin, 1.55))
+        self._fy = math.tan(min(math.atan(hy) + self.margin, 1.55))
+        self._pose = None  # (pos, basis) of the last cull
+        self._rows = None
+        self.n_active = 0
+
+    def _valid_for(self, cam_pos, basis) -> bool:
+        if self._pose is None:
+            return False
+        p0, b0 = self._pose
+        if np.linalg.norm(np.asarray(cam_pos) - p0) > self.keep_radius / 2:
+            return False
+        # rotation between bases: largest angle any view direction moved
+        dot = float(np.clip((np.trace(np.asarray(basis).T @ b0) - 1) / 2,
+                            -1.0, 1.0))
+        return math.acos(dot) <= self.margin / 2
+
+    def active(self, cam_pos, basis):
+        cam_pos = np.asarray(cam_pos, np.float32)
+        basis = np.asarray(basis, np.float32)
+        if not self._valid_for(cam_pos, basis):
+            rows, n = _cull(
+                self._packed, self._lo_f, self._half_f,
+                jnp.asarray(cam_pos), jnp.asarray(basis),
+                jnp.float32(self._fx), jnp.float32(self._fy),
+                jnp.float32(self.keep_radius), cap=self.cap,
+            )
+            # raster_cast casts lo/size to f32 itself, so f32 slices are
+            # fine (values <= 8192 are exact in f32)
+            self._rows = (rows[:, 4:7], rows[:, 7:10], rows[:, 0:4])
+            self.n_active = int(n)
+            self._pose = (cam_pos.copy(), basis.copy())
+        return self._rows
+
+    @property
+    def overflowed(self) -> bool:
+        return self.n_active > self.cap
