@@ -130,8 +130,13 @@ def test_renderer_apply_edits_matches_rebuild():
     np.testing.assert_array_equal(np.asarray(r.solid_leaf), full.solid_leaf)
     assert int(r.root) == (full.root if full.root != EMPTY else -1)
 
-    # rendered output equals a from-scratch renderer with the same seed
-    r2 = Renderer(full, 16, 12, max_bounces=2, fog_steps=4, seed=11)
+    # rendered output equals a from-scratch renderer with the same seed.
+    # apply_edits drops the rasterized-primary soup (rebuild would
+    # dominate edit latency), so compare against the same engine: the
+    # raster and per-ray primaries differ by ~1 ulp of t at edge pixels,
+    # which this bit-exactness check is not about.
+    r2 = Renderer(full, 16, 12, max_bounces=2, fog_steps=4, seed=11,
+                  use_soup=False)
     from voxtracer.core import camera as vcam
 
     cam = vcam.Camera(pos=(4.0, 6.0, -3.0), yaw=0.1, pitch=-0.4)

@@ -94,8 +94,8 @@ def _mirrored_slab(lo, hi, cam_pos, d, tree_height: int, distance):
 
 @partial(jax.jit, static_argnames=(
     "tree_height", "width_px", "height_px", "cand_k", "widen_k",
-    "widen_tiles", "fallback_tiles", "near_slots", "pair_slots",
-    "want_voxel", "_stage",
+    "widen_tiles", "widen2_k", "widen2_tiles", "fallback_tiles",
+    "near_slots", "pair_slots", "want_voxel", "_stage",
 ))
 def raster_cast(
     box_lo,
@@ -114,7 +114,7 @@ def raster_cast(
     widen2_tiles: int = 512,
     fallback_tiles: int = 1024,
     near_slots: int = 128,
-    pair_slots: tuple = (1 << 17, 1 << 14, 1 << 12, 1 << 10),
+    pair_slots: tuple = (1 << 21, 1 << 17, 1 << 14, 1 << 12, 1 << 10),
     ray_dirs=None,
     want_voxel: bool = True,
     _stage: int = 0,
@@ -145,8 +145,8 @@ def raster_cast(
         corners behind the camera or spanning > 32x32 tiles (excess sets
         ``overflow``).
       pair_slots: per-tier box capacities for tile spans up to
-        (4x4, 8x8, 16x16, 32x32); spans <= 2x2 are unbounded (4 pairs
-        each, emitted unconditionally). Excess in any tier sets
+        (2x2, 4x4, 8x8, 16x16, 32x32); 1x1 spans are unbounded (one
+        pair each, emitted unconditionally). Excess in any tier sets
         ``overflow``.
       want_voxel: compute the integer hit-voxel output (picking/editing).
         Shading-only callers (PT primaries, bench) pass False — the
@@ -267,24 +267,27 @@ def raster_cast(
     dmin_b = jnp.linalg.norm(clamped - cam_pos, axis=-1)
 
     # ---- tier selection: ONE composite sort ----------------------------
-    # tiers: 0 = near/dense, 1..4 = spans <= 4/8/16/32 tiles square.
-    # Spans <= 2x2 (the vast majority) skip selection entirely — they
-    # emit 4 pairs unconditionally below. Sorting (tier * M + index)
+    # tiers: 0 = near/dense, 1..5 = spans <= 2/4/8/16/32 tiles square.
+    # 1x1-span boxes (the vast majority — all distant terrain) skip
+    # selection entirely: they emit their single pair unconditionally
+    # below, keeping the pair count ~M instead of 4M (the pair sort is
+    # the flagship frame's biggest term). Sorting (tier * M + index)
     # groups each selected tier's box indices contiguously and in index
     # order; per-tier slot arrays are dynamic slices at searchsorted
     # segment starts (top_k and per-tier sorts are strictly slower on
     # TPU).
-    sel = usable & (span > 2)
-    tier = jnp.where(span <= 4, 1,
-                     jnp.where(span <= 8, 2, jnp.where(span <= 16, 3, 4)))
-    tier = jnp.where(near, 0, jnp.where(sel, tier, 5))
+    sel = usable & (span > 1)
+    tier = jnp.where(span <= 2, 1, jnp.where(
+        span <= 4, 2, jnp.where(span <= 8, 3,
+                                jnp.where(span <= 16, 4, 5))))
+    tier = jnp.where(near, 0, jnp.where(sel, tier, 6))
     midx = jnp.arange(M, dtype=jnp.int32)
     csort = jax.lax.sort(tier * M + midx)
     seg = jnp.searchsorted(
-        csort, jnp.arange(1, 6, dtype=jnp.int32) * M
+        csort, jnp.arange(1, 7, dtype=jnp.int32) * M
     ).astype(jnp.int32)
     n_near = seg[0]
-    n_tier = jnp.concatenate([seg[:1], jnp.diff(seg)])  # [near, t1..t4]
+    n_tier = jnp.concatenate([seg[:1], jnp.diff(seg)])  # [near, t1..t5]
 
     def tier_slots(k: int, slots: int):
         S = max(min(slots, M), 1)
@@ -360,36 +363,44 @@ def raster_cast(
     # ---- (tile, box) pairs: FIXED-ARITY emission ------------------------
     # Data-dependent expansion (cumsum offsets + repeat/scatter+scan) is
     # the axon remote compiler's tarpit (20+ min for this one stage), so
-    # pairs are emitted with static arity: spans <= 2x2 contribute 4
-    # pairs unconditionally (pure elementwise math on the M arrays — no
+    # pairs are emitted with static arity: 1x1-span boxes contribute one
+    # pair unconditionally (pure elementwise math on the M arrays — no
     # gathers; sentinels sort to the end); larger spans emit span^2
     # pairs from their tier's slot array, with ALL per-box fields read
     # by ONE packed row gather per slot (element gathers per field were
     # the whole stage's cost).
     tier_list = []  # (tile, owner, dmin) triples
 
-    small = usable & (span <= 2)
-    k4 = jnp.arange(4, dtype=jnp.int32)
-    sx = (k4 & 1)[None, :]
-    sy = (k4 >> 1)[None, :]
-    ptx1 = tx0[:, None] + sx
-    pty1 = ty0[:, None] + sy
-    pv1 = small[:, None] & (ptx1 <= tx1[:, None]) & (pty1 <= ty1[:, None])
+    one = usable & (span <= 1)
     tier_list.append((
-        jnp.where(pv1, pty1 * TW + ptx1, NT).reshape(M * 4),
-        jnp.broadcast_to(midx[:, None], (M, 4)).reshape(-1),
-        jnp.where(pv1, dmin_b[:, None], jnp.inf).reshape(M * 4),
+        jnp.where(one, ty0 * TW + tx0, NT),
+        midx,
+        jnp.where(one, dmin_b, jnp.inf),
     ))
 
     packed_span = jnp.stack([
         tx0, tx1, ty0, ty1,
         jax.lax.bitcast_convert_type(dmin_b, jnp.int32),
     ], axis=1)  # (M, 5)
-    for k, (slots, sp) in enumerate(zip(pair_slots, (4, 8, 16, 32)), 1):
+    for k, (slots, sp) in enumerate(zip(pair_slots, (2, 4, 8, 16, 32)), 1):
         idx, valid = tier_slots(k, slots)
         rows = packed_span[idx]  # (S, 5) one row gather per slot
         etx0, etx1, ety0, ety1 = (rows[:, i] for i in range(4))
         edmin = jax.lax.bitcast_convert_type(rows[:, 4], jnp.float32)
+        if sp == 2:
+            # 1-D per-corner emission: an (S, 4) reshape would
+            # materialize 128-lane padded (32x memory)
+            for dy in (0, 1):
+                for dx in (0, 1):
+                    ptx = etx0 + dx
+                    pty = ety0 + dy
+                    pv = valid & (ptx <= etx1) & (pty <= ety1)
+                    tier_list.append((
+                        jnp.where(pv, pty * TW + ptx, NT),
+                        idx,
+                        jnp.where(pv, edmin, jnp.inf),
+                    ))
+            continue
         kk = jnp.arange(sp * sp, dtype=jnp.int32)
         ix = (kk % sp)[None, :]
         iy = (kk // sp)[None, :]
@@ -528,6 +539,11 @@ def raster_cast(
     fb_tiles = jax.lax.sort(fb_key)[:NFB]
     fb_valid = fb_tiles < NT
     fb_tiles = jnp.where(fb_valid, fb_tiles, 0)
+    # per-RAY incompleteness: a ray with t below the tile's nearest
+    # dropped dmin (a lower bound on any dropped box's entry t) is
+    # provably complete — only the rest re-cast (at grazing horizon
+    # tiles that is a small fraction of the 64 rays)
+    fb_need = fb_valid[:, None] & (tb[fb_tiles] >= drop_cur[fb_tiles][:, None])
 
     # ---- reassemble dense frame -----------------------------------------
     def untile(a):
@@ -607,6 +623,7 @@ def raster_cast(
         n_fallback=n_fb,
         fb_tiles=fb_tiles,
         fb_valid=fb_valid,
+        fb_need=fb_need,
     )
 
 
@@ -641,15 +658,17 @@ def apply_fallback(
         fd = jnp.asarray(ray_dirs, jnp.float32)[
             jnp.minimum(fpy, H - 1), jnp.minimum(fpx, W - 1)
         ]
+    # only the rays raster_cast proved incomplete re-cast (fb_need);
+    # provably-complete rays of the same tile keep their raster result
+    need = res["fb_need"]
     fr = svo_raycast_bucketed(
         table, root, tree_height, cam_pos, fd, distance=distance,
-        active=jnp.broadcast_to(fb_valid[:, None], fpx.shape),
-        min_bucket=2048,
+        active=need, min_bucket=2048,
     )
     # the traversal's cap is advisory — enforce it strictly here
-    fb_hit = fr["hit"] & (fr["t"] <= distance) & fb_valid[:, None]
+    fb_hit = fr["hit"] & (fr["t"] <= distance) & need
     fpid = jnp.where(
-        fb_valid[:, None] & (fpx < W) & (fpy < H), fpy * W + fpx, P
+        need & (fpx < W) & (fpy < H), fpy * W + fpx, P
     ).reshape(-1)
 
     def put(dst, src):
