@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -90,7 +91,10 @@ def ray_directions(basis, ld, jitter=None, height=None):
         ld = ld + (jitter - 0.5) * px_size
     d_cam = jnp.stack([ld[..., 0], -ld[..., 1], jnp.ones_like(ld[..., 0])], axis=-1)
     d_cam = d_cam / jnp.linalg.norm(d_cam, axis=-1, keepdims=True)
-    return d_cam @ basis.T
+    # HIGHEST: the TPU's default bf16-pass matmul would perturb ray
+    # directions by ~6e-5, i.e. up to half a voxel of hit position at
+    # flagship distances (reference semantics are plain f32 math)
+    return jnp.matmul(d_cam, basis.T, precision=jax.lax.Precision.HIGHEST)
 
 
 def generate_rays(cam: Camera, width: int, height: int, jitter=None):

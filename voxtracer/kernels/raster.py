@@ -112,9 +112,9 @@ def raster_cast(
     widen_tiles: int = 4096,
     widen2_k: int = 256,
     widen2_tiles: int = 512,
-    fallback_tiles: int = 1024,
+    fallback_tiles: int | None = None,
     near_slots: int = 128,
-    pair_slots: tuple = (1 << 21, 1 << 17, 1 << 14, 1 << 12, 1 << 10),
+    pair_slots: tuple = (1 << 22, 1 << 17, 1 << 14, 1 << 12, 1 << 10),
     ray_dirs=None,
     want_voxel: bool = True,
     _stage: int = 0,
@@ -140,7 +140,12 @@ def raster_cast(
         tile budget, much deeper candidate budget.
       fallback_tiles: static capacity of the still-incomplete tile list
         returned for the exact per-ray fallback (``apply_fallback`` /
-        ``raster_cast_exact``); exceeding it sets ``overflow``.
+        ``raster_cast_exact``); exceeding it sets ``overflow``. Default
+        (None): every tile for deep worlds (tree_height >= 12, whose
+        grazing horizon bands leave tens of thousands of tiles with
+        residual needy rays), 1024 otherwise (the fallback cast's lane
+        setup scales with the capacity, and shallow worlds resolve
+        almost fully in-raster).
       near_slots: capacity of the dense all-tiles pre-pass for boxes with
         corners behind the camera or spanning > 32x32 tiles (excess sets
         ``overflow``).
@@ -181,6 +186,8 @@ def raster_cast(
         (-(-widen_k // CHUNK) * CHUNK, min(widen_tiles, NT)),
         (-(-widen2_k // CHUNK) * CHUNK, min(widen2_tiles, NT)),
     )
+    if fallback_tiles is None:
+        fallback_tiles = NT if tree_height >= 12 else 1024
     NFB = min(fallback_tiles, NT)
     NS = max(min(near_slots, M), 1)  # real near capacity
     NSP = -(-NS // CHUNK) * CHUNK  # padded to whole scan chunks
@@ -205,7 +212,12 @@ def raster_cast(
         ],
         axis=1,
     )  # (M, 8, 3)
-    v = (corners - cam_pos) @ basis  # (M, 8, 3) camera space
+    # HIGHEST precision is load-bearing: the TPU's default matmul runs
+    # bf16 passes (~2^-14 relative), which at 8192-scale coordinates is
+    # a 1-2 px projection error — boxes silently lose their edge tile
+    # column and the completeness logic cannot see it
+    v = jnp.matmul(corners - cam_pos, basis,
+                   precision=jax.lax.Precision.HIGHEST)  # (M, 8, 3)
     vz = v[..., 2]
     behind = vz < NEAR_EPS
     all_behind = jnp.all(behind, axis=1)
@@ -229,8 +241,13 @@ def raster_cast(
     ly = -v[..., 1] / vz_safe
     pxc = (lx * H + W) * 0.5 - 0.5  # pixel-center coordinate space
     pyc = (ly * H + H) * 0.5 - 0.5
-    # fp conservativeness; jittered rays roam +-0.5 px off center
-    pad = 0.01 if ray_dirs is None else 0.51
+    # fp conservativeness: f32 rounding in (corner - pos) @ basis grows
+    # with world scale (measured ~0.05 px at 8192 — enough to mis-bin
+    # edge pixels past a fixed 0.01 pad); jittered rays additionally
+    # roam +-0.5 px off center
+    pad = 0.01 + (1 << tree_height) * 2.0e-5
+    if ray_dirs is not None:
+        pad += 0.5
     x0 = jnp.ceil(jnp.min(pxc, axis=1) - pad).astype(jnp.int32)
     x1 = jnp.floor(jnp.max(pxc, axis=1) + pad).astype(jnp.int32)
     y0 = jnp.ceil(jnp.min(pyc, axis=1) - pad).astype(jnp.int32)

@@ -39,7 +39,10 @@ def _cull(packed, lo_f, half_f, cam_pos, basis, fx, fy, keep_r, cap: int):
     M = lo_f.shape[0]
     c = lo_f + half_f  # center
     r = jnp.linalg.norm(half_f, axis=-1)  # bounding-sphere radius
-    v = (c - cam_pos) @ basis  # camera space (x right, y up, z forward)
+    # HIGHEST: TPU default matmul is bf16 passes — +-2 voxel error at
+    # 8192-scale coordinates would eat into the conservative margin
+    v = jnp.matmul(c - cam_pos, basis,
+                   precision=jax.lax.Precision.HIGHEST)  # camera space
     vx, vy, vz = v[:, 0], v[:, 1], v[:, 2]
     # inflated side planes: |vx| <= vz*fx (+ sphere slack); the plane
     # normal norm is sqrt(1+fx^2), so slack = r * sqrt(1+fx^2)
