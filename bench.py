@@ -30,10 +30,15 @@ def log(*a):
 
 def _cams(n, scale, jitter=2.0):
     """n slightly-perturbed copies of the reference pose (distinct
-    executions for the axon cache; visually the same view)."""
+    executions for the axon cache; visually the same view). Seeded from
+    urandom: the axon execution cache persists across PROCESSES, so a
+    fixed seed would re-measure the previous bench run's cached results
+    (PERF.md)."""
+    import os
+
     from voxtracer.core import camera as vcam
 
-    rng = np.random.default_rng(0)
+    rng = np.random.default_rng(int.from_bytes(os.urandom(8), "little"))
     out = []
     for _ in range(n):
         p = np.asarray(vcam.DEFAULT_POSE.pos) * scale + rng.normal(
@@ -46,15 +51,28 @@ def _cams(n, scale, jitter=2.0):
 
 
 def _time_over(fn, arg_sets):
-    """Compile on the first arg set, then time one call per arg set."""
-    import jax
+    """Compile on the first arg set, then time one call per arg set.
 
-    out = fn(*arg_sets[0])
-    jax.block_until_ready(out)
+    block_until_ready is NOT trusted: on the axon platform it can
+    return before execution for some programs (measured: a 1.9 s
+    path-trace sample "completing" in 0 ms). Each rep's output instead
+    feeds a device-side accumulator whose value is read back on the
+    host — the data dependency forces every execution while keeping
+    the dispatch pipeline full."""
+    import jax
+    import jax.numpy as jnp
+
+    def digest(out):
+        leaf = jax.tree.leaves(out)[0]
+        return leaf.astype(jnp.float32).sum()
+
+    float(digest(fn(*arg_sets[0])))  # compile + warm
     t0 = time.monotonic()
+    acc = jnp.float32(0.0)
     for args in arg_sets:
         out = fn(*args)
-    jax.block_until_ready(out)
+        acc = acc + digest(out)
+    float(acc)  # host readback: forces the whole chain
     return (time.monotonic() - t0) / len(arg_sets), out
 
 
@@ -192,10 +210,12 @@ def main():
             853, 480, max_bounces=8, fog_steps=64, row_tiles=1,
             soup=soup_args,
         ))
+        import os as _os
+
         pt_args = [
-            (jnp.asarray(np.array([3 + i, 5, 7], np.uint32)),
+            (jnp.asarray(np.frombuffer(_os.urandom(12), np.uint32).copy()),
              np.asarray(c.pos, np.float32), c.basis())
-            for i, c in enumerate(cams[:3])
+            for c in cams[:3]
         ]
         dt, out = _time_over(pt, pt_args)
         log(f"path-traced sample 853x480: {dt * 1e3:.0f} ms -> "
