@@ -129,3 +129,49 @@ def test_cli_render_with_devices(tmp_path):
           "--mode", "path", "--spp", "8", "--max-bounces", "2",
           "--fog-steps", "8", "--devices", "8", "--out", str(out)])
     assert out.exists()
+
+
+def test_sample_sharded_with_soup_primaries():
+    """The sharded step with replicated soup (rasterized primaries on
+    every chip) must equal the single-device soup path summed."""
+    from voxtracer.kernels.raster import pack_box_attr
+    from voxtracer.world.boxes import extract_boxes
+    from voxtracer.world.svo import from_dense
+
+    n = 16
+    rng = np.random.default_rng(3)
+    solid = rng.random((n, n, n)) < 0.15
+    rgb = rng.random((n, n, n, 3)).astype(np.float32)
+    rgb[~solid] = 0
+    space = from_dense(solid, rgb)
+    dev = space.serialize()
+    table = jnp.asarray(dev.table.view(np.int32))
+    root = np.int32(dev.root)
+    soup = extract_boxes(dev)
+    soup_args = (jnp.asarray(soup.lo), jnp.asarray(soup.size),
+                 jnp.asarray(pack_box_attr(soup)))
+
+    mesh = make_mesh(8)
+    table_r, lut_r, soup_r = replicate_world(mesh, table, LUT, soup_args)
+    cam = _cam()
+    sun = jnp.asarray([0.3, 0.9, 0.3], jnp.float32)
+    sun = sun / jnp.linalg.norm(sun)
+    seeds = np.stack(
+        [np.array([i + 5, 2 * i + 3, 3 * i + 7], np.uint32)
+         for i in range(8)]
+    )
+    step = sample_sharded_step(mesh, table_r, root, dev.height, lut_r,
+                               W, H, soup=soup_r, **KW)
+    out = np.asarray(
+        step(jnp.asarray(seeds), np.asarray(cam.pos, np.float32),
+             cam.basis(), sun)
+    )
+    serial = np.zeros((H, W, 3), np.float32)
+    for i in range(8):
+        serial += np.asarray(
+            render_sample(table, root, dev.height, LUT,
+                          np.asarray(cam.pos, np.float32), cam.basis(),
+                          sun, jnp.asarray(seeds[i]), W, H,
+                          soup=soup_args, **KW)
+        )
+    assert np.allclose(out, serial, rtol=1e-5, atol=1e-3)

@@ -36,16 +36,21 @@ def sample_sharded_step(
     max_bounces: int = 8,
     fog_steps: int = 64,
     axis: str = "dp",
+    soup=None,
 ):
     """Build a jitted step: (seeds (ndev, 3) u32, cam_pos, cam_basis, sun)
-    -> summed radiance (H, W, 3) of ndev samples (replicated)."""
+    -> summed radiance (H, W, 3) of ndev samples (replicated).
+
+    ``soup``: optional replicated (box_lo, box_size, box_attr) arrays —
+    each chip then casts its first bounce with the rasterizer
+    (kernels/raster.py), the fastest primary engine."""
 
     def step(seeds, cam_pos, cam_basis, sun):
         def shard_fn(seeds, cam_pos, cam_basis, sun):
             s = render_sample(
                 table, root, height, lut, cam_pos, cam_basis, sun,
                 seeds[0], width_px, height_px,
-                max_bounces=max_bounces, fog_steps=fog_steps,
+                max_bounces=max_bounces, fog_steps=fog_steps, soup=soup,
             )
             return jax.lax.psum(s, axis)
 
@@ -99,7 +104,11 @@ def tile_sharded_step(
     return jax.jit(step)
 
 
-def replicate_world(mesh: Mesh, table, lut):
-    """Pin the read-only world/LUT to every chip (replicated sharding)."""
+def replicate_world(mesh: Mesh, table, lut, soup=None):
+    """Pin the read-only world/LUT (and optionally the box soup) to
+    every chip (replicated sharding)."""
     rep = NamedSharding(mesh, P())
-    return jax.device_put(table, rep), jax.device_put(lut, rep)
+    out = (jax.device_put(table, rep), jax.device_put(lut, rep))
+    if soup is not None:
+        out += (tuple(jax.device_put(a, rep) for a in soup),)
+    return out

@@ -211,12 +211,21 @@ class Renderer:
                                               sample_sharded_step)
 
             mesh = make_mesh(self.devices)
-            self.table, self.lut = replicate_world(mesh, self.table,
-                                                   self.lut)
+            # rasterized primaries on every chip (tuple soups only — the
+            # camera-dependent ActiveSoup cull is single-device)
+            soup = self._get_soup()
+            soup = soup if isinstance(soup, tuple) else None
+            if soup is not None:
+                self.table, self.lut, soup = replicate_world(
+                    mesh, self.table, self.lut, soup
+                )
+            else:
+                self.table, self.lut = replicate_world(mesh, self.table,
+                                                       self.lut)
             self._dist_step = sample_sharded_step(
                 mesh, self.table, self.root, self.tree_height, self.lut,
                 self.width, self.height, max_bounces=self.max_bounces,
-                fog_steps=self.fog_steps,
+                fog_steps=self.fog_steps, soup=soup,
             )
         return self._dist_step
 
