@@ -208,24 +208,28 @@ def test_terrain_soup_first_hit():
 
 
 def test_projection_uses_exact_matmul():
-    """The corner projection and ray-direction matmuls must request
-    HIGHEST precision: the TPU's default matmul runs bf16 passes
-    (~2^-14 relative), which at 8192-scale coordinates mis-projects
-    boxes by 1-2 px — they silently lose their edge tile column and the
-    completeness logic cannot flag it (found at flagship scale; CPU
-    tests cannot reproduce it, so pin the jaxpr instead)."""
+    """No default-precision matmul may touch world-scale coordinates:
+    the TPU's default matmul runs bf16 passes (~2^-14 relative), which
+    at 8192-scale coordinates mis-projects boxes by 1-2 px — they
+    silently lose their edge tile column and the completeness logic
+    cannot flag it (found at flagship scale; CPU tests cannot reproduce
+    it, so pin the jaxpr instead). raster_cast's projection is written
+    as elementwise math (exact f32) — assert no dot_general sneaks in;
+    ray_directions keeps its matmul at HIGHEST."""
     import jax
 
     lo = jnp.zeros((4, 3), jnp.int32)
     size = jnp.ones((4, 3), jnp.int32)
     attr = jnp.zeros((4, 4), jnp.float32)
     cam = vcam.Camera(pos=(1.0, 2.0, -3.0), yaw=0.1, pitch=0.2)
+    basis = np.asarray(cam.basis(), np.float32)
     jaxpr = jax.make_jaxpr(
         lambda: raster_cast(lo, size, attr,
-                            np.asarray(cam.pos, np.float32), cam.basis(),
+                            np.asarray(cam.pos, np.float32), basis,
                             3, 16, 16)
     )()
-    assert "Precision.HIGHEST" in str(jaxpr)
+    s = str(jaxpr)
+    assert "dot_general" not in s or "Precision.HIGHEST" in s
 
     jaxpr2 = jax.make_jaxpr(
         lambda: vcam.ray_directions(cam.basis(),

@@ -113,7 +113,7 @@ def raster_cast(
     widen2_k: int = 256,
     widen2_tiles: int = 512,
     fallback_tiles: int | None = None,
-    near_slots: int = 128,
+    near_slots: int = 64,
     pair_slots: tuple = (1 << 22, 1 << 17, 1 << 14, 1 << 12, 1 << 10),
     ray_dirs=None,
     want_voxel: bool = True,
@@ -200,58 +200,64 @@ def raster_cast(
 
     # ---- project the 8 corners to screen -------------------------------
     # camera space v = basis^T (corner - pos); screen lx = vx/vz,
-    # ly = -vy/vz; pixel-center coords px = (lx*h + w)/2 - 0.5 (inverse of
-    # camera.pixel_ndc).
-    corners = jnp.stack(
-        [
-            jnp.where(
-                jnp.asarray([(i >> a) & 1 for a in range(3)], bool),
-                hi_f, lo_f,
-            )
-            for i in range(8)
-        ],
-        axis=1,
-    )  # (M, 8, 3)
-    # HIGHEST precision is load-bearing: the TPU's default matmul runs
-    # bf16 passes (~2^-14 relative), which at 8192-scale coordinates is
-    # a 1-2 px projection error — boxes silently lose their edge tile
-    # column and the completeness logic cannot see it
-    v = jnp.matmul(corners - cam_pos, basis,
-                   precision=jax.lax.Precision.HIGHEST)  # (M, 8, 3)
-    vz = v[..., 2]
-    behind = vz < NEAR_EPS
-    all_behind = jnp.all(behind, axis=1)
-    any_behind = jnp.any(behind, axis=1)
-
-    # Frustum cull (halfspace form, valid for corners behind the camera
-    # too): every pixel ray satisfies |lx| <= fx, |ly| <= fy, so a box
-    # with all corners outside one side plane can't be hit by any ray.
+    # ly = -vy/vz; pixel-center coords px = (lx*h + w)/2 - 0.5 (inverse
+    # of camera.pixel_ndc). Written as fused elementwise math over 1-D
+    # (M,) columns, one corner at a time, for three reasons: the TPU's
+    # default matmul runs bf16 passes (a 1-2 px projection error at
+    # 8192-scale coordinates that silently loses edge tile columns and
+    # the completeness logic cannot see it); a K=3 matmul wastes the MXU
+    # even at HIGHEST (measured ~60 ms of the frame); and (M, 8, 3)
+    # temps materialize 128-lane padded (PERF.md).
     fx = jnp.float32((W - 1) / H + 1e-3)
     fy = jnp.float32(1.0 + 1e-3)
-    vx, vy = v[..., 0], v[..., 1]
-    outside = (
-        jnp.all(vx > vz * fx, axis=1)
-        | jnp.all(-vx > vz * fx, axis=1)
-        | jnp.all(vy > vz * fy, axis=1)
-        | jnp.all(-vy > vz * fy, axis=1)
-    )
+    bT = [[basis[i, j] for j in range(3)] for i in range(3)]
+    rel_lo = [lo_f[:, i] - cam_pos[i] for i in range(3)]
+    rel_hi = [hi_f[:, i] - cam_pos[i] for i in range(3)]
+    any_behind = all_behind = None
+    out_px = out_nx = out_py = out_ny = None
+    px_min = px_max = py_min = py_max = None
+    for corner in range(8):
+        c = [rel_hi[a] if (corner >> a) & 1 else rel_lo[a]
+             for a in range(3)]
+        vx = c[0] * bT[0][0] + c[1] * bT[1][0] + c[2] * bT[2][0]
+        vy = c[0] * bT[0][1] + c[1] * bT[1][1] + c[2] * bT[2][1]
+        vz = c[0] * bT[0][2] + c[1] * bT[1][2] + c[2] * bT[2][2]
+        behind = vz < NEAR_EPS
+        # frustum halfspace tests (valid behind the camera too): every
+        # pixel ray satisfies |lx| <= fx, |ly| <= fy, so a box with all
+        # corners outside one side plane can't be hit by any ray
+        o_px = vx > vz * fx
+        o_nx = -vx > vz * fx
+        o_py = vy > vz * fy
+        o_ny = -vy > vz * fy
+        vz_safe = jnp.maximum(vz, NEAR_EPS)
+        pxc = (vx / vz_safe * H + W) * 0.5 - 0.5
+        pyc = (-vy / vz_safe * H + H) * 0.5 - 0.5
+        if corner == 0:
+            any_behind, all_behind = behind, behind
+            out_px, out_nx, out_py, out_ny = o_px, o_nx, o_py, o_ny
+            px_min = px_max = pxc
+            py_min = py_max = pyc
+        else:
+            any_behind = any_behind | behind
+            all_behind = all_behind & behind
+            out_px, out_nx = out_px & o_px, out_nx & o_nx
+            out_py, out_ny = out_py & o_py, out_ny & o_ny
+            px_min = jnp.minimum(px_min, pxc)
+            px_max = jnp.maximum(px_max, pxc)
+            py_min = jnp.minimum(py_min, pyc)
+            py_max = jnp.maximum(py_max, pyc)
+    outside = out_px | out_nx | out_py | out_ny
 
-    vz_safe = jnp.maximum(vz, NEAR_EPS)
-    lx = v[..., 0] / vz_safe
-    ly = -v[..., 1] / vz_safe
-    pxc = (lx * H + W) * 0.5 - 0.5  # pixel-center coordinate space
-    pyc = (ly * H + H) * 0.5 - 0.5
-    # fp conservativeness: f32 rounding in (corner - pos) @ basis grows
-    # with world scale (measured ~0.05 px at 8192 — enough to mis-bin
-    # edge pixels past a fixed 0.01 pad); jittered rays additionally
-    # roam +-0.5 px off center
+    # fp conservativeness: f32 rounding in the projection grows with
+    # world scale; jittered rays additionally roam +-0.5 px off center
     pad = 0.01 + (1 << tree_height) * 2.0e-5
     if ray_dirs is not None:
         pad += 0.5
-    x0 = jnp.ceil(jnp.min(pxc, axis=1) - pad).astype(jnp.int32)
-    x1 = jnp.floor(jnp.max(pxc, axis=1) + pad).astype(jnp.int32)
-    y0 = jnp.ceil(jnp.min(pyc, axis=1) - pad).astype(jnp.int32)
-    y1 = jnp.floor(jnp.max(pyc, axis=1) + pad).astype(jnp.int32)
+    x0 = jnp.ceil(px_min - pad).astype(jnp.int32)
+    x1 = jnp.floor(px_max + pad).astype(jnp.int32)
+    y0 = jnp.ceil(py_min - pad).astype(jnp.int32)
+    y1 = jnp.floor(py_max + pad).astype(jnp.int32)
     x0 = jnp.clip(x0, 0, W - 1)
     x1 = jnp.clip(x1, -1, W - 1)
     y0 = jnp.clip(y0, 0, H - 1)
