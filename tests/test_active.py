@@ -72,3 +72,23 @@ def test_active_soup_culls_something():
                      keep_radius=4.0)
     act.active(np.asarray(cam.pos, np.float32), cam.basis())
     assert act.n_active < len(soup)
+
+
+def test_active_soup_overflow_serves_full():
+    """When the visible set exceeds cap, truncation would silently drop
+    boxes — the full soup must be served instead (still pixel-exact)."""
+    space = worldgen.generate(log2_size=6, verbose=False, backend="python")
+    dev = space.serialize()
+    soup = extract_boxes(dev)
+    W, H = 64, 40
+    cam = vcam.Camera(pos=(6.2, 20.1, 5.4), yaw=-5.38, pitch=0.22)
+    act = ActiveSoup(soup, W, H, cap=8, keep_radius=16.0)
+    args = act.active(np.asarray(cam.pos, np.float32), cam.basis())
+    assert act.overflowed
+    assert args[0].shape[0] == len(soup)  # full soup served
+    full = (jnp.asarray(soup.lo), jnp.asarray(soup.size),
+            jnp.asarray(pack_box_attr(soup)))
+    a = _frame(args, cam, dev, W, H)
+    b = _frame(full, cam, dev, W, H)
+    for k in a:
+        np.testing.assert_array_equal(a[k], b[k], err_msg=k)

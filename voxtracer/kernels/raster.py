@@ -8,13 +8,14 @@ tile with sorts and dense vector math. Pipeline (all one jit):
 
   1. project every box's corners (dense math), conservative pixel bbox,
      frustum cull;
-  2. emit (tile, box) pairs with FIXED arity by tile-span tier (1/4/16/
-     64/256 pairs for spans up to 1/2/4/8/16 tiles square; one composite
-     index sort selects every tier's boxes); ONE 2-key sort by
-     (tile, camera-distance lower bound) groups each tile's candidates
-     contiguously nearest-first — occlusion culling falls out of
-     K-truncation (hidden hillsides and buried cubes rank behind the
-     surface and are dropped);
+  2. emit (tile, box) pairs with FIXED arity by tile-span tier: 1x1
+     spans (the vast majority — all distant terrain) emit their single
+     pair unconditionally; spans up to 2/4/8/16/32 tiles square emit
+     4/16/64/256/1024 pairs from slot arrays selected by one composite
+     index sort. ONE 2-key sort by (tile, camera-distance lower bound)
+     then groups each tile's candidates contiguously nearest-first —
+     occlusion culling falls out of K-truncation (hidden hillsides and
+     buried cubes rank behind the surface and are dropped);
   3. binning is pure position arithmetic on the sorted pairs: a
      searchsorted finds each tile's segment start and the K nearest
      candidates are row gathers at [start, start+K) (no multi-million-

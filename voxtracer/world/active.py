@@ -71,10 +71,13 @@ class ActiveSoup:
     """HBM-resident full soup + lazily-refreshed active subset.
 
     ``active(cam_pos, basis)`` returns (box_lo, box_size, box_attr)
-    device arrays of static shape (cap,) for kernels.raster, refreshing
-    the cull only when the camera exits the last cull's validity volume.
-    ``overflowed`` reports a too-small cap (frame still renders, but
-    completeness vs the full soup is no longer guaranteed)."""
+    device arrays for kernels.raster, refreshing the cull only when the
+    camera exits the last cull's validity volume. When the visible set
+    exceeds ``cap`` (horizon views of the flagship world keep ~90% of
+    the soup), truncation would silently drop boxes the completeness
+    logic cannot see — the FULL soup is returned instead
+    (``overflowed`` reports it; the full-soup raster is ~1 s at
+    flagship 1080p, so correctness costs only the cull's savings)."""
 
     def __init__(self, soup, width_px: int, height_px: int,
                  cap: int = 1 << 24, margin_deg: float = 12.0,
@@ -123,10 +126,16 @@ class ActiveSoup:
                 jnp.float32(self._fx), jnp.float32(self._fy),
                 jnp.float32(self.keep_radius), cap=self.cap,
             )
-            # raster_cast casts lo/size to f32 itself, so f32 slices are
-            # fine (values <= 8192 are exact in f32)
-            self._rows = (rows[:, 4:7], rows[:, 7:10], rows[:, 0:4])
             self.n_active = int(n)
+            if self.n_active > self.cap:
+                # truncation would silently drop visible boxes — serve
+                # the full soup for this pose instead
+                self._rows = (self._packed[:, 4:7], self._packed[:, 7:10],
+                              self._packed[:, 0:4])
+            else:
+                # raster_cast casts lo/size to f32 itself, so f32 slices
+                # are fine (values <= 8192 are exact in f32)
+                self._rows = (rows[:, 4:7], rows[:, 7:10], rows[:, 0:4])
             self._pose = (cam_pos.copy(), basis.copy())
         return self._rows
 
