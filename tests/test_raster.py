@@ -236,3 +236,38 @@ def test_projection_uses_exact_matmul():
                                     jnp.zeros((2, 2), jnp.float32))
     )()
     assert "Precision.HIGHEST" in str(jaxpr2)
+
+
+def test_bins_path_matches_inline(terrain):
+    """raster_cast(bins=raster_bins(...)) must equal the inline path
+    exactly — the progressive-sampler fast path recomputes nothing."""
+    from voxtracer.kernels.raster import raster_bins
+
+    dev, args = _soup_args(terrain)
+    s = 64 / 8192
+    cam = vcam.Camera(pos=(800.2352 * s, 1511.8693 * s, 654.40125 * s),
+                      yaw=-5.3800497, pitch=0.21999985)
+    op = np.asarray(cam.pos, np.float32)
+    basis = np.asarray(cam.basis(), np.float32)
+    W, H = 96, 56
+
+    a = raster_cast(*args, op, basis, dev.height, W, H)
+    bins = raster_bins(args[0], args[1], op, basis, dev.height, W, H)
+    b = raster_cast(*args, op, basis, dev.height, W, H, bins=bins)
+    for k in ("hit", "t", "normal", "node", "rgb", "voxel", "n_fallback"):
+        np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]),
+                                      err_msg=k)
+
+    # jittered: bins built with jittered=True, rays with sub-pixel jitter
+    rng = np.random.default_rng(3)
+    _, d = vcam.generate_rays(cam, W, H,
+                              jitter=jnp.asarray(rng.random((H, W, 2),
+                                                            np.float32)))
+    aj = raster_cast(*args, op, basis, dev.height, W, H, ray_dirs=d)
+    bins_j = raster_bins(args[0], args[1], op, basis, dev.height, W, H,
+                         jittered=True)
+    bj = raster_cast(*args, op, basis, dev.height, W, H, ray_dirs=d,
+                     bins=bins_j)
+    for k in ("hit", "t", "normal", "node", "rgb"):
+        np.testing.assert_array_equal(np.asarray(aj[k]), np.asarray(bj[k]),
+                                      err_msg=k)

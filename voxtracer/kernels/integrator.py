@@ -312,6 +312,7 @@ def render_sample(
     row_tiles: int = 1,
     aug=None,
     soup=None,
+    soup_bins=None,
     bitworld=None,
     bit_size: int = 0,
 ):
@@ -334,6 +335,11 @@ def render_sample(
     gather-free rasterizer on the jittered primary rays (fastest
     primary engine — PERF.md) and takes precedence over ``aug``.
     Callers must not combine ``soup`` with a row band (row0 != 0).
+
+    ``soup_bins``: optional pose-only raster state
+    (kernels.raster.raster_bins with jittered=True at this pose/size) —
+    skips re-binning the soup every sample; the Renderer caches it per
+    pose.
     """
     from voxtracer.core import camera as vcam
 
@@ -358,7 +364,7 @@ def render_sample(
         pr = raster_mod.raster_cast_exact(
             soup[0], soup[1], soup[2], jnp.asarray(cam_pos, jnp.float32),
             cam_basis, height, width_px, height_px, table=table,
-            root=root, ray_dirs=d, want_voxel=False,
+            root=root, ray_dirs=d, bins=soup_bins, want_voxel=False,
         )
         primary = dict(hit=pr["hit"], t=pr["t"], normal=pr["normal"],
                        rgb=pr["rgb"])
@@ -428,7 +434,7 @@ def render_samples(
     table, root, height: int, lut, cam_pos, cam_basis, sun, frame_seeds,
     width_px: int, height_px: int, max_bounces: int = 24,
     fog_steps: int = 64, row_tiles: int = 1, aug=None, soup=None,
-    bitworld=None, bit_size: int = 0,
+    soup_bins=None, bitworld=None, bit_size: int = 0,
 ):
     """Accumulate a batch of progressive samples in one device program.
 
@@ -441,7 +447,7 @@ def render_samples(
             table, root, height, lut, cam_pos, cam_basis, sun, seed,
             width_px, height_px, max_bounces=max_bounces,
             fog_steps=fog_steps, row_tiles=row_tiles, aug=aug, soup=soup,
-            bitworld=bitworld, bit_size=bit_size,
+            soup_bins=soup_bins, bitworld=bitworld, bit_size=bit_size,
         )
         return acc + s, None
 

@@ -26,7 +26,7 @@ tile with sorts and dense vector math. Pipeline (all one jit):
      traversal's own mirrored arithmetic (same planes, same f32 ops), so
      hits are bit-identical to kernels/traverse.svo_raycast away from
      degenerate edge-grazes. Boxes too near/degenerate to project
-     (corners behind the camera, or spanning > 16x16 tiles) seed the
+     (corners behind the camera, or spanning > 32x32 tiles) seed the
      same carry from a dense all-tiles pre-pass;
   5. completeness: a tile is provably done unless candidates were
      dropped nearer than its farthest resolved t. Incomplete tiles get a
@@ -57,6 +57,17 @@ from voxtracer.kernels.traverse import (EPS, FAR, leaf_rgb,
 NEAR_EPS = 1.0e-4  # camera-space z below which corners are unprojectable
 TILE = 8  # screen tile edge (pixels)
 CHUNK = 8  # candidate boxes resolved per scan step
+
+
+def _default_pair_slots(pair_slots, jittered: bool):
+    """Per-tier box capacities. Jittered rays pad every bbox by a half
+    pixel, which pushes millions of sub-pixel flagship boxes across tile
+    boundaries into the span-2 tier — its capacity doubles (silently
+    overflowing a tier drops boxes the completeness logic cannot see)."""
+    if pair_slots is not None:
+        return pair_slots
+    return ((1 << 23) if jittered else (1 << 22),
+            1 << 17, 1 << 14, 1 << 12, 1 << 10)
 
 
 def _ray_dirs_for_pixels(px, py, basis, width, height):
@@ -93,107 +104,33 @@ def _mirrored_slab(lo, hi, cam_pos, d, tree_height: int, distance):
     return t, axis, hit
 
 
-@partial(jax.jit, static_argnames=(
-    "tree_height", "width_px", "height_px", "cand_k", "widen_k",
-    "widen_tiles", "widen2_k", "widen2_tiles", "fallback_tiles",
-    "near_slots", "pair_slots", "want_voxel", "_stage",
-))
-def raster_cast(
-    box_lo,
-    box_size,
-    box_attr,
-    cam_pos,
-    cam_basis,
-    tree_height: int,
-    width_px: int,
-    height_px: int,
-    distance=FAR,
-    cand_k: int = 24,
-    widen_k: int = 104,
-    widen_tiles: int = 4096,
-    widen2_k: int = 256,
-    widen2_tiles: int = 512,
-    fallback_tiles: int | None = None,
-    near_slots: int = 64,
-    pair_slots: tuple = (1 << 22, 1 << 17, 1 << 14, 1 << 12, 1 << 10),
-    ray_dirs=None,
-    want_voxel: bool = True,
-    _stage: int = 0,
+def _pose_bins(
+    box_lo, box_size, cam_pos, basis, tree_height: int,
+    width_px: int, height_px: int, cand_k: int, near_slots: int,
+    pair_slots: tuple, jittered: bool, _stage: int = 0,
 ):
-    """Rasterize the box soup for one camera; per-pixel nearest hit.
+    """The pose-only half of the rasterizer: project, tier, emit, sort,
+    bin. Depends on the camera POSE but not on the per-sample ray
+    directions, so progressive samplers at a fixed pose compute it once
+    (kernels.raster.raster_bins) and resolve each sample against the
+    cached bins — at flagship scale the bins are most of the frame.
 
-    Args:
-      box_lo: int32[M, 3] box low corners; box_size: int32[M, 3] per-axis
-        extents (world.boxes.BoxSoup arrays; extents must be small for
-        tight distance bounds — the soup caps them).
-      box_attr: float32[M, 4] per-box [leaf_id_bits, r, g, b] — leaf slot
-        id bitcast to f32 in column 0, albedo in 1..4 (build via
-        ``pack_box_attr``).
-      cam_pos/cam_basis: camera (pos (3,), basis (3,3)).
-      distance: scalar far cap (strict, unlike the traversal's advisory
-        cap — see traverse.svo_raycast).
-      cand_k: candidate boxes resolved per tile first pass (nearest-K).
-      widen_k: extra candidates resolved for tiles the first pass left
-        incomplete (the second-chance pass).
-      widen_tiles: static capacity of the second-chance tile list.
-      widen2_k/widen2_tiles: a third round for tiles still incomplete
-        after the second chance (deep silhouette stacks) — much smaller
-        tile budget, much deeper candidate budget.
-      fallback_tiles: static capacity of the still-incomplete tile list
-        returned for the exact per-ray fallback (``apply_fallback`` /
-        ``raster_cast_exact``); exceeding it sets ``overflow``. Default
-        (None): every tile for deep worlds (tree_height >= 12, whose
-        grazing horizon bands leave tens of thousands of tiles with
-        residual needy rays), 1024 otherwise (the fallback cast's lane
-        setup scales with the capacity, and shallow worlds resolve
-        almost fully in-raster).
-      near_slots: capacity of the dense all-tiles pre-pass for boxes with
-        corners behind the camera or spanning > 32x32 tiles (excess sets
-        ``overflow``).
-      pair_slots: per-tier box capacities for tile spans up to
-        (2x2, 4x4, 8x8, 16x16, 32x32); 1x1 spans are unbounded (one
-        pair each, emitted unconditionally). Excess in any tier sets
-        ``overflow``.
-      want_voxel: compute the integer hit-voxel output (picking/editing).
-        Shading-only callers (PT primaries, bench) pass False — the
-        un-mirroring math is a measurable slice of the frame.
-      ray_dirs: optional (H, W, 3) world-space unit directions replacing
-        the pixel-center rays — for sub-pixel-jittered path-tracing
-        primaries (render_sample). Each ray must stay within its pixel's
-        footprint (the box bboxes are then padded by the half-pixel
-        jitter range).
-      _stage: debug-only early return after pipeline stage 1..8
-        (projection, tier selection, near pre-pass, pair emission,
-        binning, resolve, widen, untile+winner-gather) — used to bisect
-        the axon remote compiler's / runtime's per-stage cost (each
-        stage program is dead-code-eliminated to that stage's true
-        dependencies).
-
-    Returns dict: hit (H,W) bool, t (H,W) f32, normal (H,W,3), node (H,W)
-    i32 leaf slot (-1 miss), rgb (H,W,3), voxel (H,W,3) i32, overflow ()
-    bool, n_pair/n_near/n_widen/n_fallback () i32 demand counters, and
-    fb_tiles/fb_valid — tiles whose result is not provably complete
-    (resolve them with ``apply_fallback`` for exactness; without it they
-    may show a farther surface than the true nearest).
-    """
+    Returns a dict of device arrays: ``stile``/``sdmin``/``sowner`` (the
+    (tile, dmin)-sorted pair arrays), ``seg_start`` (per-tile segment
+    starts), ``cand`` (NT, K) nearest candidates, ``drop_dmin`` (per-tile
+    nearest dropped lower bound), ``near_idx``/``near_valid`` (dense
+    pre-pass slots), and the ``n_pair``/``n_near``/``n_tier`` demand
+    counters."""
     W, H = width_px, height_px
-    P = W * H
-    TW = -(-W // TILE)  # tiles per row
+    TW = -(-W // TILE)
     TH = -(-H // TILE)
     NT = TW * TH
     M = box_lo.shape[0]
     K = -(-cand_k // CHUNK) * CHUNK
-    widen_plan = (
-        (-(-widen_k // CHUNK) * CHUNK, min(widen_tiles, NT)),
-        (-(-widen2_k // CHUNK) * CHUNK, min(widen2_tiles, NT)),
-    )
-    if fallback_tiles is None:
-        fallback_tiles = NT if tree_height >= 12 else 1024
-    NFB = min(fallback_tiles, NT)
     NS = max(min(near_slots, M), 1)  # real near capacity
     NSP = -(-NS // CHUNK) * CHUNK  # padded to whole scan chunks
     cam_pos = jnp.asarray(cam_pos, jnp.float32)
-    basis = jnp.asarray(cam_basis, jnp.float32)
+    basis = jnp.asarray(basis, jnp.float32)
 
     lo_f = box_lo.astype(jnp.float32)
     size_f = box_size.astype(jnp.float32)  # (M, 3) per-axis extents
@@ -253,7 +190,7 @@ def raster_cast(
     # fp conservativeness: f32 rounding in the projection grows with
     # world scale; jittered rays additionally roam +-0.5 px off center
     pad = 0.01 + (1 << tree_height) * 2.0e-5
-    if ray_dirs is not None:
+    if jittered:
         pad += 0.5
     x0 = jnp.ceil(px_min - pad).astype(jnp.int32)
     x1 = jnp.floor(px_max + pad).astype(jnp.int32)
@@ -327,63 +264,6 @@ def raster_cast(
     if _stage == 2:
         return dict(near_idx=near_idx, n_near=n_near, n_tier=n_tier)
 
-    # padded per-tile ray directions: (NT, 64, 3); partial tiles padded
-    # with clamped pixels (their results are discarded on reassembly)
-    WP, HP = TW * TILE, TH * TILE
-    pyp, pxp = jnp.meshgrid(
-        jnp.arange(HP, dtype=jnp.int32), jnp.arange(WP, dtype=jnp.int32),
-        indexing="ij",
-    )
-    pix_ok = (pxp < W) & (pyp < H)
-    if ray_dirs is None:
-        d_pad = _ray_dirs_for_pixels(
-            jnp.minimum(pxp, W - 1), jnp.minimum(pyp, H - 1), basis, W, H
-        )
-    else:
-        d_pad = jnp.pad(
-            jnp.asarray(ray_dirs, jnp.float32),
-            ((0, HP - H), (0, WP - W), (0, 0)), mode="edge",
-        )
-    tile_of = lambda a: a.reshape(TH, TILE, TW, TILE, -1).transpose(
-        0, 2, 1, 3, 4
-    ).reshape(NT, TILE * TILE, -1)
-    d_t = tile_of(d_pad)  # (NT, 64, 3)
-    ok_t = tile_of(pix_ok[..., None])[..., 0]  # (NT, 64)
-
-    cand_geom = jnp.concatenate([lo_f, size_f], axis=1)  # (M, 6)
-
-    # ---- dense pre-pass: near boxes vs every tile (chunked scan) -------
-    def near_chunk(carry, xs):
-        bt, bpl = carry
-        idx, valid = xs  # (CHUNK,)
-        g = cand_geom[idx]  # (CHUNK, 6)
-        glo = g[:, 0:3][None, :, None, :]
-        ghi = glo + g[:, 3:6][None, :, None, :]
-        t, axis, hit = _mirrored_slab(
-            glo, ghi, cam_pos, d_t[:, None, :, :], tree_height, distance,
-        )  # (NT, CHUNK, 64)
-        t = jnp.where(valid[None, :, None] & hit, t, jnp.float32(jnp.inf))
-        k_best = jnp.argmin(t, axis=1)
-        t_k = jnp.min(t, axis=1)
-        pl = (idx[None, :, None] << 2) | axis
-        onehot = k_best[:, None, :] == jnp.arange(CHUNK)[None, :, None]
-        pl_k = jnp.sum(jnp.where(onehot, pl, 0), axis=1)
-        better = t_k < bt
-        return (
-            jnp.where(better, t_k, bt), jnp.where(better, pl_k, bpl)
-        ), None
-
-    carry0 = (
-        jnp.full((NT, TILE * TILE), jnp.inf, jnp.float32),
-        jnp.full((NT, TILE * TILE), -1, jnp.int32),
-    )
-    carry, _ = jax.lax.scan(
-        near_chunk, carry0,
-        (near_idx.reshape(-1, CHUNK), near_valid.reshape(-1, CHUNK)),
-    )
-    if _stage == 3:
-        return dict(near_t=carry[0], near_pl=carry[1])
-
     # ---- (tile, box) pairs: FIXED-ARITY emission ------------------------
     # Data-dependent expansion (cumsum offsets + repeat/scatter+scan) is
     # the axon remote compiler's tarpit (20+ min for this one stage), so
@@ -443,7 +323,7 @@ def raster_cast(
     pdmin = jnp.concatenate([d for _, _, d in tier_list]).astype(jnp.float32)
     PAIRS = ptile.shape[0]
     n_pair = jnp.sum((ptile < NT).astype(jnp.int32))
-    if _stage == 4:
+    if _stage == 3:
         return dict(ptile=ptile, pdmin=pdmin, powner=powner)
 
     # ---- binning: sort once, then pure position arithmetic --------------
@@ -454,7 +334,7 @@ def raster_cast(
     # replaces the scatter-based binning that dominated the frame
     # (multi-million-source scatters run ~9 ns/element, PERF.md).
     stile, sdmin, sowner = jax.lax.sort((ptile, pdmin, powner), num_keys=2)
-    spacked = jnp.stack([stile, sowner], axis=1)  # (PAIRS, 2) one-gather rows
+    spacked = jnp.stack([stile, sowner], axis=1)  # (PAIRS, 2) row gathers
     tix = jnp.arange(NT, dtype=jnp.int32)
     seg_start = jnp.searchsorted(stile, tix).astype(jnp.int32)
     pos = jnp.minimum(
@@ -465,9 +345,218 @@ def raster_cast(
     # nearest dropped candidate per tile (inf = nothing dropped): the
     # segment is dmin-ascending, so it is exactly the entry at rank K.
     posk = jnp.minimum(seg_start + K, PAIRS - 1)
-    drop_dmin = jnp.where(stile[posk] == tix, sdmin[posk], jnp.float32(jnp.inf))
+    drop_dmin = jnp.where(stile[posk] == tix, sdmin[posk],
+                          jnp.float32(jnp.inf))
+    return dict(
+        stile=stile, sdmin=sdmin, sowner=sowner, seg_start=seg_start,
+        cand=cand, drop_dmin=drop_dmin, near_idx=near_idx,
+        near_valid=near_valid, n_pair=n_pair, n_near=n_near,
+        n_tier=n_tier,
+    )
+
+
+@partial(jax.jit, static_argnames=(
+    "tree_height", "width_px", "height_px", "cand_k", "near_slots",
+    "pair_slots", "jittered", "_stage",
+))
+def raster_bins(
+    box_lo, box_size, cam_pos, cam_basis, tree_height: int,
+    width_px: int, height_px: int, cand_k: int = 24, near_slots: int = 64,
+    pair_slots: tuple | None = None,
+    jittered: bool = False, _stage: int = 0,
+):
+    """Pose-only raster state (see _pose_bins) as its own jit: compute
+    once per camera pose, then pass to ``raster_cast(..., bins=...)``
+    for every progressive sample at that pose. ``jittered`` must be True
+    when the samples will supply sub-pixel-jittered ``ray_dirs``."""
+    return _pose_bins(
+        box_lo, box_size, cam_pos, cam_basis, tree_height, width_px,
+        height_px, cand_k, near_slots,
+        _default_pair_slots(pair_slots, jittered), jittered, _stage,
+    )
+
+
+@partial(jax.jit, static_argnames=(
+    "tree_height", "width_px", "height_px", "cand_k", "widen_k",
+    "widen_tiles", "widen2_k", "widen2_tiles", "fallback_tiles",
+    "near_slots", "pair_slots", "want_voxel", "_stage",
+))
+def raster_cast(
+    box_lo,
+    box_size,
+    box_attr,
+    cam_pos,
+    cam_basis,
+    tree_height: int,
+    width_px: int,
+    height_px: int,
+    distance=FAR,
+    cand_k: int = 24,
+    widen_k: int = 104,
+    widen_tiles: int = 4096,
+    widen2_k: int = 256,
+    widen2_tiles: int = 512,
+    fallback_tiles: int | None = None,
+    near_slots: int = 64,
+    pair_slots: tuple | None = None,
+    ray_dirs=None,
+    bins=None,
+    want_voxel: bool = True,
+    _stage: int = 0,
+):
+    """Rasterize the box soup for one camera; per-pixel nearest hit.
+
+    Args:
+      box_lo: int32[M, 3] box low corners; box_size: int32[M, 3] per-axis
+        extents (world.boxes.BoxSoup arrays; extents must be small for
+        tight distance bounds — the soup caps them).
+      box_attr: float32[M, 4] per-box [leaf_id_bits, r, g, b] — leaf slot
+        id bitcast to f32 in column 0, albedo in 1..4 (build via
+        ``pack_box_attr``).
+      cam_pos/cam_basis: camera (pos (3,), basis (3,3)).
+      distance: scalar far cap (strict, unlike the traversal's advisory
+        cap — see traverse.svo_raycast).
+      cand_k: candidate boxes resolved per tile first pass (nearest-K).
+      widen_k: extra candidates resolved for tiles the first pass left
+        incomplete (the second-chance pass).
+      widen_tiles: static capacity of the second-chance tile list.
+      widen2_k/widen2_tiles: a third round for tiles still incomplete
+        after the second chance (deep silhouette stacks) — much smaller
+        tile budget, much deeper candidate budget.
+      fallback_tiles: static capacity of the still-incomplete tile list
+        returned for the exact per-ray fallback (``apply_fallback`` /
+        ``raster_cast_exact``); exceeding it sets ``overflow``. Default
+        (None): every tile for deep worlds (tree_height >= 12, whose
+        grazing horizon bands leave tens of thousands of tiles with
+        residual needy rays), 1024 otherwise (the fallback cast's lane
+        setup scales with the capacity, and shallow worlds resolve
+        almost fully in-raster).
+      near_slots: capacity of the dense all-tiles pre-pass for boxes with
+        corners behind the camera or spanning > 32x32 tiles (excess sets
+        ``overflow``).
+      pair_slots: per-tier box capacities for tile spans up to
+        (2x2, 4x4, 8x8, 16x16, 32x32); 1x1 spans are unbounded (one
+        pair each, emitted unconditionally). Excess in any tier sets
+        ``overflow``.
+      ray_dirs: optional (H, W, 3) world-space unit directions replacing
+        the pixel-center rays — for sub-pixel-jittered path-tracing
+        primaries (render_sample). Each ray must stay within its pixel's
+        footprint (the box bboxes are then padded by the half-pixel
+        jitter range).
+      bins: optional pose-only raster state from ``raster_bins`` (same
+        box arrays, pose, and cand_k/near_slots/pair_slots; jittered
+        bins when ray_dirs is used). Skips projection/emission/sorting —
+        the progressive-sampler fast path.
+      want_voxel: compute the integer hit-voxel output (picking/editing).
+        Shading-only callers (PT primaries, bench) pass False — the
+        un-mirroring math is a measurable slice of the frame.
+      _stage: debug-only early return after pipeline stage 1..8
+        (projection, tier selection, pair emission, binning, near
+        pre-pass, resolve, widen, untile+winner-gather) — used to bisect
+        the axon remote compiler's / runtime's per-stage cost (each
+        stage program is dead-code-eliminated to that stage's true
+        dependencies).
+
+    Returns dict: hit (H,W) bool, t (H,W) f32, normal (H,W,3), node (H,W)
+    i32 leaf slot (-1 miss), rgb (H,W,3), voxel (H,W,3) i32, overflow ()
+    bool, n_pair/n_near/n_widen/n_fallback () i32 demand counters, and
+    fb_tiles/fb_valid/fb_need — tiles/rays whose result is not provably
+    complete (resolve them with ``apply_fallback`` for exactness;
+    without it they may show a farther surface than the true nearest).
+    """
+    W, H = width_px, height_px
+    P = W * H
+    TW = -(-W // TILE)  # tiles per row
+    TH = -(-H // TILE)
+    NT = TW * TH
+    M = box_lo.shape[0]
+    widen_plan = (
+        (-(-widen_k // CHUNK) * CHUNK, min(widen_tiles, NT)),
+        (-(-widen2_k // CHUNK) * CHUNK, min(widen2_tiles, NT)),
+    )
+    if fallback_tiles is None:
+        fallback_tiles = NT if tree_height >= 12 else 1024
+    NFB = min(fallback_tiles, NT)
+    NS = max(min(near_slots, M), 1)
+    cam_pos = jnp.asarray(cam_pos, jnp.float32)
+    basis = jnp.asarray(cam_basis, jnp.float32)
+    lo_f = box_lo.astype(jnp.float32)
+    size_f = box_size.astype(jnp.float32)
+
+    pair_slots = _default_pair_slots(pair_slots, ray_dirs is not None)
+    if bins is None:
+        bins = _pose_bins(
+            box_lo, box_size, cam_pos, basis, tree_height, W, H,
+            cand_k, near_slots, pair_slots, ray_dirs is not None, _stage,
+        )
+        if 1 <= _stage <= 4:
+            return bins
+    stile, sdmin = bins["stile"], bins["sdmin"]
+    sowner, seg_start = bins["sowner"], bins["seg_start"]
+    cand, drop_dmin = bins["cand"], bins["drop_dmin"]
+    near_idx, near_valid = bins["near_idx"], bins["near_valid"]
+    n_pair, n_near, n_tier = bins["n_pair"], bins["n_near"], bins["n_tier"]
+    K = cand.shape[1]
+    PAIRS = stile.shape[0]
+    spacked = jnp.stack([stile, sowner], axis=1)
+    tix = jnp.arange(NT, dtype=jnp.int32)
+
+    # padded per-tile ray directions: (NT, 64, 3); partial tiles padded
+    # with clamped pixels (their results are discarded on reassembly)
+    WP, HP = TW * TILE, TH * TILE
+    pyp, pxp = jnp.meshgrid(
+        jnp.arange(HP, dtype=jnp.int32), jnp.arange(WP, dtype=jnp.int32),
+        indexing="ij",
+    )
+    pix_ok = (pxp < W) & (pyp < H)
+    if ray_dirs is None:
+        d_pad = _ray_dirs_for_pixels(
+            jnp.minimum(pxp, W - 1), jnp.minimum(pyp, H - 1), basis, W, H
+        )
+    else:
+        d_pad = jnp.pad(
+            jnp.asarray(ray_dirs, jnp.float32),
+            ((0, HP - H), (0, WP - W), (0, 0)), mode="edge",
+        )
+    tile_of = lambda a: a.reshape(TH, TILE, TW, TILE, -1).transpose(
+        0, 2, 1, 3, 4
+    ).reshape(NT, TILE * TILE, -1)
+    d_t = tile_of(d_pad)  # (NT, 64, 3)
+    ok_t = tile_of(pix_ok[..., None])[..., 0]  # (NT, 64)
+
+    cand_geom = jnp.concatenate([lo_f, size_f], axis=1)  # (M, 6)
+
+    # ---- dense pre-pass: near boxes vs every tile (chunked scan) -------
+    def near_chunk(carry, xs):
+        bt, bpl = carry
+        idx, valid = xs  # (CHUNK,)
+        g = cand_geom[idx]  # (CHUNK, 6)
+        glo = g[:, 0:3][None, :, None, :]
+        ghi = glo + g[:, 3:6][None, :, None, :]
+        t, axis, hit = _mirrored_slab(
+            glo, ghi, cam_pos, d_t[:, None, :, :], tree_height, distance,
+        )  # (NT, CHUNK, 64)
+        t = jnp.where(valid[None, :, None] & hit, t, jnp.float32(jnp.inf))
+        k_best = jnp.argmin(t, axis=1)
+        t_k = jnp.min(t, axis=1)
+        pl = (idx[None, :, None] << 2) | axis
+        onehot = k_best[:, None, :] == jnp.arange(CHUNK)[None, :, None]
+        pl_k = jnp.sum(jnp.where(onehot, pl, 0), axis=1)
+        better = t_k < bt
+        return (
+            jnp.where(better, t_k, bt), jnp.where(better, pl_k, bpl)
+        ), None
+
+    carry0 = (
+        jnp.full((NT, TILE * TILE), jnp.inf, jnp.float32),
+        jnp.full((NT, TILE * TILE), -1, jnp.int32),
+    )
+    carry, _ = jax.lax.scan(
+        near_chunk, carry0,
+        (near_idx.reshape(-1, CHUNK), near_valid.reshape(-1, CHUNK)),
+    )
     if _stage == 5:
-        return dict(cand=cand, drop_dmin=drop_dmin)
+        return dict(near_t=carry[0], near_pl=carry[1])
 
     # ---- dense per-tile resolve (chunked scan, CHUNK boxes/step) --------
     def resolve_scan(carry_in, cand_mat, d_loc):
@@ -717,14 +806,15 @@ def apply_fallback(
 def raster_cast_exact(
     box_lo, box_size, box_attr, cam_pos, cam_basis, tree_height: int,
     width_px: int, height_px: int, table=None, root=None, distance=FAR,
-    ray_dirs=None, **kw,
+    ray_dirs=None, bins=None, **kw,
 ):
     """raster_cast + exact per-ray fallback on incomplete tiles (two
     device programs; pixel-parity with svo_raycast when the node table is
     supplied)."""
     res = raster_cast(
         box_lo, box_size, box_attr, cam_pos, cam_basis, tree_height,
-        width_px, height_px, distance=distance, ray_dirs=ray_dirs, **kw,
+        width_px, height_px, distance=distance, ray_dirs=ray_dirs,
+        bins=bins, **kw,
     )
     if table is not None and root is not None:
         nfb = res["n_fallback"]

@@ -116,6 +116,8 @@ class Renderer:
         self.use_soup = use_soup
         self._dev = device_svo
         self._soup = None  # lazy (box_lo, box_size, box_attr) on device
+        self._bins = None  # pose-only raster state (kernels.raster)
+        self._bins_key = None
 
     def update_space(self, device_svo):
         """Re-upload the node table after world edits (fragment.rs:274-313)."""
@@ -128,6 +130,7 @@ class Renderer:
         self._dist_step = None  # world changed: rebuild the sharded step
         self._dev = device_svo
         self._soup = None
+        self._bins = self._bins_key = None
         self.acc.invalidate()
 
     def apply_edits(self, space):
@@ -164,6 +167,7 @@ class Renderer:
         # the O(changed nodes) edit path, so drop rasterized primaries
         # until the next full update_space
         self._soup = None
+        self._bins = self._bins_key = None
         self.use_soup = False
         self.acc.invalidate()
 
@@ -202,6 +206,25 @@ class Renderer:
             return self._soup.active(np.asarray(cam.pos, np.float32),
                                      cam.basis())
         return self._soup
+
+    def _get_soup_bins(self, cam, soup):
+        """Pose-only raster binning, cached per pose: progressive samples
+        at a fixed camera re-use it, paying only the per-sample resolve
+        (at flagship scale the bins are most of the primary's cost)."""
+        if soup is None:
+            return None
+        key = (tuple(np.asarray(cam.pos, np.float64).tolist()),
+               float(cam.yaw), float(cam.pitch), id(soup[0]))
+        if self._bins_key != key:
+            from voxtracer.kernels.raster import raster_bins
+
+            self._bins = raster_bins(
+                soup[0], soup[1], np.asarray(cam.pos, np.float32),
+                cam.basis(), self.tree_height, self.width, self.height,
+                jittered=True,
+            )
+            self._bins_key = key
+        return self._bins
 
     def _dist(self):
         """The sample-sharded multi-chip step (built lazily)."""
@@ -262,7 +285,8 @@ class Renderer:
             max_bounces=self.max_bounces,
             fog_steps=self.fog_steps,
             row_tiles=self.row_tiles,
-            soup=self._get_soup(cam),
+            soup=(soup := self._get_soup(cam)),
+            soup_bins=self._get_soup_bins(cam, soup),
         )
         self.acc.add(sample)
 
@@ -282,7 +306,8 @@ class Renderer:
             jnp.asarray(sun_unit), jnp.asarray(seeds),
             self.width, self.height, max_bounces=self.max_bounces,
             fog_steps=self.fog_steps, row_tiles=self.row_tiles,
-            soup=self._get_soup(cam),
+            soup=(soup := self._get_soup(cam)),
+            soup_bins=self._get_soup_bins(cam, soup),
         )
         self.acc.buffer = self.acc.buffer + total
         self.acc.samples += k

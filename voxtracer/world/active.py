@@ -30,13 +30,18 @@ import numpy as np
 
 
 @partial(jax.jit, static_argnames=("cap",))
-def _cull(packed, lo_f, half_f, cam_pos, basis, fx, fy, keep_r, cap: int):
+def _cull(box_lo, box_size, box_attr, cam_pos, basis, fx, fy, keep_r,
+          cap: int):
     """Conservative frustum cull + compaction.
 
-    packed: (M, 10) f32 [attr4, lo3, size3]; lo_f/half_f: (M,3) f32 box
-    low corner / half extents. Returns ((cap,10) rows, n_active).
+    box_lo/box_size: (M,3) i32; box_attr: (M,4) f32. Returns
+    ((cap,3) lo, (cap,3) size, (cap,4) attr, n_active). All f32 math is
+    built transiently from the compact inputs — the flagship soup is
+    ~850 MB as i32 columns but would be ~6 GB held as packed+f32 copies.
     """
-    M = lo_f.shape[0]
+    M = box_lo.shape[0]
+    lo_f = box_lo.astype(jnp.float32)
+    half_f = box_size.astype(jnp.float32) * 0.5
     c = lo_f + half_f  # center
     r = jnp.linalg.norm(half_f, axis=-1)  # bounding-sphere radius
     # HIGHEST: TPU default matmul is bf16 passes — +-2 voxel error at
@@ -62,9 +67,11 @@ def _cull(packed, lo_f, half_f, cam_pos, basis, fx, fy, keep_r, cap: int):
     key = jnp.where(keep, midx, jnp.int32(M))
     idx = jax.lax.sort(key)[:cap]
     valid = idx < M
-    rows = packed[jnp.where(valid, idx, 0)]
-    rows = jnp.where(valid[:, None], rows, 0.0)  # inert: size 0 at origin
-    return rows, n_active
+    safe = jnp.where(valid, idx, 0)
+    lo_a = jnp.where(valid[:, None], box_lo[safe], 0)
+    size_a = jnp.where(valid[:, None], box_size[safe], 0)  # inert: size 0
+    attr_a = jnp.where(valid[:, None], box_attr[safe], 0.0)
+    return lo_a, size_a, attr_a, n_active
 
 
 class ActiveSoup:
@@ -84,14 +91,10 @@ class ActiveSoup:
                  keep_radius: float = 128.0):
         from voxtracer.kernels.raster import pack_box_attr
 
-        attr = np.asarray(pack_box_attr(soup), np.float32)
-        lo = np.asarray(soup.lo, np.float32)
-        size = np.asarray(soup.size, np.float32)
-        self._packed = jnp.asarray(
-            np.concatenate([attr, lo, size], axis=1)
-        )  # (M, 10)
-        self._lo_f = jnp.asarray(lo)
-        self._half_f = jnp.asarray(size * 0.5)
+        self._lo = jnp.asarray(np.asarray(soup.lo, np.int32))
+        self._size = jnp.asarray(np.asarray(soup.size, np.int32))
+        self._attr = jnp.asarray(np.asarray(pack_box_attr(soup),
+                                            np.float32))
         self.cap = min(cap, len(soup))
         self.margin = math.radians(margin_deg)
         self.keep_radius = float(keep_radius)
@@ -120,8 +123,8 @@ class ActiveSoup:
         cam_pos = np.asarray(cam_pos, np.float32)
         basis = np.asarray(basis, np.float32)
         if not self._valid_for(cam_pos, basis):
-            rows, n = _cull(
-                self._packed, self._lo_f, self._half_f,
+            lo_a, size_a, attr_a, n = _cull(
+                self._lo, self._size, self._attr,
                 jnp.asarray(cam_pos), jnp.asarray(basis),
                 jnp.float32(self._fx), jnp.float32(self._fy),
                 jnp.float32(self.keep_radius), cap=self.cap,
@@ -129,13 +132,10 @@ class ActiveSoup:
             self.n_active = int(n)
             if self.n_active > self.cap:
                 # truncation would silently drop visible boxes — serve
-                # the full soup for this pose instead
-                self._rows = (self._packed[:, 4:7], self._packed[:, 7:10],
-                              self._packed[:, 0:4])
+                # the full soup for this pose instead (zero-copy)
+                self._rows = (self._lo, self._size, self._attr)
             else:
-                # raster_cast casts lo/size to f32 itself, so f32 slices
-                # are fine (values <= 8192 are exact in f32)
-                self._rows = (rows[:, 4:7], rows[:, 7:10], rows[:, 0:4])
+                self._rows = (lo_a, size_a, attr_a)
             self._pose = (cam_pos.copy(), basis.copy())
         return self._rows
 
