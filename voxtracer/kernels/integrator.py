@@ -93,12 +93,12 @@ def trace_paths(
         for s in d_.shape[:-1]:
             nb *= int(s)
         if compact and nb >= 16384:
-            # min_bucket=2048: deepest static compaction — measured 1.5x
-            # over nb//8 on 409k-lane bounce casts (the live-lane tail is
-            # long, PERF.md)
+            # min_bucket=1024: deepest useful static compaction —
+            # measured 1.9x over nb//8 on 409k-lane bounce casts
+            # (the live-lane tail is long; 512/256 plateau, PERF.md)
             return svo_raycast_bucketed(
                 table, root, height, pos_, d_, distance=distance,
-                min_bucket=2048, active=active,
+                min_bucket=1024, active=active,
             )
         return svo_raycast(table, root, height, pos_, d_,
                            distance=distance, active=active)
