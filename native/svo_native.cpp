@@ -362,6 +362,25 @@ int vx_get(void* h, uint32_t x, uint32_t y, uint32_t z, float* rgb) {
     return 1;
 }
 
+// Point query: slot id of the block leaf at (x,y,z), or -1 if air.
+// Slots equal node ids in vx_serialize's table layout, so this is the
+// device leaf slot (used by world/boxes.SoupPatcher for edited boxes).
+long long vx_leaf_at(void* h, uint32_t x, uint32_t y, uint32_t z) {
+    Space* s = (Space*)h;
+    if (s->root == EMPTY) return -1;
+    uint32_t node = s->root;
+    for (int level = (int)s->height() - 1; level >= 0; level--) {
+        uint32_t c = 1u << level;
+        uint32_t idx = ((x >= c) ? 1 : 0) | ((y >= c) ? 2 : 0) | ((z >= c) ? 4 : 0);
+        node = s->nodes[node].payload[idx];
+        if (node == EMPTY) return -1;
+        if (x >= c) x -= c;
+        if (y >= c) y -= c;
+        if (z >= c) z -= c;
+    }
+    return (long long)node;
+}
+
 // Point edit: has_color=0 clears the voxel (svo.rs:102-144 semantics).
 void vx_set(void* h, uint32_t x, uint32_t y, uint32_t z, int has_color,
             float r, float g, float b) {

@@ -146,3 +146,62 @@ def test_renderer_apply_edits_matches_rebuild():
     np.testing.assert_allclose(
         np.asarray(r.acc.mean()), np.asarray(r2.acc.mean()), rtol=0, atol=0
     )
+
+
+def test_soup_patch_matches_rebuild():
+    """SoupPatcher point edits are first-hit-equivalent to a full soup
+    rebuild: delete a surface voxel (exposes culled neighbors), place a
+    block in air, overwrite a color, delete inside a merged box (splits
+    it) — after each, raster frames from the patched soup equal frames
+    from extract_boxes on the edited world (hit/t/normal/rgb)."""
+    import jax.numpy as jnp
+
+    from voxtracer.core import camera as vcam
+    from voxtracer.kernels.raster import pack_box_attr, raster_cast_exact
+    from voxtracer.world.boxes import SoupPatcher, extract_boxes
+
+    n = 16
+    rng = np.random.default_rng(11)
+    solid = np.zeros((n, n, n), bool)
+    solid[:, :3, :] = True  # slab -> merged strips + enclosure culls
+    solid[4:8, 3:6, 4:8] = True  # a mound
+    rgb = np.broadcast_to(
+        np.asarray([0.5, 0.4, 0.3], np.float32), (n, n, n, 3)).copy()
+    rgb[4:8, 3:6, 4:8] = [0.2, 0.6, 0.2]
+    space = from_dense(solid, rgb)
+    dev = space.serialize()
+    patcher = SoupPatcher(extract_boxes(dev), overlay=512)
+
+    cam = vcam.Camera(pos=(n * 1.4, n * 1.1, n * 1.5),
+                      yaw=np.pi + 0.7, pitch=-0.55)
+    W, H = 48, 40
+
+    def frame(soup_dev, d):
+        dd = d.serialize()
+        table = jnp.asarray(dd.table.view(np.int32))
+        root = np.int32(dd.root if dd.root != 0xFFFFFFFF else -1)
+        r = raster_cast_exact(
+            soup_dev[0], soup_dev[1], soup_dev[2],
+            np.asarray(cam.pos, np.float32), cam.basis(), dd.height,
+            W, H, table=table, root=root,
+        )
+        return {k: np.asarray(r[k]) for k in ("hit", "t", "normal", "rgb")}
+
+    edits = [
+        ((5, 5, 5), None),              # delete mound surface voxel
+        ((5, 8, 5), (1.0, 1.0, 1.0)),   # place emissive block in air
+        ((4, 5, 4), (0.9, 0.1, 0.1)),   # overwrite color
+        ((8, 2, 8), None),              # delete inside the merged slab
+        ((5, 4, 5), None),              # delete under the first delete
+    ]
+    for p, val in edits:
+        space.set(p, val)
+        assert patcher.apply([p], space), "overlay overflow"
+        got = frame(patcher.device_soup, space)
+
+        fresh_soup = extract_boxes(space.serialize())
+        fresh = (jnp.asarray(fresh_soup.lo), jnp.asarray(fresh_soup.size),
+                 jnp.asarray(pack_box_attr(fresh_soup)))
+        want = frame(fresh, space)
+        for k in ("hit", "t", "normal", "rgb"):
+            assert np.array_equal(got[k], want[k]), (p, val, k)

@@ -234,3 +234,32 @@ def test_soup_primary_matches_per_ray():
     aa, bb = np.asarray(a), np.asarray(b)
     differ = ~np.isclose(aa, bb, rtol=1e-5, atol=1e-4)
     assert differ.mean() < 0.01, f"{differ.mean():.2%} differ"
+
+
+def test_compaction_chained_states():
+    """Compacted trace_paths returns the SAME chained RNG state as the
+    uncompacted loop for every lane — including lanes dropped dead at a
+    bucket boundary, whose states burn the draws the uncompacted loop's
+    remaining iterations would have consumed (11 random3 per bounce,
+    kernels/integrator.py BOUNCE_DRAWS)."""
+    from voxtracer.core import rng as vrng
+
+    table, root, height, _ = flat_world()
+    cam = vcam.Camera(pos=(8.0, 6.0, 8.0), yaw=0.3, pitch=0.35)
+    W, H = 96, 48  # 4608 lanes >= the 4096 compaction threshold
+    py, px = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+    seed = jnp.asarray(np.array([7, 77, 777], np.uint32))
+    state = vrng.seed_pixels(seed, jnp.asarray(px), jnp.asarray(py))
+    state, rnd = vrng.random3(state)
+    ld = vcam.pixel_ndc(jnp.asarray(px), jnp.asarray(py), W, H)
+    d = vcam.ray_directions(cam.basis(), ld, jitter=rnd[..., :2], height=H)
+    pos = jnp.broadcast_to(
+        jnp.asarray(cam.pos, jnp.float32), d.shape)
+    wl = rnd[..., 2]
+
+    sc, cc = trace_paths(table, root, height, LUT, pos, d, wl, sun_vec(),
+                         state, max_bounces=6, fog_steps=8, compact=True)
+    su, cu = trace_paths(table, root, height, LUT, pos, d, wl, sun_vec(),
+                         state, max_bounces=6, fog_steps=8, compact=False)
+    assert np.array_equal(np.asarray(cc), np.asarray(cu))
+    assert np.array_equal(np.asarray(sc), np.asarray(su))

@@ -1,0 +1,79 @@
+"""Quick TPU check of the demand-probed exact raster frame (1080p,
+1024^3) — the round-3 headline candidate. Prints probe + timing."""
+
+import sys
+import time
+
+import numpy as np
+
+W, H = 1920, 1080
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    sys.path.insert(0, "/root/repo")
+    from bench import _cams, _time_over
+    from voxtracer.kernels import raster as raster_mod
+    from voxtracer.world import worldgen
+    from voxtracer.world.boxes import extract_boxes
+
+    space = worldgen.generate(log2_size=10, verbose=False)
+    dev = space.serialize()
+    table = jnp.asarray(dev.table.view(np.int32))
+    root = np.int32(dev.root)
+    soup = extract_boxes(dev)
+    log(f"soup {len(soup)}")
+    soup_args = (jnp.asarray(soup.lo), jnp.asarray(soup.size),
+                 jnp.asarray(raster_mod.pack_box_attr(soup)))
+    cams = _cams(5, 1024 / 8192.0)
+    cam_args = [(np.asarray(c.pos, np.float32), c.basis()) for c in cams]
+
+    ps = ns = None
+    need_fb = 0
+    for op, basis in cam_args:
+        probe = raster_mod.raster_cast(
+            *soup_args, op, basis, dev.height, W, H, want_voxel=False,
+        )
+        ps = raster_mod.fit_pair_slots(probe["n_tier"], current=ps)
+        ns = raster_mod.fit_near_slots(probe["n_tier"][0], current=ns or 0)
+        need_fb = max(need_fb, int(probe["n_fallback"]))
+        log("n_tier:", np.asarray(probe["n_tier"]),
+            "n_pair:", int(probe["n_pair"]), "fb:", int(probe["n_fallback"]))
+    fb = max(64, 1 << (4 * need_fb + 16 - 1).bit_length())
+    pairs = sum(s * a for s, a in zip(
+        [min(s, len(soup)) for s in ps], raster_mod.PAIR_ARITIES))
+    log(f"slots pair={ps} near={ns} fbcap={fb} PAIRS~{len(soup) + pairs}")
+
+    def f_exact(op, basis):
+        res = raster_mod.raster_cast(
+            *soup_args, op, basis, dev.height, W, H, want_voxel=False,
+            pair_slots=ps, near_slots=ns, fallback_tiles=fb,
+        )
+        return raster_mod.apply_fallback(
+            res, table, root, dev.height, op, basis, W, H,
+        )["t"]
+
+    dt, _ = _time_over(f_exact, cam_args)
+    log(f"EXACT frame {dt * 1e3:.1f} ms -> {W * H / dt / 1e6:.2f} Mrays/s")
+
+    # raster-only (no fallback program), for the stage decomposition
+    def f_raster(op, basis):
+        return raster_mod.raster_cast(
+            *soup_args, op, basis, dev.height, W, H, want_voxel=False,
+            pair_slots=ps, near_slots=ns, fallback_tiles=fb,
+        )["t"]
+
+    dt2, _ = _time_over(f_raster, cam_args)
+    log(f"raster-only {dt2 * 1e3:.1f} ms -> {W * H / dt2 / 1e6:.2f} Mrays/s")
+
+
+if __name__ == "__main__":
+    main()

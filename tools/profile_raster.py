@@ -1,0 +1,102 @@
+"""Stage-level profile of the box rasterizer at the bench config.
+
+Times raster_cast at successive `_stage` early-returns (each stage
+program is DCE'd to that stage's true dependencies, so deltas between
+consecutive stages approximate per-stage cost), plus bins-vs-resolve
+split, and prints the tier demand counters that should size pair_slots.
+
+Run on an otherwise-idle host (PERF.md): concurrent CPU load starves the
+axon client.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import numpy as np
+
+LOG2_SIZE = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+W, H = 1920, 1080
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir",
+                      "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+    sys.path.insert(0, "/root/repo")
+    from bench import _cams, _time_over
+    from voxtracer.kernels import raster as raster_mod
+    from voxtracer.world import worldgen
+    from voxtracer.world.boxes import extract_boxes
+
+    t0 = time.monotonic()
+    space = worldgen.generate(log2_size=LOG2_SIZE, verbose=False)
+    dev = space.serialize()
+    log(f"worldgen {time.monotonic() - t0:.1f}s")
+    t0 = time.monotonic()
+    soup = extract_boxes(dev)
+    log(f"soup {len(soup)} boxes in {time.monotonic() - t0:.1f}s")
+    soup_args = (jnp.asarray(soup.lo), jnp.asarray(soup.size),
+                 jnp.asarray(raster_mod.pack_box_attr(soup)))
+
+    s = (1 << LOG2_SIZE) / 8192.0
+    cams = _cams(4, s)
+    cam_args = [(np.asarray(c.pos, np.float32), c.basis()) for c in cams]
+
+    # tier demand at this config (sizes pair_slots)
+    ps = ns = None
+    for op, basis in cam_args:
+        r = raster_mod.raster_cast(*soup_args, op, basis, dev.height, W, H,
+                                   want_voxel=False)
+        ps = raster_mod.fit_pair_slots(r["n_tier"], current=ps)
+        ns = raster_mod.fit_near_slots(r["n_tier"][0], current=ns or 0)
+    log("n_tier:", np.asarray(r["n_tier"]))
+    log("n_pair:", int(r["n_pair"]), " n_widen:", int(r["n_widen"]),
+        " n_fallback:", int(r["n_fallback"]),
+        " overflow:", bool(r["overflow"]))
+    log("slots:", ps, ns)
+
+    def stage_fn(stg):
+        def f(op, basis):
+            out = raster_mod.raster_cast(
+                *soup_args, op, basis, dev.height, W, H,
+                want_voxel=False, pair_slots=ps, near_slots=ns,
+                fallback_tiles=64, _stage=stg,
+            )
+            if stg == 0:
+                return out["t"]
+            return out
+
+        return f
+
+    prev = 0.0
+    for stg in (3, 4, 5, 6, 7, 8, 0):
+        try:
+            dt, _ = _time_over(stage_fn(stg), cam_args)
+            log(f"stage {stg}: {dt * 1e3:7.1f} ms  (delta "
+                f"{(dt - prev) * 1e3:+7.1f} ms)")
+            prev = dt
+        except Exception as e:
+            log(f"stage {stg} failed: {type(e).__name__} {str(e)[:160]}")
+
+    # bins alone (the pose-only half) vs full
+    def f_bins(op, basis):
+        return raster_mod.raster_bins(
+            soup_args[0], soup_args[1], op, basis, dev.height, W, H,
+        )["cand"]
+
+    dt, _ = _time_over(f_bins, cam_args)
+    log(f"raster_bins (pose half): {dt * 1e3:7.1f} ms")
+
+
+if __name__ == "__main__":
+    main()

@@ -88,6 +88,22 @@ def run_interactive(args, input_fn=None, log=print):
         log(f"[{renderer.acc.samples} samples | {timer.fps:.1f} fps] "
             f"-> {preview}")
 
+    def fast_preview():
+        """Immediate shaded raster frame after a camera/world change —
+        sub-second edit-to-preview latency; the path-traced accumulation
+        then refines it on idle ticks (the reference presents a sample
+        every frame, main.rs:164-208)."""
+        from voxtracer.render import film
+
+        c = vcam.Camera(pos=tuple(pos), yaw=yaw, pitch=pitch)
+        img = renderer.preview_frame(c, sun)
+        if img is None:
+            return False
+        film.save_png(preview, np.asarray(img))
+        timer.tick()
+        log(f"[raster preview | {timer.fps:.1f} fps] -> {preview}")
+        return True
+
     def center_pick():
         basis = np.asarray(vcam.camera_basis(yaw, pitch))
         d = basis @ np.array([0.0, 0.0, 1.0])
@@ -173,8 +189,9 @@ def run_interactive(args, input_fn=None, log=print):
             else:
                 voxel, normal = picked
                 if cmd == "del":
-                    space.set(tuple(voxel), None)
-                    log(f"deleted {tuple(voxel)}")
+                    edited = tuple(int(c) for c in voxel)
+                    space.set(edited, None)
+                    log(f"deleted {edited}")
                 elif not all(
                     0 <= int(c) < (1 << space.height()) for c in voxel + normal
                 ):
@@ -183,10 +200,12 @@ def run_interactive(args, input_fn=None, log=print):
                     log("placement outside world bounds")
                     continue
                 else:
-                    target = tuple(voxel + normal)
-                    space.set(target, (1.0, 1.0, 1.0))
-                    log(f"placed emissive block at {target}")
-                renderer.apply_edits(space)  # O(changed nodes) upload
+                    edited = tuple(int(c) for c in voxel + normal)
+                    space.set(edited, (1.0, 1.0, 1.0))
+                    log(f"placed emissive block at {edited}")
+                # O(changed nodes) table upload + in-place soup patch:
+                # the fast raster primaries survive the edit
+                renderer.apply_edits(space, edits=[edited])
         elif cmd == "pose":
             log(f"pos={tuple(pos)} yaw={yaw} pitch={pitch}")
             continue
@@ -201,7 +220,9 @@ def run_interactive(args, input_fn=None, log=print):
             log("commands: w/a/s/d/up/down [N], look DY DP, fast, g, r, "
                 "del, place, pose, spp N, save PATH, q")
             continue
-        # state changed: render one sample at the new state and refresh
-        # (the accumulator resets itself on pose/sun/world changes)
+        # state changed: write an immediate raster preview, then one
+        # path-traced sample at the new state (the accumulator resets
+        # itself on pose/sun/world changes; idle ticks keep refining)
+        fast_preview()
         sample_once()
         write_preview()

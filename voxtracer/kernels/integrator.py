@@ -268,23 +268,31 @@ def trace_paths(
         carry = jax.lax.while_loop(seg_cond(nxt), bounce, carry)
         i_, st_, pos_, d_, light_, color_, alive_, den_ = carry
         perm = jnp.argsort(~alive_)[:nxt]
-        unwinds.append((color_, st_, perm))
+        unwinds.append((color_, st_, perm, i_))
         take = lambda a: a[perm]
         carry = (i_, take(st_), take(pos_), take(d_), take(light_),
                  take(color_), take(alive_), take(den_))
 
     carry = jax.lax.while_loop(seg_cond(None), bounce, carry)
-    _, state, _, _, _, color, _, _ = carry
+    i_final, state, _, _, _, color, _, _ = carry
     # Unwind the compaction: scatter the surviving lanes' colors AND RNG
-    # states back through each bucket's permutation, so the returned state
-    # is per-lane and full-shape regardless of compaction. (A lane dropped
-    # at a bucket boundary keeps the state it had when it died — in the
-    # uncompacted loop dead lanes keep burning draws, so chained states
-    # match the uncompacted loop only for lanes alive to the end; radiance
-    # is bit-identical either way.)
-    for color_full, state_full, perm in reversed(unwinds):
+    # states back through each bucket's permutation, so the returned
+    # state is per-lane and full-shape regardless of compaction. Lanes
+    # dropped at a bucket boundary additionally BURN the draws the
+    # uncompacted loop's remaining iterations would have consumed (every
+    # stochastic stage draws unconditionally — 11 random3 per bounce:
+    # raycast_planet 3 + sample_sun 2 + raycast_planet 3 +
+    # cos_hemisphere 2 + Russian roulette 1), so chained states are
+    # bit-identical to the uncompacted loop for EVERY lane, dead or
+    # alive (tests/test_integrator.py::test_compaction_chained_states).
+    BOUNCE_DRAWS = 11
+    for color_full, state_full, perm, i_b in reversed(unwinds):
         color = color_full.at[perm].set(color)
-        state = state_full.at[perm].set(state)
+        state_burn = jax.lax.fori_loop(
+            jnp.int32(0), (i_final - i_b) * BOUNCE_DRAWS,
+            lambda _, s: vrng.pcg3d(s), state_full,
+        )
+        state = state_burn.at[perm].set(state)
     if buckets:
         color = color.reshape(batch_shape + (3,))
         state = state.reshape(batch_shape + (3,))
@@ -293,7 +301,7 @@ def trace_paths(
 
 @partial(jax.jit, static_argnames=("height", "width_px", "height_px",
                                    "rows", "max_bounces", "fog_steps",
-                                   "row_tiles", "bit_size"))
+                                   "row_tiles", "bit_size", "soup_slots"))
 def render_sample(
     table,
     root,
@@ -313,6 +321,7 @@ def render_sample(
     aug=None,
     soup=None,
     soup_bins=None,
+    soup_slots=None,
     bitworld=None,
     bit_size: int = 0,
 ):
@@ -340,6 +349,13 @@ def render_sample(
     (kernels.raster.raster_bins with jittered=True at this pose/size) —
     skips re-binning the soup every sample; the Renderer caches it per
     pose.
+
+    ``soup_slots``: optional static (pair_slots tuple, near_slots,
+    fallback_tiles) capacities forwarded to the rasterizer — MUST match
+    the capacities ``soup_bins`` was built with. The Renderer probes
+    demand once per pose and passes sticky-grown capacities, so the hot
+    path pays a pair sort sized to actual demand instead of the
+    worst-case defaults (kernels.raster.fit_pair_slots).
     """
     from voxtracer.core import camera as vcam
 
@@ -361,10 +377,16 @@ def render_sample(
     if soup is not None and rows == height_px:
         from voxtracer.kernels import raster as raster_mod
 
+        slots_kw = {}
+        if soup_slots is not None:
+            slots_kw = dict(pair_slots=soup_slots[0],
+                            near_slots=soup_slots[1],
+                            fallback_tiles=soup_slots[2])
         pr = raster_mod.raster_cast_exact(
             soup[0], soup[1], soup[2], jnp.asarray(cam_pos, jnp.float32),
             cam_basis, height, width_px, height_px, table=table,
             root=root, ray_dirs=d, bins=soup_bins, want_voxel=False,
+            **slots_kw,
         )
         primary = dict(hit=pr["hit"], t=pr["t"], normal=pr["normal"],
                        rgb=pr["rgb"])
@@ -429,25 +451,111 @@ def render_sample(
 
 @partial(jax.jit, static_argnames=("height", "width_px", "height_px",
                                    "max_bounces", "fog_steps", "row_tiles",
-                                   "bit_size"))
+                                   "bit_size", "soup_slots", "fused"))
 def render_samples(
     table, root, height: int, lut, cam_pos, cam_basis, sun, frame_seeds,
     width_px: int, height_px: int, max_bounces: int = 24,
     fog_steps: int = 64, row_tiles: int = 1, aug=None, soup=None,
-    soup_bins=None, bitworld=None, bit_size: int = 0,
+    soup_bins=None, soup_slots=None, bitworld=None, bit_size: int = 0,
+    fused: bool = True,
 ):
     """Accumulate a batch of progressive samples in one device program.
 
     frame_seeds: (k, 3) uint32 — one RNG seed per sample. Returns the
     (H, W, 3) radiance SUM of the k samples (divide by k for the mean).
-    Amortizes per-dispatch overhead for batch/headless rendering."""
+
+    ``fused`` (default): all k samples' paths are traced in ONE
+    trace_paths call over k*H*W lanes instead of a per-sample scan.
+    Per-lane radiance is bit-identical either way (each lane's RNG and
+    arithmetic travel with it through compaction), but fusing pools the
+    wavefront k times deeper: the compaction tail — many traversal
+    iterations at live counts below the ~1k-lane per-iteration floor
+    (PERF.md, the measured min_bucket plateau) — amortizes over k
+    samples, which is where a serial sample's time goes. Primaries are
+    still rasterized per sample (k cheap resolve passes against the
+    shared pose bins). Falls back to the serial scan for the beam
+    (``aug``) engine and row-banded tiling.
+    """
+    k = int(frame_seeds.shape[0])
+    if fused and aug is None and k > 1:
+        from voxtracer.core import camera as vcam
+
+        py, px = jnp.meshgrid(
+            jnp.arange(height_px, dtype=jnp.int32),
+            jnp.arange(width_px, dtype=jnp.int32),
+            indexing="ij",
+        )
+
+        def mk(seed):
+            state = vrng.seed_pixels(seed, px, py)
+            state, rnd = vrng.random3(state)
+            ld = vcam.pixel_ndc(px, py, width_px, height_px)
+            d = vcam.ray_directions(cam_basis, ld, jitter=rnd[..., :2],
+                                    height=height_px)
+            return state, d, rnd[..., 2]
+
+        state, d, wavelength = jax.vmap(mk)(frame_seeds)  # (k, H, W, ..)
+        pos = jnp.broadcast_to(
+            jnp.asarray(cam_pos, jnp.float32), d.shape
+        )
+
+        primary = None
+        if soup is not None:
+            from voxtracer.kernels import raster as raster_mod
+
+            slots_kw = {}
+            if soup_slots is not None:
+                slots_kw = dict(pair_slots=soup_slots[0],
+                                near_slots=soup_slots[1],
+                                fallback_tiles=soup_slots[2])
+
+            if soup_bins is None:
+                # one pose-only binning shared by all k samples (the
+                # Renderer passes its per-pose cache; headless/bench
+                # paths get the same sharing in-program)
+                soup_bins = raster_mod.raster_bins(
+                    soup[0], soup[1], jnp.asarray(cam_pos, jnp.float32),
+                    cam_basis, height, width_px, height_px,
+                    near_slots=slots_kw.get("near_slots", 64),
+                    pair_slots=slots_kw.get("pair_slots"), jittered=True,
+                )
+
+            def cast(d_i):
+                pr = raster_mod.raster_cast_exact(
+                    soup[0], soup[1], soup[2],
+                    jnp.asarray(cam_pos, jnp.float32), cam_basis, height,
+                    width_px, height_px, table=table, root=root,
+                    ray_dirs=d_i, bins=soup_bins, want_voxel=False,
+                    **slots_kw,
+                )
+                return dict(hit=pr["hit"], t=pr["t"],
+                            normal=pr["normal"], rgb=pr["rgb"])
+
+            primary = jax.lax.map(cast, d)
+
+        B = k * height_px * width_px
+        fl = lambda a: a.reshape((B,) + a.shape[3:])
+        if primary is not None:
+            primary = {kk: fl(v) for kk, v in primary.items()}
+        _, radiance = trace_paths(
+            table, root, height, lut, fl(pos), fl(d), fl(wavelength),
+            sun, fl(state), max_bounces=max_bounces, fog_steps=fog_steps,
+            primary=primary, bitworld=bitworld, bit_size=bit_size,
+        )
+        r = radiance.reshape((k, height_px, width_px, 3))
+        # serial sum, matching the scan path's accumulation order exactly
+        acc = r[0]
+        for i in range(1, k):
+            acc = acc + r[i]
+        return acc
 
     def body(acc, seed):
         s = render_sample(
             table, root, height, lut, cam_pos, cam_basis, sun, seed,
             width_px, height_px, max_bounces=max_bounces,
             fog_steps=fog_steps, row_tiles=row_tiles, aug=aug, soup=soup,
-            soup_bins=soup_bins, bitworld=bitworld, bit_size=bit_size,
+            soup_bins=soup_bins, soup_slots=soup_slots, bitworld=bitworld,
+            bit_size=bit_size,
         )
         return acc + s, None
 

@@ -8,11 +8,12 @@ tile with sorts and dense vector math. Pipeline (all one jit):
 
   1. project every box's corners (dense math), conservative pixel bbox,
      frustum cull;
-  2. emit (tile, box) pairs with FIXED arity by tile-span tier: 1x1
-     spans (the vast majority — all distant terrain) emit their single
-     pair unconditionally; spans up to 2/4/8/16/32 tiles square emit
-     4/16/64/256/1024 pairs from slot arrays selected by one composite
-     index sort. ONE 2-key sort by (tile, camera-distance lower bound)
+  2. emit (tile, box) pairs with FIXED arity by tile-span-product tier:
+     1x1 spans (the vast majority — all distant terrain) emit their
+     single pair unconditionally; spans covering up to 2/4/8/../1024
+     tiles emit that many pairs (row-major rectangle enumeration, <= 2x
+     waste) from slot arrays selected by one composite index sort. ONE
+     2-key sort by (tile, camera-distance lower bound)
      then groups each tile's candidates contiguously nearest-first —
      occlusion culling falls out of K-truncation (hidden hillsides and
      buried cubes rank behind the surface and are dropped);
@@ -26,7 +27,7 @@ tile with sorts and dense vector math. Pipeline (all one jit):
      traversal's own mirrored arithmetic (same planes, same f32 ops), so
      hits are bit-identical to kernels/traverse.svo_raycast away from
      degenerate edge-grazes. Boxes too near/degenerate to project
-     (corners behind the camera, or spanning > 32x32 tiles) seed the
+     (corners behind the camera, or covering > 1024 tiles) seed the
      same carry from a dense all-tiles pre-pass;
   5. completeness: a tile is provably done unless candidates were
      dropped nearer than its farthest resolved t. Incomplete tiles get a
@@ -58,16 +59,76 @@ NEAR_EPS = 1.0e-4  # camera-space z below which corners are unprojectable
 TILE = 8  # screen tile edge (pixels)
 CHUNK = 8  # candidate boxes resolved per scan step
 
+# Emission tier arities: tier t holds boxes whose tile-span PRODUCT
+# tw*th lies in (arity[t-1], arity[t]] and emits exactly arity[t] pairs
+# per slot (k -> (k % tw, k // tw) enumerates the rectangle row-major,
+# so per-box emission waste is bounded by 2x — the old square-span tiers
+# emitted span^2 pairs, up to 8x waste for thin boxes, and with
+# worst-case capacities the pair sort carried ~5x sentinels; PAIRS is
+# the frame's largest box-count term, PERF.md).
+PAIR_ARITIES = (2, 4, 8, 16, 32, 64, 128, 256, 512, 1024)
+_NTIERS = len(PAIR_ARITIES)
+
 
 def _default_pair_slots(pair_slots, jittered: bool):
-    """Per-tier box capacities. Jittered rays pad every bbox by a half
-    pixel, which pushes millions of sub-pixel flagship boxes across tile
-    boundaries into the span-2 tier — its capacity doubles (silently
-    overflowing a tier drops boxes the completeness logic cannot see)."""
+    """Worst-case per-tier box capacities, used when the caller supplies
+    none. Production paths should probe ``n_tier`` once per pose and pass
+    demand-sized capacities instead (``fit_pair_slots``) — the Renderer
+    and bench do. Jittered rays pad every bbox by a half pixel, pushing
+    sub-pixel boxes across tile boundaries into the low tiers (silently
+    overflowing a tier drops boxes the completeness logic cannot see —
+    overflow is reported and probing makes it impossible)."""
     if pair_slots is not None:
         return pair_slots
-    return ((1 << 23) if jittered else (1 << 22),
-            1 << 17, 1 << 14, 1 << 12, 1 << 10)
+    if jittered:
+        return (1 << 22, 1 << 21, 1 << 18, 1 << 16, 1 << 14,
+                1 << 12, 1 << 11, 1 << 10, 1 << 9, 1 << 9)
+    return (1 << 21, 1 << 20, 1 << 17, 1 << 15, 1 << 13,
+            1 << 12, 1 << 11, 1 << 10, 1 << 9, 1 << 9)
+
+
+def fit_pair_slots(n_tier, margin: float = 1.25, floor: int = 256,
+                   current=None):
+    """Demand-sized per-tier capacities from the ``n_tier`` counters.
+
+    The defaults above are worst-case: at the bench config they make the
+    pair sort ~5x larger than real pair demand — and the (tile, dmin)
+    sort is the largest box-count-driven term of the frame (PERF.md).
+    Each tier is sized to ``margin * demand`` rounded up to a multiple
+    of 2^(bits-3) (i.e. within 12.5%), which keeps capacity <= ~1.4x
+    demand while quantizing the static-shape space; growing stickily via
+    ``current`` bounds the number of distinct shapes — hence recompiles
+    — a session can see.
+
+    n_tier: the demand counters [near, t1..t10] returned by
+    raster_bins/raster_cast (host ints). Returns a ``pair_slots`` tuple.
+    ``current``: previous slots; the result never shrinks below them.
+    Slots sized from a pose's own probe can never overflow for that
+    pose: n_tier counts demand BEFORE clipping.
+    """
+    import numpy as np
+
+    tiers = [int(x) for x in np.asarray(n_tier).reshape(-1)[1:]]
+    assert len(tiers) == _NTIERS
+    out = []
+    for k, d in enumerate(tiers):
+        need = max(int(d * margin) + 16, floor)
+        step = 1 << max(need.bit_length() - 3, 0)
+        s = -(-need // step) * step
+        if current is not None:
+            s = max(s, current[k])
+        out.append(s)
+    return tuple(out)
+
+
+def fit_near_slots(n_near, margin: float = 2.0, floor: int = 8,
+                   current: int = 0) -> int:
+    """Demand-sized capacity for the dense all-tiles pre-pass (see
+    fit_pair_slots for the sizing/sticky-growth rationale; the pre-pass
+    scans ALL tiles per CHUNK of capacity, so oversizing it costs a
+    dense resolve sweep per 8 slots)."""
+    need = max(int(int(n_near) * margin), floor)
+    return max(1 << (need - 1).bit_length(), current)
 
 
 def _ray_dirs_for_pixels(px, py, basis, width, height):
@@ -146,8 +207,14 @@ def _pose_bins(
     # the completeness logic cannot see it); a K=3 matmul wastes the MXU
     # even at HIGHEST (measured ~60 ms of the frame); and (M, 8, 3)
     # temps materialize 128-lane padded (PERF.md).
-    fx = jnp.float32((W - 1) / H + 1e-3)
-    fy = jnp.float32(1.0 + 1e-3)
+    # jittered rays roam +-0.5 px off pixel centers, extending edge
+    # pixels' ndc reach by a full pixel footprint (1/H in each ndc axis)
+    # beyond the pixel-center frustum — widen the hard cull to match
+    # (the bbox pad below handles it for the tile spans, but a box culled
+    # here never reaches the completeness logic)
+    jit_pad = (1.0 / H) if jittered else 0.0
+    fx = jnp.float32((W - 1) / H + 1e-3 + jit_pad)
+    fy = jnp.float32(1.0 + 1e-3 + jit_pad)
     bT = [[basis[i, j] for j in range(3)] for i in range(3)]
     rel_lo = [lo_f[:, i] - cam_pos[i] for i in range(3)]
     rel_hi = [hi_f[:, i] - cam_pos[i] for i in range(3)]
@@ -212,11 +279,11 @@ def _pose_bins(
     tw = tx1 - tx0 + 1
     th = ty1 - ty0 + 1
 
-    # dense pre-pass tier: behind-camera corners or a tile span beyond
-    # the fixed-arity emission tiers (> 32x32 tiles; a box that large on
-    # screen is close enough to be worth testing against every tile)
-    span = jnp.maximum(tw, th)
-    near = (~empty) & (any_behind | (span > 32))
+    # dense pre-pass tier: behind-camera corners or a tile-span product
+    # beyond the largest emission arity (a box covering > 1024 tiles is
+    # close enough to be worth testing against every tile)
+    prod = tw * th
+    near = (~empty) & (any_behind | (prod > PAIR_ARITIES[-1]))
     usable = (~empty) & ~near
     if _stage == 1:  # runtime bisection aid (`_stage`: see docstring)
         return dict(near=near, usable=usable)
@@ -228,27 +295,28 @@ def _pose_bins(
     dmin_b = jnp.linalg.norm(clamped - cam_pos, axis=-1)
 
     # ---- tier selection: ONE composite sort ----------------------------
-    # tiers: 0 = near/dense, 1..5 = spans <= 2/4/8/16/32 tiles square.
-    # 1x1-span boxes (the vast majority — all distant terrain) skip
-    # selection entirely: they emit their single pair unconditionally
-    # below, keeping the pair count ~M instead of 4M (the pair sort is
-    # the flagship frame's biggest term). Sorting (tier * M + index)
-    # groups each selected tier's box indices contiguously and in index
-    # order; per-tier slot arrays are dynamic slices at searchsorted
-    # segment starts (top_k and per-tier sorts are strictly slower on
-    # TPU).
-    sel = usable & (span > 1)
-    tier = jnp.where(span <= 2, 1, jnp.where(
-        span <= 4, 2, jnp.where(span <= 8, 3,
-                                jnp.where(span <= 16, 4, 5))))
-    tier = jnp.where(near, 0, jnp.where(sel, tier, 6))
+    # tiers: 0 = near/dense, t = 1.._NTIERS for span products in
+    # (arity[t-1], arity[t]]. 1x1-span boxes (the vast majority — all
+    # distant terrain) skip selection entirely: they emit their single
+    # pair unconditionally below, keeping the pair count ~M instead of
+    # 2M+ (the pair sort is the flagship frame's biggest term). Sorting
+    # (tier * M + index) groups each selected tier's box indices
+    # contiguously and in index order; per-tier slot arrays are dynamic
+    # slices at searchsorted segment starts (top_k and per-tier sorts
+    # are strictly slower on TPU). tier*M fits int32 up to M ~ 178M
+    # boxes (12*M < 2^31).
+    sel = usable & (prod > 1)
+    tier = jnp.full((M,), 1, jnp.int32)
+    for thr in PAIR_ARITIES[:-1]:
+        tier = tier + (prod > thr).astype(jnp.int32)
+    tier = jnp.where(near, 0, jnp.where(sel, tier, _NTIERS + 1))
     midx = jnp.arange(M, dtype=jnp.int32)
     csort = jax.lax.sort(tier * M + midx)
     seg = jnp.searchsorted(
-        csort, jnp.arange(1, 7, dtype=jnp.int32) * M
+        csort, jnp.arange(1, _NTIERS + 2, dtype=jnp.int32) * M
     ).astype(jnp.int32)
     n_near = seg[0]
-    n_tier = jnp.concatenate([seg[:1], jnp.diff(seg)])  # [near, t1..t5]
+    n_tier = jnp.concatenate([seg[:1], jnp.diff(seg)])  # [near, t1..t10]
 
     def tier_slots(k: int, slots: int):
         S = max(min(slots, M), 1)
@@ -257,7 +325,7 @@ def _pose_bins(
         return jnp.where(valid, v - k * M, 0), valid
 
     near_v = jnp.concatenate([
-        csort[:NS], jnp.full(NSP - NS, 6 * M, jnp.int32)
+        csort[:NS], jnp.full(NSP - NS, (_NTIERS + 2) * M, jnp.int32)
     ])
     near_valid = near_v < M
     near_idx = jnp.where(near_valid, near_v, 0)
@@ -269,13 +337,18 @@ def _pose_bins(
     # the axon remote compiler's tarpit (20+ min for this one stage), so
     # pairs are emitted with static arity: 1x1-span boxes contribute one
     # pair unconditionally (pure elementwise math on the M arrays — no
-    # gathers; sentinels sort to the end); larger spans emit span^2
-    # pairs from their tier's slot array, with ALL per-box fields read
-    # by ONE packed row gather per slot (element gathers per field were
-    # the whole stage's cost).
+    # gathers; sentinels sort to the end); larger spans emit arity[t]
+    # pairs from their tier's slot array — slot k maps to tile
+    # (tx0 + k % tw, ty0 + k // tw), enumerating the span rectangle
+    # row-major, so a box wastes at most 2x its true tile count — with
+    # ALL per-box fields read by ONE packed row gather per slot (element
+    # gathers per field were the whole stage's cost). The k // tw
+    # division runs as floor((k + 0.5) * (1/tw)) in f32: exact for
+    # k < 1024, tw <= 1024 (margin 0.5/tw ~ 4.9e-4 > the ~1.2e-4 f32
+    # rounding), and far cheaper than vector integer division.
     tier_list = []  # (tile, owner, dmin) triples
 
-    one = usable & (span <= 1)
+    one = usable & (prod <= 1)
     tier_list.append((
         jnp.where(one, ty0 * TW + tx0, NT),
         midx,
@@ -286,35 +359,39 @@ def _pose_bins(
         tx0, tx1, ty0, ty1,
         jax.lax.bitcast_convert_type(dmin_b, jnp.int32),
     ], axis=1)  # (M, 5)
-    for k, (slots, sp) in enumerate(zip(pair_slots, (2, 4, 8, 16, 32)), 1):
+    for k, (slots, arity) in enumerate(zip(pair_slots, PAIR_ARITIES), 1):
         idx, valid = tier_slots(k, slots)
         rows = packed_span[idx]  # (S, 5) one row gather per slot
         etx0, etx1, ety0, ety1 = (rows[:, i] for i in range(4))
         edmin = jax.lax.bitcast_convert_type(rows[:, 4], jnp.float32)
-        if sp == 2:
-            # 1-D per-corner emission: an (S, 4) reshape would
-            # materialize 128-lane padded (32x memory)
-            for dy in (0, 1):
-                for dx in (0, 1):
-                    ptx = etx0 + dx
-                    pty = ety0 + dy
-                    pv = valid & (ptx <= etx1) & (pty <= ety1)
-                    tier_list.append((
-                        jnp.where(pv, pty * TW + ptx, NT),
-                        idx,
-                        jnp.where(pv, edmin, jnp.inf),
-                    ))
+        tw_e = etx1 - etx0 + 1
+        th_e = ety1 - ety0 + 1
+        inv_tw = 1.0 / tw_e.astype(jnp.float32)
+        if arity <= 8:
+            # 1-D per-slot emission: an (S, arity) temp would
+            # materialize 128-lane padded (32x memory) at these S
+            for kk in range(arity):
+                iy = jnp.floor((kk + 0.5) * inv_tw).astype(jnp.int32)
+                ix = kk - iy * tw_e
+                pv = valid & (iy < th_e)
+                tier_list.append((
+                    jnp.where(pv, (ety0 + iy) * TW + etx0 + ix, NT),
+                    idx,
+                    jnp.where(pv, edmin, jnp.inf),
+                ))
             continue
-        kk = jnp.arange(sp * sp, dtype=jnp.int32)
-        ix = (kk % sp)[None, :]
-        iy = (kk // sp)[None, :]
+        kk = jnp.arange(arity, dtype=jnp.int32)
+        iy = jnp.floor(
+            (kk[None, :].astype(jnp.float32) + 0.5) * inv_tw[:, None]
+        ).astype(jnp.int32)
+        ix = kk[None, :] - iy * tw_e[:, None]
         ptx = etx0[:, None] + ix
         pty = ety0[:, None] + iy
-        pv = valid[:, None] & (ptx <= etx1[:, None]) & (pty <= ety1[:, None])
+        pv = valid[:, None] & (iy < th_e[:, None])
         S = idx.shape[0]
         tier_list.append((
-            jnp.where(pv, pty * TW + ptx, NT).reshape(S * sp * sp),
-            jnp.broadcast_to(idx[:, None], (S, sp * sp)).reshape(-1),
+            jnp.where(pv, pty * TW + ptx, NT).reshape(S * arity),
+            jnp.broadcast_to(idx[:, None], (S, arity)).reshape(-1),
             jnp.where(pv, edmin[:, None], jnp.inf).reshape(-1),
         ))
 
@@ -378,7 +455,8 @@ def raster_bins(
 
 @partial(jax.jit, static_argnames=(
     "tree_height", "width_px", "height_px", "cand_k", "widen_k",
-    "widen_tiles", "widen2_k", "widen2_tiles", "fallback_tiles",
+    "widen_tiles", "widen2_k", "widen2_tiles", "widen3_k", "widen3_tiles",
+    "fallback_tiles",
     "near_slots", "pair_slots", "want_voxel", "_stage",
 ))
 def raster_cast(
@@ -396,6 +474,8 @@ def raster_cast(
     widen_tiles: int = 4096,
     widen2_k: int = 256,
     widen2_tiles: int = 512,
+    widen3_k: int = 1024,
+    widen3_tiles: int = 64,
     fallback_tiles: int | None = None,
     near_slots: int = 64,
     pair_slots: tuple | None = None,
@@ -426,18 +506,19 @@ def raster_cast(
       fallback_tiles: static capacity of the still-incomplete tile list
         returned for the exact per-ray fallback (``apply_fallback`` /
         ``raster_cast_exact``); exceeding it sets ``overflow``. Default
-        (None): every tile for deep worlds (tree_height >= 12, whose
-        grazing horizon bands leave tens of thousands of tiles with
-        residual needy rays), 1024 otherwise (the fallback cast's lane
-        setup scales with the capacity, and shallow worlds resolve
-        almost fully in-raster).
+        (None) = every tile: the capacity can then never be exceeded, so
+        no silent-drop path exists out of the box. The fallback cast's
+        lane setup scales with the capacity, so throughput-sensitive
+        callers should probe ``n_fallback`` once per pose and pass a
+        tight (sticky-grown) capacity — the Renderer and bench do.
       near_slots: capacity of the dense all-tiles pre-pass for boxes with
-        corners behind the camera or spanning > 32x32 tiles (excess sets
+        corners behind the camera or covering > 1024 tiles (excess sets
         ``overflow``).
-      pair_slots: per-tier box capacities for tile spans up to
-        (2x2, 4x4, 8x8, 16x16, 32x32); 1x1 spans are unbounded (one
-        pair each, emitted unconditionally). Excess in any tier sets
-        ``overflow``.
+      pair_slots: per-tier box capacities for tile-span products up to
+        PAIR_ARITIES (2, 4, 8, .., 1024 tiles); 1x1 spans are unbounded
+        (one pair each, emitted unconditionally). Excess in any tier
+        sets ``overflow``; size from probed demand via
+        ``fit_pair_slots``.
       ray_dirs: optional (H, W, 3) world-space unit directions replacing
         the pixel-center rays — for sub-pixel-jittered path-tracing
         primaries (render_sample). Each ray must stay within its pixel's
@@ -473,9 +554,14 @@ def raster_cast(
     widen_plan = (
         (-(-widen_k // CHUNK) * CHUNK, min(widen_tiles, NT)),
         (-(-widen2_k // CHUNK) * CHUNK, min(widen2_tiles, NT)),
+        # third round: very few tiles, very deep — deep silhouette
+        # stacks; drives n_fallback to 0 for typical poses, letting the
+        # per-ray fallback program skip entirely (it costs ~60 ms even
+        # at tiny demand: its traversal tail rides the grazing rays)
+        (-(-widen3_k // CHUNK) * CHUNK, min(widen3_tiles, NT)),
     )
     if fallback_tiles is None:
-        fallback_tiles = NT if tree_height >= 12 else 1024
+        fallback_tiles = NT
     NFB = min(fallback_tiles, NT)
     NS = max(min(near_slots, M), 1)
     cam_pos = jnp.asarray(cam_pos, jnp.float32)

@@ -114,10 +114,19 @@ class Renderer:
         self.devices = devices if devices and devices > 1 else None
         self._dist_step = None  # built lazily (and rebuilt after edits)
         self.use_soup = use_soup
+        self._use_soup_default = use_soup  # restored by update_space
         self._dev = device_svo
         self._soup = None  # lazy (box_lo, box_size, box_attr) on device
         self._bins = None  # pose-only raster state (kernels.raster)
         self._bins_key = None
+        # sticky demand-sized raster capacities (kernels.raster
+        # fit_pair_slots): start lean, grow when a pose's probed demand
+        # exceeds them, never shrink (bounds recompiles). fallback_tiles
+        # stays at every-tile so the per-sample path can never silently
+        # drop incomplete tiles (VERDICT r2 #4).
+        self._pair_slots = (1 << 17, 1 << 16, 1 << 14, 1 << 12, 1 << 11,
+                            1 << 10, 1 << 9, 1 << 9, 1 << 8, 1 << 8)
+        self._near_slots = 16
 
     def update_space(self, device_svo):
         """Re-upload the node table after world edits (fragment.rs:274-313)."""
@@ -131,14 +140,24 @@ class Renderer:
         self._dev = device_svo
         self._soup = None
         self._bins = self._bins_key = None
+        # a full rebuild re-enables rasterized primaries even if point
+        # edits (or a transient extraction failure) disabled them
+        self.use_soup = self._use_soup_default
         self.acc.invalidate()
 
-    def apply_edits(self, space):
+    def apply_edits(self, space, edits=None):
         """Incremental device update after point edits: upload only the
         rows the host SVO marked dirty (O(changed nodes); the reference
         re-uploads the whole table, fragment.rs:274-313). Falls back to a
         full ``update_space`` when the space has no delta baseline or the
-        tree height changed."""
+        tree height changed.
+
+        ``edits``: the voxel coords of the point edits (already applied
+        to ``space``). When given and the soup is patchable, the device
+        box arrays are patched in place (world.boxes.SoupPatcher) so the
+        fast rasterized primaries survive the edit; otherwise they are
+        dropped until the next full ``update_space`` (the rebuild would
+        dominate the O(changed nodes) edit path)."""
         delta = (space.serialize_delta()
                  if hasattr(space, "serialize_delta") else None)
         if delta is None:
@@ -163,12 +182,17 @@ class Renderer:
             self.solid_leaf[rows] = solid
         self.root = np.int32(root if root != 0xFFFFFFFF else -1)
         self._dist_step = None
-        # a point edit invalidates the soup; rebuilding it would dominate
-        # the O(changed nodes) edit path, so drop rasterized primaries
-        # until the next full update_space
-        self._soup = None
+        from voxtracer.world.boxes import SoupPatcher
+
+        patched = False
+        if edits is not None and isinstance(self._soup, SoupPatcher):
+            patched = self._soup.apply(edits, space)
+        if not patched:
+            # patcher unavailable/overflowed: a partial patch must not
+            # survive — drop rasterized primaries until update_space
+            self._soup = None
+            self.use_soup = False
         self._bins = self._bins_key = None
-        self.use_soup = False
         self.acc.invalidate()
 
     ACTIVE_THRESHOLD = 4_000_000  # boxes; above this, frustum-cull
@@ -179,8 +203,9 @@ class Renderer:
         camera pose (world/active.py)."""
         if not self.use_soup:
             return None
+        from voxtracer.world.boxes import SoupPatcher
+
         if self._soup is None:
-            from voxtracer.kernels.raster import pack_box_attr
             from voxtracer.world.boxes import extract_boxes
 
             try:
@@ -196,10 +221,12 @@ class Renderer:
 
                 self._soup = ActiveSoup(soup, self.width, self.height)
             else:
-                self._soup = (
-                    jnp.asarray(soup.lo), jnp.asarray(soup.size),
-                    jnp.asarray(pack_box_attr(soup)),
-                )
+                # patchable wrapper: point edits update the device
+                # arrays in place (apply_edits) instead of dropping the
+                # fast raster primaries
+                self._soup = SoupPatcher(soup)
+        if isinstance(self._soup, SoupPatcher):
+            return self._soup.device_soup
         if not isinstance(self._soup, tuple):
             if cam is None:
                 return None
@@ -210,21 +237,47 @@ class Renderer:
     def _get_soup_bins(self, cam, soup):
         """Pose-only raster binning, cached per pose: progressive samples
         at a fixed camera re-use it, paying only the per-sample resolve
-        (at flagship scale the bins are most of the primary's cost)."""
+        (at flagship scale the bins are most of the primary's cost).
+
+        Capacities are demand-sized: the bins' n_tier counters are read
+        back once per pose (demand is pose-exact — the jitter pad is in
+        the bins) and any exceeded capacity grows stickily and rebuilds,
+        so a tier can never silently drop boxes (VERDICT r2 #4) while the
+        pair sort stays sized to real demand, not the worst-case
+        defaults."""
         if soup is None:
             return None
         key = (tuple(np.asarray(cam.pos, np.float64).tolist()),
                float(cam.yaw), float(cam.pitch), id(soup[0]))
         if self._bins_key != key:
-            from voxtracer.kernels.raster import raster_bins
+            from voxtracer.kernels.raster import (fit_near_slots,
+                                                  fit_pair_slots,
+                                                  raster_bins)
 
-            self._bins = raster_bins(
-                soup[0], soup[1], np.asarray(cam.pos, np.float32),
-                cam.basis(), self.tree_height, self.width, self.height,
-                jittered=True,
-            )
+            while True:
+                self._bins = raster_bins(
+                    soup[0], soup[1], np.asarray(cam.pos, np.float32),
+                    cam.basis(), self.tree_height, self.width, self.height,
+                    pair_slots=self._pair_slots,
+                    near_slots=self._near_slots, jittered=True,
+                )
+                demand = np.asarray(self._bins["n_tier"])  # per-pose sync
+                if (int(demand[0]) <= self._near_slots and all(
+                        int(demand[1 + k]) <= self._pair_slots[k]
+                        for k in range(len(self._pair_slots)))):
+                    break
+                self._pair_slots = fit_pair_slots(
+                    demand, current=self._pair_slots)
+                self._near_slots = fit_near_slots(
+                    demand[0], current=self._near_slots)
             self._bins_key = key
         return self._bins
+
+    def _soup_slots(self):
+        """Static capacities matching the cached bins, for render_sample
+        (fallback_tiles = every tile: never a silent drop)."""
+        nt = -(-self.width // 8) * -(-self.height // 8)
+        return (self._pair_slots, self._near_slots, nt)
 
     def _dist(self):
         """The sample-sharded multi-chip step (built lazily)."""
@@ -251,6 +304,33 @@ class Renderer:
                 fog_steps=self.fog_steps, soup=soup,
             )
         return self._dist_step
+
+    def preview_frame(self, cam: vcam.Camera, sun: np.ndarray):
+        """Fast shaded primary-visibility frame for interactive preview
+        (software.rs:260-276 shading on the rasterized first hit),
+        reusing the per-pose bins cache — at 1024^3/1080p this is tens
+        of ms vs ~2 s for a path-traced sample, which is what makes the
+        fly/edit loop feel live (main.rs:164-208). Incomplete tiles are
+        NOT per-ray resolved (preview only; the path-traced accumulation
+        stays exact). Returns (H, W, 3) linear radiance, or None when
+        rasterized primaries are unavailable."""
+        soup = self._get_soup(cam)
+        if soup is None:
+            return None
+        bins = self._get_soup_bins(cam, soup)
+        from voxtracer.kernels.raster import raster_cast
+
+        sun = np.asarray(sun, np.float64)
+        sun_unit = jnp.asarray(
+            (sun / np.linalg.norm(sun)).astype(np.float32))
+        r = raster_cast(
+            soup[0], soup[1], soup[2], np.asarray(cam.pos, np.float32),
+            cam.basis(), self.tree_height, self.width, self.height,
+            pair_slots=self._pair_slots, near_slots=self._near_slots,
+            bins=bins, want_voxel=False,
+        )
+        lighting = jnp.sum(sun_unit * r["normal"], axis=-1) / 2.0 + 1.0
+        return r["rgb"] * lighting[..., None] * r["hit"][..., None]
 
     def sample(self, cam: vcam.Camera, sun: np.ndarray):
         """One progressive step: 1 spectral path/pixel per device (N
@@ -286,7 +366,8 @@ class Renderer:
             fog_steps=self.fog_steps,
             row_tiles=self.row_tiles,
             soup=(soup := self._get_soup(cam)),
-            soup_bins=self._get_soup_bins(cam, soup),
+            soup_bins=(bins := self._get_soup_bins(cam, soup)),
+            soup_slots=self._soup_slots() if bins is not None else None,
         )
         self.acc.add(sample)
 
@@ -307,7 +388,8 @@ class Renderer:
             self.width, self.height, max_bounces=self.max_bounces,
             fog_steps=self.fog_steps, row_tiles=self.row_tiles,
             soup=(soup := self._get_soup(cam)),
-            soup_bins=self._get_soup_bins(cam, soup),
+            soup_bins=(bins := self._get_soup_bins(cam, soup)),
+            soup_slots=self._soup_slots() if bins is not None else None,
         )
         self.acc.buffer = self.acc.buffer + total
         self.acc.samples += k

@@ -10,13 +10,19 @@ frames pay zero cull cost.
 
 Conservativeness argument (exactness contract): a box is culled only if
 its bounding sphere lies outside an INFLATED frustum — the actual view
-frustum widened by ``margin_deg`` on every side plus a ``keep_radius``
-ball around the camera. A later frame whose camera has translated less
-than ``keep_radius/2`` and rotated less than ``margin_deg/2`` casts
-every primary ray inside the inflated frustum, so culled boxes cannot
-be first hits, and the active-soup raster frame equals the full-soup
-frame pixel-exactly (tests/test_active.py). Non-primary (bounce/NEE)
-rays must NOT use the active set.
+frustum widened by ``margin_deg`` on every side AND pushed outward by
+the full translation budget ``keep_radius/2`` on every plane — plus a
+``keep_radius`` ball around the camera. A later frame whose camera has
+translated less than ``keep_radius/2`` and rotated less than
+``margin_deg/2`` casts every primary ray inside that inflated frustum
+(the angular margin covers the rotation; the plane slack covers the
+translation at EVERY depth — the margin alone only covers translation
+for boxes beyond ~trans/tan(margin), which is why the slack is added
+explicitly), so culled boxes cannot be first hits, and the active-soup
+raster frame equals the full-soup frame pixel-exactly
+(tests/test_active.py, incl. a camera translated keep_radius/2 straight
+at a side plane). Non-primary (bounce/NEE) rays must NOT use the
+active set.
 """
 
 from __future__ import annotations
@@ -31,7 +37,7 @@ import numpy as np
 
 @partial(jax.jit, static_argnames=("cap",))
 def _cull(box_lo, box_size, box_attr, cam_pos, basis, fx, fy, keep_r,
-          cap: int):
+          trans_r, cap: int):
     """Conservative frustum cull + compaction.
 
     box_lo/box_size: (M,3) i32; box_attr: (M,4) f32. Returns
@@ -49,16 +55,24 @@ def _cull(box_lo, box_size, box_attr, cam_pos, basis, fx, fy, keep_r,
     v = jnp.matmul(c - cam_pos, basis,
                    precision=jax.lax.Precision.HIGHEST)  # camera space
     vx, vy, vz = v[:, 0], v[:, 1], v[:, 2]
-    # inflated side planes: |vx| <= vz*fx (+ sphere slack); the plane
-    # normal norm is sqrt(1+fx^2), so slack = r * sqrt(1+fx^2)
-    sx = r * jnp.sqrt(1.0 + fx * fx)
-    sy = r * jnp.sqrt(1.0 + fy * fy)
+    # inflated side planes: |vx| <= vz*fx (+ slack). The slack must
+    # cover BOTH the bounding sphere (r) and the full translation budget
+    # of the reuse window (trans_r = keep_radius/2): a camera translated
+    # by trans_r moves every plane by at most trans_r in world space, and
+    # the angular margin alone only covers that shift for distant boxes
+    # (a plane rotated by `margin` clears a translated plane only beyond
+    # depth ~trans_r/tan(margin)). Plane normal norm is sqrt(1+f^2), so
+    # slack = (r + trans_r) * sqrt(1+f^2); same budget on the vz>=0 and
+    # keep-ball tests.
+    slack = r + trans_r
+    sx = slack * jnp.sqrt(1.0 + fx * fx)
+    sy = slack * jnp.sqrt(1.0 + fy * fy)
     in_frustum = (
         (vz * fx + sx >= vx)
         & (vz * fx + sx >= -vx)
         & (vz * fy + sy >= vy)
         & (vz * fy + sy >= -vy)
-        & (vz + r >= 0.0)
+        & (vz + slack >= 0.0)
     )
     near = jnp.linalg.norm(c - cam_pos, axis=-1) <= keep_r + r
     keep = in_frustum | near
@@ -127,7 +141,8 @@ class ActiveSoup:
                 self._lo, self._size, self._attr,
                 jnp.asarray(cam_pos), jnp.asarray(basis),
                 jnp.float32(self._fx), jnp.float32(self._fy),
-                jnp.float32(self.keep_radius), cap=self.cap,
+                jnp.float32(self.keep_radius),
+                jnp.float32(self.keep_radius / 2), cap=self.cap,
             )
             self.n_active = int(n)
             if self.n_active > self.cap:

@@ -87,6 +87,10 @@ def load_library():
         ctypes.POINTER(ctypes.c_float),
     ]
     lib.vx_get.restype = ctypes.c_int
+    lib.vx_leaf_at.argtypes = [
+        ctypes.c_void_p, ctypes.c_uint32, ctypes.c_uint32, ctypes.c_uint32,
+    ]
+    lib.vx_leaf_at.restype = ctypes.c_longlong
     lib.vx_set.argtypes = [
         ctypes.c_void_p, ctypes.c_uint32, ctypes.c_uint32, ctypes.c_uint32,
         ctypes.c_int, ctypes.c_float, ctypes.c_float, ctypes.c_float,
@@ -172,6 +176,12 @@ class NativeSvoSpace:
         rgb = (ctypes.c_float * 3)()
         ok = self._lib.vx_get(self._h, int(p[0]), int(p[1]), int(p[2]), rgb)
         return tuple(rgb) if ok else None
+
+    def leaf_at(self, p):
+        """Slot id of the block leaf at p, or None if air (the device
+        table slot — see SvoSpace.leaf_at / world/boxes.SoupPatcher)."""
+        v = self._lib.vx_leaf_at(self._h, int(p[0]), int(p[1]), int(p[2]))
+        return None if v < 0 else int(v)
 
     def set(self, p, rgb):
         n = 1 << self.height()

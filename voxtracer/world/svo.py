@@ -200,6 +200,24 @@ class SvoSpace:
         r, g, b = self._payload[node]
         return (_bits_f32(r), _bits_f32(g), _bits_f32(b))
 
+    def leaf_at(self, p) -> Optional[int]:
+        """Point query: node id of the block leaf at p, or None if air.
+        Node ids double as serialized table slots (serialize writes row
+        nid for node nid), so this is also the device leaf slot — used
+        by the incremental soup patcher (world/boxes.SoupPatcher)."""
+        x, y, z = int(p[0]), int(p[1]), int(p[2])
+        node = self.root
+        for level in range(self.height() - 1, -1, -1):
+            if node is None:
+                return None
+            c = 1 << level
+            idx = (x >= c) | ((y >= c) << 1) | ((z >= c) << 2)
+            node = self._payload[node][idx]
+            x -= c if x >= c else 0
+            y -= c if y >= c else 0
+            z -= c if z >= c else 0
+        return node
+
     # -- edits -------------------------------------------------------------
 
     def set(self, p, rgb: Optional[tuple]):
