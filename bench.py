@@ -279,13 +279,28 @@ def main():
                 f"{fspace.num_nodes()} nodes")
             t0 = time.monotonic()
             fsoup = extract_boxes(fdev)
-            fsoup_args = (jnp.asarray(fsoup.lo), jnp.asarray(fsoup.size),
-                          jnp.asarray(raster_mod.pack_box_attr(fsoup)))
             log(f"flagship soup {len(fsoup)} boxes "
                 f"in {time.monotonic() - t0:.1f}s")
-            fcams = _cams(2, 1.0)
+            fcams = _cams(2, 1.0, jitter=1.0)
             fcam_args = [(np.asarray(c.pos, np.float32), c.basis())
                          for c in fcams]
+
+            # production path: ActiveSoup with the heightfield horizon
+            # occlusion cull (world/occlusion.py). The bench poses all
+            # sit inside one cull's validity volume, so the cull builds
+            # once (pose-change-rate cost, logged separately).
+            from voxtracer.world.active import ActiveSoup
+
+            t0 = time.monotonic()
+            act = ActiveSoup(fsoup, W, H,
+                             heights=getattr(fspace, "heights", None))
+            fsoup_args = act.active(*fcam_args[0])
+            jax.block_until_ready(fsoup_args[0])
+            log(f"flagship active set: {act.n_active} of {len(fsoup)} "
+                f"boxes (cull {time.monotonic() - t0:.1f}s, "
+                f"overflowed={act.overflowed})")
+            flagship["active_boxes"] = int(act.n_active)
+            flagship["soup_boxes"] = len(fsoup)
 
             fps = fns = None
             ffb = 0

@@ -175,3 +175,46 @@ def test_sample_sharded_with_soup_primaries():
                           soup=soup_args, **KW)
         )
     assert np.allclose(out, serial, rtol=1e-5, atol=1e-3)
+
+
+def _world_soup():
+    from voxtracer.kernels.raster import pack_box_attr
+    from voxtracer.world.boxes import extract_boxes
+
+    n = 16
+    solid = np.zeros((n, n, n), bool)
+    solid[:, :2, :] = True
+    solid[5:8, 2:5, 6:9] = True
+    rgb = np.zeros((n, n, n, 3), np.float32)
+    rgb[solid] = 0.5
+    dev = from_dense(solid, rgb).serialize()
+    soup = extract_boxes(dev)
+    soup_dev = (jnp.asarray(soup.lo), jnp.asarray(soup.size),
+                jnp.asarray(pack_box_attr(soup)))
+    return (jnp.asarray(dev.table.view(np.int32)), np.int32(dev.root),
+            dev.height, soup_dev)
+
+
+def test_tile_sharded_soup_equals_full_frame():
+    """Tile sharding with rasterized primaries: each chip's banded soup
+    resolve must reproduce the full-frame soup render bit-exactly
+    (VERDICT r2 #6 — 4K tile sharding previously rode the slow
+    engines)."""
+    mesh = make_mesh(8)
+    table, root, height, soup = _world_soup()
+    table_r, lut_r, soup_r = replicate_world(mesh, table, LUT, soup)
+    cam = _cam()
+    sun = jnp.asarray([0.3, 0.9, 0.3], jnp.float32)
+    sun = sun / jnp.linalg.norm(sun)
+    seed = jnp.asarray(np.array([9, 8, 7], np.uint32))
+    step = tile_sharded_step(mesh, table_r, root, height, lut_r, W, H,
+                             soup=soup_r, **KW)
+    out = np.asarray(
+        step(seed, np.asarray(cam.pos, np.float32), cam.basis(), sun)
+    )
+    full = np.asarray(
+        render_sample(table, root, height, LUT,
+                      np.asarray(cam.pos, np.float32), cam.basis(), sun,
+                      seed, W, H, soup=soup, **KW)
+    )
+    assert np.array_equal(out, full)

@@ -263,3 +263,31 @@ def test_compaction_chained_states():
                          state, max_bounces=6, fog_steps=8, compact=False)
     assert np.array_equal(np.asarray(cc), np.asarray(cu))
     assert np.array_equal(np.asarray(sc), np.asarray(su))
+
+
+def test_row_band_soup_matches_full_frame():
+    """Banded rasterized primaries (tile sharding) reproduce the band of
+    the full-frame soup render bit-exactly — including a band that is
+    NOT tile-aligned (the integrator pads to the containing aligned band
+    and slices)."""
+    from voxtracer.kernels.raster import pack_box_attr
+    from voxtracer.world.boxes import extract_boxes
+
+    table, root, height, space = flat_world()
+    soup = extract_boxes(space.serialize())
+    soup_dev = (jnp.asarray(soup.lo), jnp.asarray(soup.size),
+                jnp.asarray(pack_box_attr(soup)))
+    cam = vcam.Camera(pos=(8.0, 6.0, 8.0), yaw=0.3, pitch=0.4)
+    seed = jnp.asarray(np.array([11, 22, 33], np.uint32))
+    kw = dict(max_bounces=2, fog_steps=8, soup=soup_dev)
+    full = render_sample(table, root, height, LUT,
+                         np.asarray(cam.pos, np.float32), cam.basis(),
+                         sun_vec(), seed, 32, 24, **kw)
+    band = render_sample(table, root, height, LUT,
+                         np.asarray(cam.pos, np.float32), cam.basis(),
+                         sun_vec(), seed, 32, 24, row0=8, rows=8, **kw)
+    assert np.array_equal(np.asarray(full)[8:16], np.asarray(band))
+    band2 = render_sample(table, root, height, LUT,
+                          np.asarray(cam.pos, np.float32), cam.basis(),
+                          sun_vec(), seed, 32, 24, row0=6, rows=10, **kw)
+    assert np.array_equal(np.asarray(full)[6:16], np.asarray(band2))

@@ -271,3 +271,29 @@ def test_bins_path_matches_inline(terrain):
     for k in ("hit", "t", "normal", "node", "rgb"):
         np.testing.assert_array_equal(np.asarray(aj[k]), np.asarray(bj[k]),
                                       err_msg=k)
+
+
+def test_want_voxel_false_shading_parity(clutter):
+    """The shading-only path (want_voxel=False, RGB carried through the
+    resolve instead of the per-pixel winner gather) must match the
+    want_voxel=True frame on hit/t/normal/rgb, and its banded variant
+    must match the band of the full frame."""
+    dev, args = _soup_args(clutter)
+    table = jnp.asarray(dev.table.view(np.int32))
+    root = np.int32(dev.root)
+    cam = vcam.Camera(pos=(40.0, 36.0, 44.0), yaw=np.pi + 0.5, pitch=-0.6)
+    W, H = 64, 40
+    op = np.asarray(cam.pos, np.float32)
+    full = raster_cast_exact(*args, op, cam.basis(), dev.height, W, H,
+                             table=table, root=root)
+    lean = raster_cast_exact(*args, op, cam.basis(), dev.height, W, H,
+                             table=table, root=root, want_voxel=False)
+    for k in ("hit", "t", "normal", "rgb"):
+        assert np.array_equal(np.asarray(full[k]), np.asarray(lean[k])), k
+
+    band = raster_cast_exact(*args, op, cam.basis(), dev.height, W, H,
+                             table=table, root=root, want_voxel=False,
+                             band_row0=16, band_rows=16)
+    for k in ("hit", "t", "normal", "rgb"):
+        assert np.array_equal(np.asarray(full[k])[16:32],
+                              np.asarray(band[k])), k

@@ -37,13 +37,15 @@ def sample_sharded_step(
     fog_steps: int = 64,
     axis: str = "dp",
     soup=None,
+    soup_slots=None,
 ):
     """Build a jitted step: (seeds (ndev, 3) u32, cam_pos, cam_basis, sun)
     -> summed radiance (H, W, 3) of ndev samples (replicated).
 
     ``soup``: optional replicated (box_lo, box_size, box_attr) arrays —
     each chip then casts its first bounce with the rasterizer
-    (kernels/raster.py), the fastest primary engine."""
+    (kernels/raster.py), the fastest primary engine. ``soup_slots``:
+    static demand-probed rasterizer capacities (see render_sample)."""
 
     def step(seeds, cam_pos, cam_basis, sun):
         def shard_fn(seeds, cam_pos, cam_basis, sun):
@@ -51,6 +53,7 @@ def sample_sharded_step(
                 table, root, height, lut, cam_pos, cam_basis, sun,
                 seeds[0], width_px, height_px,
                 max_bounces=max_bounces, fog_steps=fog_steps, soup=soup,
+                soup_slots=soup_slots,
             )
             return jax.lax.psum(s, axis)
 
@@ -76,9 +79,18 @@ def tile_sharded_step(
     max_bounces: int = 8,
     fog_steps: int = 64,
     axis: str = "dp",
+    soup=None,
+    soup_slots=None,
 ):
     """Build a jitted step: each chip renders its horizontal band; the
-    output (H, W, 3) is sharded across rows (no collectives)."""
+    output (H, W, 3) is sharded across rows (no collectives).
+
+    ``soup``: optional replicated (box_lo, box_size, box_attr) arrays —
+    each chip then rasterizes ITS BAND's primaries against the
+    full-frame pose bins (banded resolve; the pose-only binning is
+    replicated compute, the per-ray resolve shards). ``soup_slots``:
+    static (pair_slots, near_slots, fallback_tiles) for the rasterizer
+    (see render_sample)."""
     ndev = mesh.shape[axis]
     assert height_px % ndev == 0, "height must divide evenly across chips"
     rows = height_px // ndev
@@ -91,6 +103,7 @@ def tile_sharded_step(
                 seed, width_px, height_px,
                 row0=band * rows, rows=rows,
                 max_bounces=max_bounces, fog_steps=fog_steps,
+                soup=soup, soup_slots=soup_slots,
             )
 
         return jax.shard_map(

@@ -339,11 +339,11 @@ def render_sample(
     cast by the beam engine instead of per-ray traversal.
 
     ``soup``: optional (box_lo, box_size, box_attr) box-soup arrays
-    (world.boxes / kernels.raster.pack_box_attr); when given and the
-    call renders the full frame, the first bounce is cast by the
-    gather-free rasterizer on the jittered primary rays (fastest
-    primary engine — PERF.md) and takes precedence over ``aug``.
-    Callers must not combine ``soup`` with a row band (row0 != 0).
+    (world.boxes / kernels.raster.pack_box_attr); the first bounce is
+    then cast by the gather-free rasterizer on the jittered primary
+    rays (fastest primary engine — PERF.md) and takes precedence over
+    ``aug``. Row bands rasterize just their TILE-aligned band against
+    the full-frame bins (banded resolve, kernels.raster band_rows).
 
     ``soup_bins``: optional pose-only raster state
     (kernels.raster.raster_bins with jittered=True at this pose/size) —
@@ -374,7 +374,7 @@ def render_sample(
     pos = jnp.broadcast_to(jnp.asarray(cam_pos, jnp.float32), d.shape)
 
     primary = None
-    if soup is not None and rows == height_px:
+    if soup is not None:
         from voxtracer.kernels import raster as raster_mod
 
         slots_kw = {}
@@ -382,12 +382,47 @@ def render_sample(
             slots_kw = dict(pair_slots=soup_slots[0],
                             near_slots=soup_slots[1],
                             fallback_tiles=soup_slots[2])
-        pr = raster_mod.raster_cast_exact(
-            soup[0], soup[1], soup[2], jnp.asarray(cam_pos, jnp.float32),
-            cam_basis, height, width_px, height_px, table=table,
-            root=root, ray_dirs=d, bins=soup_bins, want_voxel=False,
-            **slots_kw,
-        )
+        if rows == height_px:
+            pr = raster_mod.raster_cast_exact(
+                soup[0], soup[1], soup[2],
+                jnp.asarray(cam_pos, jnp.float32), cam_basis, height,
+                width_px, height_px, table=table, root=root, ray_dirs=d,
+                bins=soup_bins, want_voxel=False, **slots_kw,
+            )
+        else:
+            # row band (tile sharding): rasterize the TILE-aligned band
+            # containing [row0, row0+rows) — the pose bins are
+            # full-frame, only the resolve runs on the band — then
+            # slice back. Padding rows' rays are seeded per-pixel like
+            # any other, so the kept rows are bit-identical to the
+            # full-frame cast (tests/test_dist.py).
+            TILE = raster_mod.TILE
+            th_f = -(-height_px // TILE)
+            rp = min((rows + TILE - 1) // TILE * TILE + TILE,
+                     th_f * TILE)
+            r0a = jnp.clip((jnp.asarray(row0, jnp.int32) // TILE) * TILE,
+                           0, th_f * TILE - rp)
+            off = jnp.asarray(row0, jnp.int32) - r0a
+            pyb, pxb = jnp.meshgrid(
+                r0a + jnp.arange(rp, dtype=jnp.int32),
+                jnp.arange(width_px, dtype=jnp.int32),
+                indexing="ij",
+            )
+            stb = vrng.seed_pixels(frame_seed, pxb, pyb)
+            _, rndb = vrng.random3(stb)
+            ldb = vcam.pixel_ndc(pxb, pyb, width_px, height_px)
+            db = vcam.ray_directions(cam_basis, ldb,
+                                     jitter=rndb[..., :2],
+                                     height=height_px)
+            pr = raster_mod.raster_cast_exact(
+                soup[0], soup[1], soup[2],
+                jnp.asarray(cam_pos, jnp.float32), cam_basis, height,
+                width_px, height_px, table=table, root=root, ray_dirs=db,
+                bins=soup_bins, want_voxel=False, band_row0=r0a,
+                band_rows=rp, **slots_kw,
+            )
+            take = lambda a: jax.lax.dynamic_slice_in_dim(a, off, rows, 0)
+            pr = {k: take(pr[k]) for k in ("hit", "t", "normal", "rgb")}
         primary = dict(hit=pr["hit"], t=pr["t"], normal=pr["normal"],
                        rgb=pr["rgb"])
     elif aug is not None:

@@ -457,7 +457,7 @@ def raster_bins(
     "tree_height", "width_px", "height_px", "cand_k", "widen_k",
     "widen_tiles", "widen2_k", "widen2_tiles", "widen3_k", "widen3_tiles",
     "fallback_tiles",
-    "near_slots", "pair_slots", "want_voxel", "_stage",
+    "near_slots", "pair_slots", "want_voxel", "band_rows", "_stage",
 ))
 def raster_cast(
     box_lo,
@@ -482,6 +482,8 @@ def raster_cast(
     ray_dirs=None,
     bins=None,
     want_voxel: bool = True,
+    band_row0=0,
+    band_rows: int | None = None,
     _stage: int = 0,
 ):
     """Rasterize the box soup for one camera; per-pixel nearest hit.
@@ -528,9 +530,11 @@ def raster_cast(
         box arrays, pose, and cand_k/near_slots/pair_slots; jittered
         bins when ray_dirs is used). Skips projection/emission/sorting —
         the progressive-sampler fast path.
-      want_voxel: compute the integer hit-voxel output (picking/editing).
-        Shading-only callers (PT primaries, bench) pass False — the
-        un-mirroring math is a measurable slice of the frame.
+      want_voxel: compute the integer hit-voxel and ``node`` outputs
+        (picking/editing need the per-pixel winner-attribute row
+        gather). Shading-only callers (PT primaries, preview, bench)
+        pass False: RGB then rides the resolve carry instead of the
+        ~P-row end gather (~12 ms at 1080p), and ``node`` is -1.
       _stage: debug-only early return after pipeline stage 1..8
         (projection, tier selection, pair emission, binning, near
         pre-pass, resolve, widen, untile+winner-gather) — used to bisect
@@ -538,18 +542,31 @@ def raster_cast(
         stage program is dead-code-eliminated to that stage's true
         dependencies).
 
+      band_row0/band_rows: resolve only the horizontal pixel band
+        [band_row0, band_row0 + band_rows) — the tile-sharded multi-chip
+        path (dist/shard.py). Both must be TILE(8)-aligned (band_row0
+        may be traced, e.g. axis_index * rows). The pose-only binning is
+        full-frame (replicated compute under shard_map); only the
+        resolve side scales with the band. Outputs are band-shaped
+        (band_rows, W), and ``ray_dirs`` (if given) is band-shaped too.
+        Bands whose tile rows extend past height_px return padding rows
+        the caller must discard.
+
     Returns dict: hit (H,W) bool, t (H,W) f32, normal (H,W,3), node (H,W)
     i32 leaf slot (-1 miss), rgb (H,W,3), voxel (H,W,3) i32, overflow ()
     bool, n_pair/n_near/n_widen/n_fallback () i32 demand counters, and
     fb_tiles/fb_valid/fb_need — tiles/rays whose result is not provably
     complete (resolve them with ``apply_fallback`` for exactness;
     without it they may show a farther surface than the true nearest).
+    (H is band_rows when banded.)
     """
     W, H = width_px, height_px
-    P = W * H
     TW = -(-W // TILE)  # tiles per row
     TH = -(-H // TILE)
     NT = TW * TH
+    HB = H if band_rows is None else band_rows  # output pixel rows
+    P = W * HB
+    NT_BAND = NT if band_rows is None else TW * (band_rows // TILE)
     M = box_lo.shape[0]
     widen_plan = (
         (-(-widen_k // CHUNK) * CHUNK, min(widen_tiles, NT)),
@@ -562,7 +579,7 @@ def raster_cast(
     )
     if fallback_tiles is None:
         fallback_tiles = NT
-    NFB = min(fallback_tiles, NT)
+    NFB = min(fallback_tiles, NT_BAND)
     NS = max(min(near_slots, M), 1)
     cam_pos = jnp.asarray(cam_pos, jnp.float32)
     basis = jnp.asarray(cam_basis, jnp.float32)
@@ -585,13 +602,39 @@ def raster_cast(
     K = cand.shape[1]
     PAIRS = stile.shape[0]
     spacked = jnp.stack([stile, sowner], axis=1)
-    tix = jnp.arange(NT, dtype=jnp.int32)
 
-    # padded per-tile ray directions: (NT, 64, 3); partial tiles padded
+    # ---- band selection ------------------------------------------------
+    # The bins are full-frame and pose-only; the resolve side can run on
+    # a horizontal TILE-aligned band (tile sharding, dist/shard.py):
+    # band tiles are one contiguous run [t0, t0 + NTA) of the row-major
+    # tile ids, so every per-tile array is a dynamic slice of the
+    # full-frame bins. `tix` stays GLOBAL (comparisons against the
+    # sorted pair arrays' tile column); carries/shapes are band-local.
+    if band_rows is None:
+        NTA = NT  # tiles resolved by this call
+        TB = TH
+        HB = H  # output pixel rows
+        t0 = jnp.int32(0)
+        band_y0 = jnp.int32(0)
+    else:
+        assert band_rows % TILE == 0, "band_rows must be TILE-aligned"
+        TB = band_rows // TILE
+        NTA = TW * TB
+        HB = band_rows
+        band_y0 = jnp.asarray(band_row0, jnp.int32)
+        t0 = (band_y0 // TILE) * TW
+        sl = lambda a: jax.lax.dynamic_slice_in_dim(a, t0, NTA, 0)
+        cand = sl(cand)
+        drop_dmin = sl(drop_dmin)
+        seg_start = sl(seg_start)
+    tix = t0 + jnp.arange(NTA, dtype=jnp.int32)
+
+    # padded per-tile ray directions: (NTA, 64, 3); partial tiles padded
     # with clamped pixels (their results are discarded on reassembly)
-    WP, HP = TW * TILE, TH * TILE
+    WP, HP = TW * TILE, TB * TILE
     pyp, pxp = jnp.meshgrid(
-        jnp.arange(HP, dtype=jnp.int32), jnp.arange(WP, dtype=jnp.int32),
+        band_y0 + jnp.arange(HP, dtype=jnp.int32),
+        jnp.arange(WP, dtype=jnp.int32),
         indexing="ij",
     )
     pix_ok = (pxp < W) & (pyp < H)
@@ -600,43 +643,70 @@ def raster_cast(
             jnp.minimum(pxp, W - 1), jnp.minimum(pyp, H - 1), basis, W, H
         )
     else:
+        rd = jnp.asarray(ray_dirs, jnp.float32)  # (HB, W, 3) band rows
         d_pad = jnp.pad(
-            jnp.asarray(ray_dirs, jnp.float32),
-            ((0, HP - H), (0, WP - W), (0, 0)), mode="edge",
+            rd, ((0, HP - rd.shape[0]), (0, WP - W), (0, 0)), mode="edge",
         )
-    tile_of = lambda a: a.reshape(TH, TILE, TW, TILE, -1).transpose(
+    tile_of = lambda a: a.reshape(TB, TILE, TW, TILE, -1).transpose(
         0, 2, 1, 3, 4
-    ).reshape(NT, TILE * TILE, -1)
-    d_t = tile_of(d_pad)  # (NT, 64, 3)
-    ok_t = tile_of(pix_ok[..., None])[..., 0]  # (NT, 64)
+    ).reshape(NTA, TILE * TILE, -1)
+    d_t = tile_of(d_pad)  # (NTA, 64, 3)
+    ok_t = tile_of(pix_ok[..., None])[..., 0]  # (NTA, 64)
 
-    cand_geom = jnp.concatenate([lo_f, size_f], axis=1)  # (M, 6)
+    # Shading-only callers (want_voxel=False: PT primaries, preview,
+    # bench) carry the winner's RGB through the resolve instead of
+    # gathering it per pixel at the end — the (P,) winner-attribute row
+    # gather is ~2M rows at 1080p (~12 ms, PERF.md's per-row floor),
+    # while the extra (NTA, 64, 3) carry is a few hundred KB of HBM
+    # traffic per scan step. want_voxel=True keeps the original
+    # gather-at-end program (node/voxel outputs need the full row).
+    carry_rgb = not want_voxel
+    if carry_rgb:
+        cand_geom = jnp.concatenate(
+            [lo_f, size_f, box_attr[:, 1:4]], axis=1)  # (M, 9)
+    else:
+        cand_geom = jnp.concatenate([lo_f, size_f], axis=1)  # (M, 6)
+
+    def fold_chunk(c, g, t, axis, ck_pl, valid3):
+        """Shared best-hit fold: merge a (N, CHUNK, 64) slab-test result
+        into the carry (t, pl[, rgb])."""
+        bt, bpl = c[0], c[1]
+        t = jnp.where(valid3, t, jnp.float32(jnp.inf))
+        k_best = jnp.argmin(t, axis=1)
+        t_k = jnp.min(t, axis=1)
+        pl = ck_pl | axis
+        onehot = k_best[:, None, :] == jnp.arange(CHUNK)[None, :, None]
+        pl_k = jnp.sum(jnp.where(onehot, pl, 0), axis=1)
+        better = t_k < bt
+        out = [jnp.where(better, t_k, bt), jnp.where(better, pl_k, bpl)]
+        if carry_rgb:
+            rgb_k = jnp.sum(
+                jnp.where(onehot[..., None], g[..., 6:9][:, :, None, :],
+                          0.0), axis=1)  # (N, 64, 3)
+            out.append(jnp.where(better[..., None], rgb_k, c[2]))
+        return tuple(out)
 
     # ---- dense pre-pass: near boxes vs every tile (chunked scan) -------
     def near_chunk(carry, xs):
-        bt, bpl = carry
         idx, valid = xs  # (CHUNK,)
-        g = cand_geom[idx]  # (CHUNK, 6)
+        g = cand_geom[idx]  # (CHUNK, Gw)
         glo = g[:, 0:3][None, :, None, :]
         ghi = glo + g[:, 3:6][None, :, None, :]
         t, axis, hit = _mirrored_slab(
             glo, ghi, cam_pos, d_t[:, None, :, :], tree_height, distance,
-        )  # (NT, CHUNK, 64)
-        t = jnp.where(valid[None, :, None] & hit, t, jnp.float32(jnp.inf))
-        k_best = jnp.argmin(t, axis=1)
-        t_k = jnp.min(t, axis=1)
-        pl = (idx[None, :, None] << 2) | axis
-        onehot = k_best[:, None, :] == jnp.arange(CHUNK)[None, :, None]
-        pl_k = jnp.sum(jnp.where(onehot, pl, 0), axis=1)
-        better = t_k < bt
-        return (
-            jnp.where(better, t_k, bt), jnp.where(better, pl_k, bpl)
+        )  # (NTA, CHUNK, 64)
+        return fold_chunk(
+            carry, g[None], t, axis, (idx[None, :, None] << 2),
+            valid[None, :, None] & hit,
         ), None
 
     carry0 = (
-        jnp.full((NT, TILE * TILE), jnp.inf, jnp.float32),
-        jnp.full((NT, TILE * TILE), -1, jnp.int32),
+        jnp.full((NTA, TILE * TILE), jnp.inf, jnp.float32),
+        jnp.full((NTA, TILE * TILE), -1, jnp.int32),
     )
+    if carry_rgb:
+        carry0 = carry0 + (
+            jnp.zeros((NTA, TILE * TILE, 3), jnp.float32),)
     carry, _ = jax.lax.scan(
         near_chunk, carry0,
         (near_idx.reshape(-1, CHUNK), near_valid.reshape(-1, CHUNK)),
@@ -651,25 +721,16 @@ def raster_cast(
         one read of d_loc + one carry round-trip)."""
 
         def step(c, ck):
-            bt, bpl = c
-            g = cand_geom[jnp.clip(ck, 0, None)]  # (N, CHUNK, 6)
+            g = cand_geom[jnp.clip(ck, 0, None)]  # (N, CHUNK, Gw)
             glo = g[..., 0:3][:, :, None, :]
             ghi = glo + g[..., 3:6][:, :, None, :]
             t, axis, hit = _mirrored_slab(
                 glo, ghi, cam_pos, d_loc[:, None, :, :], tree_height,
                 distance,
             )  # (N, CHUNK, 64)
-            t = jnp.where(
-                (ck >= 0)[:, :, None] & hit, t, jnp.float32(jnp.inf)
-            )
-            k_best = jnp.argmin(t, axis=1)
-            t_k = jnp.min(t, axis=1)
-            pl = (ck[:, :, None] << 2) | axis
-            onehot = k_best[:, None, :] == jnp.arange(CHUNK)[None, :, None]
-            pl_k = jnp.sum(jnp.where(onehot, pl, 0), axis=1)
-            better = t_k < bt
-            return (
-                jnp.where(better, t_k, bt), jnp.where(better, pl_k, bpl)
+            return fold_chunk(
+                c, g, t, axis, (ck[:, :, None] << 2),
+                (ck >= 0)[:, :, None] & hit,
             ), None
 
         N, Kx = cand_mat.shape
@@ -679,7 +740,9 @@ def raster_cast(
         )
         return out
 
-    tb, plb = resolve_scan(carry, cand, d_t)
+    carry = resolve_scan(carry, cand, d_t)
+    tb, plb = carry[0], carry[1]
+    rgbb = carry[2] if carry_rgb else None
     if _stage == 6:
         return dict(tb=tb, plb=plb)
 
@@ -689,38 +752,43 @@ def raster_cast(
     # resolve with the NEXT candidates of their sorted segment — no
     # rebinning, just position gathers at [start+consumed, +k_extra).
     # Two rounds: many tiles / modest depth, then few tiles / deep.
-    consumed = jnp.full(NT, K, jnp.int32)
+    consumed = jnp.full(NTA, K, jnp.int32)
     drop_cur = drop_dmin
     n_widen = jnp.int32(0)
+    lix = jnp.arange(NTA, dtype=jnp.int32)  # band-local tile index
     for rnd, (k_extra, NWr) in enumerate(widen_plan):
+        NWr = min(NWr, NTA)
         tile_max = jnp.max(jnp.where(ok_t, tb, -jnp.inf), axis=1)
         incomplete = jnp.isfinite(drop_cur) & (drop_cur < tile_max)
         if rnd == 0:
             n_widen = jnp.sum(incomplete.astype(jnp.int32))
-        wkey = jnp.where(incomplete, tix, jnp.int32(NT))
-        wt = jax.lax.sort(wkey)[:NWr]
-        wvalid = wt < NT
-        wt_c = jnp.where(wvalid, wt, 0)
+        wkey = jnp.where(incomplete, lix, jnp.int32(NTA))
+        wl = jax.lax.sort(wkey)[:NWr]
+        wvalid = wl < NTA
+        wl_c = jnp.where(wvalid, wl, 0)
+        wg = t0 + wl_c  # global tile id (pair-array comparisons)
         pos2 = jnp.minimum(
-            seg_start[wt_c][:, None] + consumed[wt_c][:, None]
+            seg_start[wl_c][:, None] + consumed[wl_c][:, None]
             + jnp.arange(k_extra, dtype=jnp.int32),
             PAIRS - 1,
         )
         g2 = spacked[pos2]  # (NWr, k_extra, 2)
         cand2 = jnp.where(
-            wvalid[:, None] & (g2[..., 0] == wt_c[:, None]), g2[..., 1], -1
+            wvalid[:, None] & (g2[..., 0] == wg[:, None]), g2[..., 1], -1
         )
-        t2, pl2 = resolve_scan(
-            (tb[wt_c], plb[wt_c]), cand2, d_t[wt_c]
-        )
-        wix = jnp.where(wvalid, wt, NT)
+        wc = (tb[wl_c], plb[wl_c]) + (
+            (rgbb[wl_c],) if carry_rgb else ())
+        w_out = resolve_scan(wc, cand2, d_t[wl_c])
+        wix = jnp.where(wvalid, wl, NTA)
         row_put = lambda dst, src: jnp.concatenate(
             [dst, jnp.zeros_like(dst[:1])]
-        ).at[wix].set(src, mode="drop")[:NT]
-        tb = row_put(tb, t2)
-        plb = row_put(plb, pl2)
-        widened = jnp.zeros(NT + 1, bool).at[wix].set(
-            True, mode="drop")[:NT]
+        ).at[wix].set(src, mode="drop")[:NTA]
+        tb = row_put(tb, w_out[0])
+        plb = row_put(plb, w_out[1])
+        if carry_rgb:
+            rgbb = row_put(rgbb, w_out[2])
+        widened = jnp.zeros(NTA + 1, bool).at[wix].set(
+            True, mode="drop")[:NTA]
         consumed = jnp.where(widened, consumed + k_extra, consumed)
         posr = jnp.minimum(seg_start + consumed, PAIRS - 1)
         dropr = jnp.where(
@@ -734,21 +802,22 @@ def raster_cast(
     tile_max2 = jnp.max(jnp.where(ok_t, tb, -jnp.inf), axis=1)
     still = jnp.isfinite(drop_cur) & (drop_cur < tile_max2)
     n_fb = jnp.sum(still.astype(jnp.int32))
-    fb_key = jnp.where(still, tix, jnp.int32(NT))
-    fb_tiles = jax.lax.sort(fb_key)[:NFB]
-    fb_valid = fb_tiles < NT
-    fb_tiles = jnp.where(fb_valid, fb_tiles, 0)
+    fb_key = jnp.where(still, lix, jnp.int32(NTA))
+    fb_local = jax.lax.sort(fb_key)[:NFB]
+    fb_valid = fb_local < NTA
+    fb_local = jnp.where(fb_valid, fb_local, 0)
+    fb_tiles = t0 + fb_local  # GLOBAL tile ids (apply_fallback)
     # per-RAY incompleteness: a ray with t below the tile's nearest
     # dropped dmin (a lower bound on any dropped box's entry t) is
     # provably complete — only the rest re-cast (at grazing horizon
     # tiles that is a small fraction of the 64 rays)
-    fb_need = fb_valid[:, None] & (tb[fb_tiles] >= drop_cur[fb_tiles][:, None])
+    fb_need = fb_valid[:, None] & (tb[fb_local] >= drop_cur[fb_local][:, None])
 
-    # ---- reassemble dense frame -----------------------------------------
+    # ---- reassemble dense frame (band rows when band_rows is set) -------
     def untile(a):
-        return a.reshape(TH, TW, TILE, TILE).transpose(0, 2, 1, 3).reshape(
+        return a.reshape(TB, TW, TILE, TILE).transpose(0, 2, 1, 3).reshape(
             HP, WP
-        )[:H, :W].reshape(P)
+        )[:HB, :W].reshape(P)
 
     t_px = untile(tb)
     pl_px = untile(plb)
@@ -756,18 +825,30 @@ def raster_cast(
 
     win_owner = jnp.where(hit_px, pl_px >> 2, 0)
     win_axis = jnp.where(hit_px, pl_px & 3, 3)
-    # ONE row gather per pixel for every winner attribute (row gathers
-    # cost ~13 ns regardless of width, PERF.md — never gather thrice)
-    packed_attr = (jnp.concatenate([box_attr, lo_f, size_f], axis=1)
-                   if want_voxel else box_attr)
-    win = packed_attr[win_owner]  # (P, 10) / (P, 4)
+    if want_voxel:
+        # ONE row gather per pixel for every winner attribute (row
+        # gathers cost ~13 ns regardless of width, PERF.md — never
+        # gather thrice)
+        packed_attr = jnp.concatenate([box_attr, lo_f, size_f], axis=1)
+        win = packed_attr[win_owner]  # (P, 10)
+        node = jnp.where(
+            hit_px, jax.lax.bitcast_convert_type(win[:, 0], jnp.int32), -1
+        )
+        rgb = jnp.where(hit_px[:, None], win[:, 1:4], 0.0)
+    else:
+        # shading-only: RGB rode the resolve carry — no per-pixel
+        # gather; `node` is not computed (want_voxel callers get it)
+        win = None
+        node = jnp.full((P,), -1, jnp.int32)
+        rgb = jnp.where(
+            hit_px[:, None],
+            rgbb.reshape(TB, TW, TILE, TILE, 3).transpose(
+                0, 2, 1, 3, 4).reshape(HP, WP, 3)[:HB, :W].reshape(P, 3),
+            0.0,
+        )
     if _stage == 8:
-        return dict(t_px=t_px, pl_px=pl_px, win=win)
-    node = jnp.where(
-        hit_px, jax.lax.bitcast_convert_type(win[:, 0], jnp.int32), -1
-    )
-    rgb = jnp.where(hit_px[:, None], win[:, 1:4], 0.0)
-    d_flat = d_pad[:H, :W].reshape(P, 3)
+        return dict(t_px=t_px, pl_px=pl_px, rgb=rgb)
+    d_flat = d_pad[:HB, :W].reshape(P, 3)
     d_sign = jnp.sign(d_flat)
     normal = jnp.where(
         (win_axis[:, None] == jnp.arange(3, dtype=jnp.int32)[None, :])
@@ -806,7 +887,7 @@ def raster_cast(
         jnp.any(n_tier > jnp.asarray((NS,) + pair_slots))
         | (n_fb > NFB)
     )
-    shp = (H, W)
+    shp = (HB, W)
     return dict(
         hit=hit_px.reshape(shp),
         t=t_out.reshape(shp),
@@ -830,14 +911,19 @@ def raster_cast(
 def apply_fallback(
     res, table, root, tree_height: int, cam_pos, cam_basis,
     width_px: int, height_px: int, distance=FAR, ray_dirs=None,
+    band_row0=0,
 ):
     """Exact per-ray re-resolve of the tiles raster_cast flagged as not
     provably complete, merged into its result. Its own jit so the
     traversal's while_loop never inflates the raster program's compile.
+    For banded results pass the same ``band_row0`` (fb_tiles are global
+    tile ids; ``res``/``ray_dirs`` are band-shaped).
     """
     W, H = width_px, height_px
-    P = W * H
+    HB = res["hit"].shape[0]  # band rows (== H when full-frame)
+    P = W * HB
     TW = -(-W // TILE)
+    band_y0 = jnp.asarray(band_row0, jnp.int32)
     fb_tiles = res["fb_tiles"]
     fb_valid = res["fb_valid"]
     NFB = fb_tiles.shape[0]
@@ -848,14 +934,14 @@ def apply_fallback(
     ftx = fb_tiles - fty * TW
     lane = jnp.arange(TILE * TILE, dtype=jnp.int32)[None, :]
     fpx = ftx[:, None] * TILE + lane % TILE
-    fpy = fty[:, None] * TILE + lane // TILE
+    fpy = fty[:, None] * TILE + lane // TILE  # GLOBAL pixel rows
     if ray_dirs is None:
         fd = _ray_dirs_for_pixels(
             jnp.minimum(fpx, W - 1), jnp.minimum(fpy, H - 1), basis, W, H
         )
     else:
         fd = jnp.asarray(ray_dirs, jnp.float32)[
-            jnp.minimum(fpy, H - 1), jnp.minimum(fpx, W - 1)
+            jnp.clip(fpy - band_y0, 0, HB - 1), jnp.minimum(fpx, W - 1)
         ]
     # only the rays raster_cast proved incomplete re-cast (fb_need);
     # provably-complete rays of the same tile keep their raster result
@@ -866,8 +952,10 @@ def apply_fallback(
     )
     # the traversal's cap is advisory — enforce it strictly here
     fb_hit = fr["hit"] & (fr["t"] <= distance) & need
+    fpy_l = fpy - band_y0  # band-local rows
     fpid = jnp.where(
-        need & (fpx < W) & (fpy < H), fpy * W + fpx, P
+        need & (fpx < W) & (fpy < H) & (fpy_l >= 0) & (fpy_l < HB),
+        fpy_l * W + fpx, P,
     ).reshape(-1)
 
     def put(dst, src):
@@ -914,6 +1002,7 @@ def raster_cast_exact(
             res = apply_fallback(
                 res, table, root, tree_height, cam_pos, cam_basis,
                 width_px, height_px, distance=distance, ray_dirs=ray_dirs,
+                band_row0=kw.get("band_row0", 0),
             )
     return res
 

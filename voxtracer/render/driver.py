@@ -219,7 +219,13 @@ class Renderer:
             if len(soup) > self.ACTIVE_THRESHOLD:
                 from voxtracer.world.active import ActiveSoup
 
-                self._soup = ActiveSoup(soup, self.width, self.height)
+                # unedited terrain worlds carry their heightmap: enables
+                # the horizon occlusion cull (world/occlusion.py)
+                sp = getattr(self._dev, "space", None)
+                heights = (getattr(sp, "heights", None)
+                           if not getattr(sp, "edited", False) else None)
+                self._soup = ActiveSoup(soup, self.width, self.height,
+                                        heights=heights)
             else:
                 # patchable wrapper: point edits update the device
                 # arrays in place (apply_edits) instead of dropping the
@@ -250,28 +256,36 @@ class Renderer:
         key = (tuple(np.asarray(cam.pos, np.float64).tolist()),
                float(cam.yaw), float(cam.pitch), id(soup[0]))
         if self._bins_key != key:
-            from voxtracer.kernels.raster import (fit_near_slots,
-                                                  fit_pair_slots,
-                                                  raster_bins)
+            from voxtracer.kernels.raster import raster_bins
 
-            while True:
-                self._bins = raster_bins(
-                    soup[0], soup[1], np.asarray(cam.pos, np.float32),
-                    cam.basis(), self.tree_height, self.width, self.height,
-                    pair_slots=self._pair_slots,
-                    near_slots=self._near_slots, jittered=True,
-                )
-                demand = np.asarray(self._bins["n_tier"])  # per-pose sync
-                if (int(demand[0]) <= self._near_slots and all(
-                        int(demand[1 + k]) <= self._pair_slots[k]
-                        for k in range(len(self._pair_slots)))):
-                    break
-                self._pair_slots = fit_pair_slots(
-                    demand, current=self._pair_slots)
-                self._near_slots = fit_near_slots(
-                    demand[0], current=self._near_slots)
+            self._probe_slots(cam, soup)  # demand is pose-exact
+            self._bins = raster_bins(
+                soup[0], soup[1], np.asarray(cam.pos, np.float32),
+                cam.basis(), self.tree_height, self.width, self.height,
+                pair_slots=self._pair_slots,
+                near_slots=self._near_slots, jittered=True,
+            )
             self._bins_key = key
         return self._bins
+
+    def _probe_slots(self, cam, soup):
+        """Grow the sticky capacities from this pose's demand counters
+        (one small stage-2 probe program + host readback per pose; the
+        counters are computed before clipping, so the fitted slots can
+        never overflow for this pose)."""
+        from voxtracer.kernels.raster import (fit_near_slots,
+                                              fit_pair_slots, raster_bins)
+
+        b = raster_bins(
+            soup[0], soup[1], np.asarray(cam.pos, np.float32),
+            cam.basis(), self.tree_height, self.width, self.height,
+            jittered=True, _stage=2,
+        )
+        demand = np.asarray(b["n_tier"])
+        self._pair_slots = fit_pair_slots(demand,
+                                          current=self._pair_slots)
+        self._near_slots = fit_near_slots(demand[0],
+                                          current=self._near_slots)
 
     def _soup_slots(self):
         """Static capacities matching the cached bins, for render_sample
@@ -302,7 +316,10 @@ class Renderer:
                 mesh, self.table, self.root, self.tree_height, self.lut,
                 self.width, self.height, max_bounces=self.max_bounces,
                 fog_steps=self.fog_steps, soup=soup,
+                soup_slots=(self._soup_slots() if soup is not None
+                            else None),
             )
+            self._dist_slots = self._soup_slots()
         return self._dist_step
 
     def preview_frame(self, cam: vcam.Camera, sun: np.ndarray):
@@ -339,6 +356,17 @@ class Renderer:
         sun_unit = (sun / np.linalg.norm(sun)).astype(np.float32)
         self.acc.begin_sample(cam.pos, cam.yaw, cam.pitch, sun_unit)
         if self.devices:
+            # keep the sharded step's static raster capacities covering
+            # this pose's demand (probe grows them stickily; a growth
+            # event rebuilds the step)
+            from voxtracer.world.boxes import SoupPatcher
+
+            self._get_soup()  # materialize the (lazy) soup wrapper
+            if self.use_soup and isinstance(self._soup, SoupPatcher):
+                self._probe_slots(cam, self._soup.device_soup)
+                if getattr(self, "_dist_slots", None) not in (
+                        None, self._soup_slots()):
+                    self._dist_step = None
             seeds = np.stack(
                 [vrng.host_frame_seed(self.host_rng)
                  for _ in range(self.devices)]

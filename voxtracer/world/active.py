@@ -35,9 +35,10 @@ import jax.numpy as jnp
 import numpy as np
 
 
-@partial(jax.jit, static_argnames=("cap",))
+@partial(jax.jit, static_argnames=("cap", "nd", "occl_slack"))
 def _cull(box_lo, box_size, box_attr, cam_pos, basis, fx, fy, keep_r,
-          trans_r, cap: int):
+          trans_r, cap: int, occl=None, nd: int = 0,
+          occl_slack: float = 0.0):
     """Conservative frustum cull + compaction.
 
     box_lo/box_size: (M,3) i32; box_attr: (M,4) f32. Returns
@@ -76,6 +77,15 @@ def _cull(box_lo, box_size, box_attr, cam_pos, basis, fx, fy, keep_r,
     )
     near = jnp.linalg.norm(c - cam_pos, axis=-1) <= keep_r + r
     keep = in_frustum | near
+    if occl is not None:
+        # heightfield horizon cull: drop terrain provably hidden behind
+        # nearer hills for every camera in the reuse volume
+        # (world/occlusion.py — at flagship horizon poses the frustum
+        # alone keeps ~92% of the soup)
+        from voxtracer.world.occlusion import hidden_mask
+
+        hidden = hidden_mask(occl, c, half_f, cam_pos, occl_slack, nd)
+        keep = (in_frustum & ~hidden) | near
     n_active = jnp.sum(keep.astype(jnp.int32))
     midx = jnp.arange(M, dtype=jnp.int32)
     key = jnp.where(keep, midx, jnp.int32(M))
@@ -102,13 +112,33 @@ class ActiveSoup:
 
     def __init__(self, soup, width_px: int, height_px: int,
                  cap: int = 1 << 24, margin_deg: float = 12.0,
-                 keep_radius: float = 128.0):
+                 keep_radius: float = 128.0, heights=None):
+        """``heights``: optional (n, n) terrain heightmap enabling the
+        conservative horizon occlusion cull (world/occlusion.py) on top
+        of the frustum cull — the lever that makes flagship horizon
+        poses tractable (frustum alone keeps ~92% of the soup)."""
         from voxtracer.kernels.raster import pack_box_attr
 
         self._lo = jnp.asarray(np.asarray(soup.lo, np.int32))
         self._size = jnp.asarray(np.asarray(soup.size, np.int32))
         self._attr = jnp.asarray(np.asarray(pack_box_attr(soup),
                                             np.float32))
+        self._hmin2 = None
+        self._nd = 0
+        if heights is not None:
+            from voxtracer.world import occlusion as occ
+
+            n = np.asarray(heights).shape[0]
+            if n % occ.POOL == 0 and n >= occ.POOL * 8:
+                self._hmin2 = jnp.asarray(
+                    occ.min_pool_heights(np.asarray(heights)))
+                # radial reach: world diagonal (+1 for strict indexing)
+                self._nd = int(np.ceil(n * 1.5 / occ.POOL)) + 1
+        # occlusion validity budget: much smaller than keep_radius/2 —
+        # wide theta windows (big slack) mix bearings whose rays cross
+        # oblique occluders at different radii and gut the cull's
+        # effectiveness (world/occlusion.window_levels)
+        self.occl_slack = 16.0
         self.cap = min(cap, len(soup))
         self.margin = math.radians(margin_deg)
         self.keep_radius = float(keep_radius)
@@ -122,11 +152,16 @@ class ActiveSoup:
         self._rows = None
         self.n_active = 0
 
+    def _trans_budget(self) -> float:
+        if self._hmin2 is not None:
+            return min(self.keep_radius / 2, self.occl_slack)
+        return self.keep_radius / 2
+
     def _valid_for(self, cam_pos, basis) -> bool:
         if self._pose is None:
             return False
         p0, b0 = self._pose
-        if np.linalg.norm(np.asarray(cam_pos) - p0) > self.keep_radius / 2:
+        if np.linalg.norm(np.asarray(cam_pos) - p0) > self._trans_budget():
             return False
         # rotation between bases: largest angle any view direction moved
         dot = float(np.clip((np.trace(np.asarray(basis).T @ b0) - 1) / 2,
@@ -137,12 +172,20 @@ class ActiveSoup:
         cam_pos = np.asarray(cam_pos, np.float32)
         basis = np.asarray(basis, np.float32)
         if not self._valid_for(cam_pos, basis):
+            occl = None
+            if self._hmin2 is not None:
+                from voxtracer.world.occlusion import build_horizon
+
+                occl = build_horizon(self._hmin2, jnp.asarray(cam_pos),
+                                     self.occl_slack, self._nd)
             lo_a, size_a, attr_a, n = _cull(
                 self._lo, self._size, self._attr,
                 jnp.asarray(cam_pos), jnp.asarray(basis),
                 jnp.float32(self._fx), jnp.float32(self._fy),
                 jnp.float32(self.keep_radius),
-                jnp.float32(self.keep_radius / 2), cap=self.cap,
+                jnp.float32(self._trans_budget()), cap=self.cap,
+                occl=occl, nd=self._nd,
+                occl_slack=float(self._trans_budget()),
             )
             self.n_active = int(n)
             if self.n_active > self.cap:
