@@ -244,12 +244,20 @@ def main():
                                                 current=pt_near)
         pt_nt = (-(-PTW // 8)) * (-(-PTH // 8))
         log(f"PT probed slots: pair={pt_slots} near={pt_near}")
+        from voxtracer.kernels.heightfield import build_height_mips
         from voxtracer.kernels.integrator import render_samples
+
+        # unedited terrain world: bounce/NEE casts ride the heightfield
+        # max-mip engine (the production Renderer gates this the same
+        # way, render/driver.py _get_hf)
+        hf_flat, hf_offs, _ = build_height_mips(space.heights)
+        hf_rgb = jnp.asarray(space.terrain_rgb, jnp.float32)
 
         pt = jax.jit(lambda seeds, op, basis: render_samples(
             table, root, dev.height, lut, op, basis, sun_j, seeds,
             PTW, PTH, max_bounces=8, fog_steps=64,
             soup=soup_args, soup_slots=(pt_slots, pt_near, pt_nt),
+            hf_mips=hf_flat, hf_offsets=hf_offs, terrain_rgb=hf_rgb,
         ))
         pt_args = [
             (jnp.asarray(np.frombuffer(_os.urandom(12 * PTK), np.uint32
@@ -318,15 +326,23 @@ def main():
             log(f"flagship probed slots: pair={fps} near={fns} "
                 f"fallback={ffb}->cap {fcap}")
 
-            def f_flag(op, basis):
-                res = raster_mod.raster_cast(
-                    *fsoup_args, op, basis, fdev.height, W, H,
-                    want_voxel=False, pair_slots=fps, near_slots=fns,
-                    fallback_tiles=fcap,
-                )
-                return raster_mod.apply_fallback(
-                    res, ftable, froot, fdev.height, op, basis, W, H,
-                )["t"]
+            if ffb == 0:
+                def f_flag(op, basis):
+                    return raster_mod.raster_cast(
+                        *fsoup_args, op, basis, fdev.height, W, H,
+                        want_voxel=False, pair_slots=fps, near_slots=fns,
+                        fallback_tiles=fcap,
+                    )["t"]
+            else:
+                def f_flag(op, basis):
+                    res = raster_mod.raster_cast(
+                        *fsoup_args, op, basis, fdev.height, W, H,
+                        want_voxel=False, pair_slots=fps, near_slots=fns,
+                        fallback_tiles=fcap,
+                    )
+                    return raster_mod.apply_fallback(
+                        res, ftable, froot, fdev.height, op, basis, W, H,
+                    )["t"]
 
             dt, _ = _time_over(f_flag, fcam_args)
             flagship["raster_1080p_ms"] = round(dt * 1e3, 1)
@@ -348,10 +364,12 @@ def main():
                                                       current=fpt_slots)
                 fpt_near = raster_mod.fit_near_slots(b["n_tier"][0],
                                                      current=fpt_near)
+            fhf_flat, fhf_offs, _ = build_height_mips(fspace.heights)
             fpt = jax.jit(lambda seeds, op, basis: render_samples(
                 ftable, froot, fdev.height, lut, op, basis, sun_j, seeds,
                 PTW, PTH, max_bounces=8, fog_steps=64, soup=fsoup_args,
                 soup_slots=(fpt_slots, fpt_near, pt_nt),
+                hf_mips=fhf_flat, hf_offsets=fhf_offs, terrain_rgb=hf_rgb,
             ))
             fpt_args = [
                 (jnp.asarray(np.frombuffer(

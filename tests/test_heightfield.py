@@ -1,0 +1,244 @@
+"""Parity of the heightfield max-mip cast (kernels/heightfield.py)
+against the canonical SVO traversal on terrain worlds.
+
+The generated world is exactly a heightfield (world/worldgen.py), so
+``hf_raycast`` must reproduce ``svo_raycast`` bit-for-bit away from
+degenerate edge-grazes (project conventions: traversal semantics are
+canonical; random rays are generic so the budget here is tiny).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from voxtracer.kernels.heightfield import build_height_mips, hf_raycast
+from voxtracer.kernels.traverse import svo_raycast
+from voxtracer.world import worldgen
+
+LOG2 = 6  # 64^3 world: cheap on the 1-core CPU host, still 7 levels
+
+
+@pytest.fixture(scope="module")
+def world():
+    space = worldgen.generate(log2_size=LOG2, verbose=False)
+    dev = space.serialize()
+    table = jnp.asarray(dev.table.view(np.int32))
+    root = np.int32(dev.root)
+    mips = build_height_mips(space.heights)
+    return table, root, dev.height, mips
+
+
+def _svo(world, start, d, **kw):
+    table, root, h, _ = world
+    return svo_raycast(table, root, h, start, d, **kw)
+
+
+def _hf(world, start, d, **kw):
+    _, _, h, (flat, offs, hh) = world
+    assert hh == h
+    return hf_raycast(flat, offs, h, start, d, **kw)
+
+
+def _assert_match(a, b, budget=0):
+    """a: svo result, b: hf result; bit-exact up to `budget` lanes."""
+    mism = np.asarray(a["hit"]) != np.asarray(b["hit"])
+    both = np.asarray(a["hit"]) & np.asarray(b["hit"])
+    mism |= both & (np.asarray(a["t"]) != np.asarray(b["t"]))
+    mism |= both & np.any(
+        np.asarray(a["normal"]) != np.asarray(b["normal"]), axis=-1
+    )
+    mism |= both & np.any(
+        np.asarray(a["voxel"]) != np.asarray(b["voxel"]), axis=-1
+    )
+    n = int(mism.sum())
+    assert n <= budget, (
+        f"{n} mismatched lanes (budget {budget}); "
+        f"first={np.argwhere(mism)[:5].ravel()}"
+    )
+
+
+def _rand_dirs(rng, n):
+    v = rng.standard_normal((n, 3)).astype(np.float32)
+    v /= np.linalg.norm(v, axis=-1, keepdims=True)
+    return v
+
+
+def test_airborne_rays(world):
+    rng = np.random.default_rng(7)
+    n = 1 << LOG2
+    B = 4096
+    start = rng.uniform(0, n, (B, 3)).astype(np.float32)
+    start[:, 1] = rng.uniform(0, n, B)  # many below terrain too
+    d = _rand_dirs(rng, B)
+    a = _svo(world, jnp.asarray(start), jnp.asarray(d))
+    b = _hf(world, jnp.asarray(start), jnp.asarray(d))
+    assert int(np.asarray(a["hit"]).sum()) > B // 4  # sanity: real hits
+    _assert_match(a, b, budget=2)
+
+
+def test_outside_world_rays(world):
+    rng = np.random.default_rng(11)
+    n = 1 << LOG2
+    B = 2048
+    start = rng.uniform(-n, 2 * n, (B, 3)).astype(np.float32)
+    target = rng.uniform(0, n, (B, 3)).astype(np.float32)
+    d = target - start
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    a = _svo(world, jnp.asarray(start), jnp.asarray(d))
+    b = _hf(world, jnp.asarray(start), jnp.asarray(d))
+    assert int(np.asarray(a["hit"]).sum()) > B // 4
+    _assert_match(a, b, budget=2)
+
+
+def test_surface_bounce_rays(world):
+    """Rays re-cast from actual hit points (the integrator's bounce
+    geometry: origins exactly on voxel faces)."""
+    rng = np.random.default_rng(13)
+    n = 1 << LOG2
+    B = 4096
+    start = rng.uniform(0, n, (B, 3)).astype(np.float32)
+    start[:, 1] = rng.uniform(1, n, B)
+    d = _rand_dirs(rng, B)
+    first = _svo(world, jnp.asarray(start), jnp.asarray(d))
+    hit = np.asarray(first["hit"])
+    pos = np.asarray(start + np.asarray(first["t"])[:, None] * d)[hit]
+    nrm = np.asarray(first["normal"])[hit]
+    # cosine-ish hemisphere around the normal
+    d2 = _rand_dirs(rng, len(pos))
+    flipmask = np.sum(d2 * nrm, axis=-1) < 0
+    d2[flipmask] -= 2 * np.sum(
+        d2[flipmask] * nrm[flipmask], axis=-1, keepdims=True
+    ) * nrm[flipmask]
+    a = _svo(world, jnp.asarray(pos), jnp.asarray(d2))
+    b = _hf(world, jnp.asarray(pos), jnp.asarray(d2))
+    _assert_match(a, b, budget=4)
+
+
+def test_inside_solid_rays(world):
+    """skip_t0 semantics: rays starting strictly inside terrain hit at
+    the next unit-plane crossing (or walk out exactly like the SVO)."""
+    _, _, h, (flat, offs, _) = world
+    rng = np.random.default_rng(17)
+    n = 1 << LOG2
+    heights = np.asarray(flat[: n * n]).reshape(n, n)
+    sx, sz = np.nonzero(heights >= 2)
+    pick = rng.integers(0, len(sx), 2048)
+    x, z = sx[pick], sz[pick]
+    y = (heights[x, z] * rng.uniform(0.1, 0.9, len(pick))).astype(np.float32)
+    start = np.stack(
+        [x + rng.uniform(0.2, 0.8, len(pick)), y,
+         z + rng.uniform(0.2, 0.8, len(pick))], axis=-1,
+    ).astype(np.float32)
+    d = _rand_dirs(rng, len(pick))
+    a = _svo(world, jnp.asarray(start), jnp.asarray(d))
+    b = _hf(world, jnp.asarray(start), jnp.asarray(d))
+    _assert_match(a, b, budget=2)
+
+
+def test_capped_cast_strict(world):
+    """The hf cap is strict: hit iff the uncapped first hit is within
+    the cap, with identical t/voxel (the advisory-vs-strict difference
+    never changes integrator decisions — heightfield.py module doc)."""
+    rng = np.random.default_rng(19)
+    n = 1 << LOG2
+    B = 2048
+    start = rng.uniform(0, n, (B, 3)).astype(np.float32)
+    d = _rand_dirs(rng, B)
+    cap = 8.0
+    un = _svo(world, jnp.asarray(start), jnp.asarray(d))
+    b = _hf(world, jnp.asarray(start), jnp.asarray(d), distance=cap)
+    want = np.asarray(un["hit"]) & (np.asarray(un["t"]) <= cap)
+    got = np.asarray(b["hit"])
+    mism = want != got
+    both = want & got
+    mism |= both & (np.asarray(un["t"]) != np.asarray(b["t"]))
+    assert int(mism.sum()) <= 2
+
+
+def test_bucketed_identical(world):
+    rng = np.random.default_rng(23)
+    n = 1 << LOG2
+    B = 8192
+    start = rng.uniform(0, n, (B, 3)).astype(np.float32)
+    d = _rand_dirs(rng, B)
+    a = _hf(world, jnp.asarray(start), jnp.asarray(d))
+    b = _hf(world, jnp.asarray(start), jnp.asarray(d), min_bucket=512)
+    for k in ("hit", "t", "normal", "voxel"):
+        np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]))
+
+
+def test_active_mask(world):
+    rng = np.random.default_rng(29)
+    n = 1 << LOG2
+    B = 1024
+    start = rng.uniform(0, n, (B, 3)).astype(np.float32)
+    d = _rand_dirs(rng, B)
+    act = rng.random(B) < 0.5
+    a = _hf(world, jnp.asarray(start), jnp.asarray(d))
+    b = _hf(world, jnp.asarray(start), jnp.asarray(d),
+            active=jnp.asarray(act))
+    np.testing.assert_array_equal(
+        np.asarray(b["hit"]), np.asarray(a["hit"]) & act
+    )
+    np.testing.assert_array_equal(
+        np.asarray(b["t"])[act], np.asarray(a["t"])[act]
+    )
+    assert not np.asarray(b["hit"])[~act].any()
+
+
+def test_degenerate_heightfields():
+    """All-empty and all-solid columns."""
+    n = 16
+    rng = np.random.default_rng(31)
+    B = 512
+    start = rng.uniform(-n, 2 * n, (B, 3)).astype(np.float32)
+    target = rng.uniform(0, n, (B, 3)).astype(np.float32)
+    d = target - start
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+
+    flat, offs, h = build_height_mips(np.zeros((n, n), np.uint32))
+    r = hf_raycast(flat, offs, h, jnp.asarray(start), jnp.asarray(d))
+    assert not np.asarray(r["hit"]).any()
+
+    flat, offs, h = build_height_mips(np.full((n, n), n, np.uint32))
+    r = hf_raycast(flat, offs, h, jnp.asarray(start), jnp.asarray(d))
+    # every ray aimed at a point inside the solid cube must hit
+    assert np.asarray(r["hit"]).all()
+
+
+def test_trace_paths_hf_engine_bit_identical(world):
+    """The integrator with the heightfield engine produces bit-identical
+    radiance and RNG states to the SVO engine on terrain worlds (same
+    casts' t/normal bit-for-bit, same terrain color bits)."""
+    import jax
+    from voxtracer.core.spectra import build_wl_to_rgb_lut
+    from voxtracer.kernels.integrator import trace_paths
+
+    table, root, h, (flat, offs, _) = world
+    rng = np.random.default_rng(41)
+    n = 1 << LOG2
+    B = 2048
+    start = rng.uniform(0, n, (B, 3)).astype(np.float32)
+    start[:, 1] = rng.uniform(2, n, B)
+    d = _rand_dirs(rng, B)
+    wl = rng.random(B).astype(np.float32)
+    state = rng.integers(0, 2**32, (B, 3), dtype=np.uint32)
+    sun = np.asarray([0.8, 10.2743, 3.7], np.float32)
+    sun /= np.linalg.norm(sun)
+    lut = jnp.asarray(build_wl_to_rgb_lut())
+
+    st_a, rad_a = trace_paths(
+        table, root, h, lut, jnp.asarray(start), jnp.asarray(d),
+        jnp.asarray(wl), jnp.asarray(sun), jnp.asarray(state),
+        max_bounces=6, fog_steps=16,
+    )
+    st_b, rad_b = trace_paths(
+        table, root, h, lut, jnp.asarray(start), jnp.asarray(d),
+        jnp.asarray(wl), jnp.asarray(sun), jnp.asarray(state),
+        max_bounces=6, fog_steps=16, hf_mips=flat, hf_offsets=offs,
+        terrain_rgb=jnp.asarray([0.5, 0.5, 0.5], jnp.float32),
+    )
+    diff = np.any(np.asarray(rad_a) != np.asarray(rad_b), axis=-1)
+    assert int(diff.sum()) <= 2, f"{int(diff.sum())} lanes differ"
+    sdiff = np.any(np.asarray(st_a) != np.asarray(st_b), axis=-1)
+    assert int(sdiff.sum()) <= 2

@@ -54,10 +54,21 @@ def main():
     nt = (-(-PTW // 8)) * (-(-PTH // 8))
     log(f"slots {ps} near {ns}")
 
+    hf_args = {}
+    if "--hf" in sys.argv:
+        from voxtracer.kernels.heightfield import build_height_mips
+
+        flat, offsets, hh = build_height_mips(space.heights)
+        assert hh == dev.height
+        hf_args = dict(hf_mips=flat, hf_offsets=offsets,
+                       terrain_rgb=jnp.asarray([0.5, 0.5, 0.5],
+                                               jnp.float32))
+        log("heightfield engine ON")
+
     pt = jax.jit(lambda seeds, op, basis: render_samples(
         table, root, dev.height, lut, op, basis, sun_j, seeds,
         PTW, PTH, max_bounces=8, fog_steps=64,
-        soup=soup_args, soup_slots=(ps, ns, nt),
+        soup=soup_args, soup_slots=(ps, ns, nt), **hf_args,
     ))
     args = [
         (jnp.asarray(np.frombuffer(os.urandom(12 * K), np.uint32

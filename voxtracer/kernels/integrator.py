@@ -45,7 +45,7 @@ from voxtracer.kernels.traverse import (FAR, leaf_rgb, svo_raycast,
 
 
 @partial(jax.jit, static_argnames=("height", "max_bounces", "fog_steps",
-                                   "bit_size", "compact"))
+                                   "bit_size", "compact", "hf_offsets"))
 def trace_paths(
     table,
     root,
@@ -62,6 +62,9 @@ def trace_paths(
     bitworld=None,
     bit_size: int = 0,
     compact: bool = True,
+    hf_mips=None,
+    hf_offsets: tuple | None = None,
+    terrain_rgb=None,
 ):
     """Trace one spectral path per ray; returns (state, radiance (...,3)).
 
@@ -83,7 +86,17 @@ def trace_paths(
         with colors resolved by one masked SVO descent per hit; the node
         table remains the color source. ~10x fewer gathers per bounce
         cast (PERF.md).
+      hf_mips/hf_offsets/terrain_rgb: optional heightfield max-mip
+        pyramid (kernels.heightfield.build_height_mips) for UNEDITED
+        terrain worlds: bounce/NEE casts then walk the 2-D quadtree
+        (~15-40 gathers per lane vs the octree's hundreds — the whole
+        cast cost is the serialized gather, PERF.md) and shade hits
+        with ``terrain_rgb`` (the single interned terrain leaf color,
+        bit-equal to leaf_rgb of that leaf, so radiance is identical).
+        Takes precedence over ``bitworld``.
     """
+    use_hf = hf_mips is not None
+
     def svo_cast(pos_, d_, distance=FAR, active=None):
         """Bounce/NEE casts are incoherent with heavy-tailed finish times,
         so compact finished lanes out of the traversal loop (bit-identical
@@ -92,6 +105,13 @@ def trace_paths(
         nb = 1
         for s in d_.shape[:-1]:
             nb *= int(s)
+        if use_hf:
+            from voxtracer.kernels.heightfield import hf_raycast
+
+            mb = 1024 if (compact and nb >= 16384) else 0
+            return hf_raycast(hf_mips, hf_offsets, height, pos_, d_,
+                              distance=distance, active=active,
+                              min_bucket=mb)
         if compact and nb >= 16384:
             # min_bucket=1024: deepest useful static compaction —
             # measured 1.9x over nb//8 on 409k-lane bounce casts
@@ -112,6 +132,10 @@ def trace_paths(
     NEE_NEAR = 8.0
 
     def nee_occluded(pos_, sun_dir, act):
+        if use_hf:
+            # the heightfield walk resolves near occluders in a couple
+            # of iterations anyway — one cast, same exact boolean
+            return svo_cast(pos_, sun_dir, active=act)["hit"]
         near = svo_cast(pos_, sun_dir, distance=NEE_NEAR, active=act)
         blocked = near["hit"]
         far = svo_cast(pos_, sun_dir, active=act & ~blocked)
@@ -149,7 +173,13 @@ def trace_paths(
             # when no subvoxel bit is set can step past it (the reference
             # raycast has the same contour), so compare distances here.
             use_svo = svo["hit"] & (svo["t"] <= cap)
-            svo_rgb = leaf_rgb(table, svo["node"])
+            if use_hf:
+                svo_rgb = jnp.broadcast_to(
+                    jnp.asarray(terrain_rgb, jnp.float32),
+                    use_svo.shape + (3,),
+                )
+            else:
+                svo_rgb = leaf_rgb(table, svo["node"])
 
         hit_any = planet["hit"] | use_svo
         rgba = jnp.where(
@@ -240,8 +270,18 @@ def trace_paths(
     B = int(wavelength.size)
     batch_shape = wavelength.shape
     buckets = []
-    if compact and B >= 4096:
-        buckets = [B // 2, B // 4, B // 8]
+    flattened = compact and B >= 8192
+    if flattened:
+        # geometric descent to B/64: a fused k-sample batch (B up to
+        # several million lanes) otherwise rides its tail bounces at
+        # B/8 width, paying full-width fog marches and elementwise math
+        # for mostly-dead lanes (the per-level argsort+gather overhead
+        # is small: XLA fuses the same-perm takes into one pass)
+        b = B // 2
+        floor = max(B // 64, 4096)
+        while b >= floor:
+            buckets.append(b)
+            b //= 2
         flat = lambda a: a.reshape((B,) + a.shape[len(batch_shape):])
         state, pos, d, light, color, alive, density = map(
             flat, (state, pos, d, light, color, alive, density)
@@ -293,7 +333,7 @@ def trace_paths(
             lambda _, s: vrng.pcg3d(s), state_full,
         )
         state = state_burn.at[perm].set(state)
-    if buckets:
+    if flattened:
         color = color.reshape(batch_shape + (3,))
         state = state.reshape(batch_shape + (3,))
     return state, color
@@ -301,7 +341,8 @@ def trace_paths(
 
 @partial(jax.jit, static_argnames=("height", "width_px", "height_px",
                                    "rows", "max_bounces", "fog_steps",
-                                   "row_tiles", "bit_size", "soup_slots"))
+                                   "row_tiles", "bit_size", "soup_slots",
+                                   "hf_offsets"))
 def render_sample(
     table,
     root,
@@ -324,6 +365,9 @@ def render_sample(
     soup_slots=None,
     bitworld=None,
     bit_size: int = 0,
+    hf_mips=None,
+    hf_offsets: tuple | None = None,
+    terrain_rgb=None,
 ):
     """One progressive sample: 1 spectral path per pixel (raytrace.wgsl:415-430).
 
@@ -442,7 +486,8 @@ def render_sample(
         _, radiance = trace_paths(
             table, root, height, lut, pos, d, wavelength, sun, state,
             max_bounces=max_bounces, fog_steps=fog_steps, primary=primary,
-            bitworld=bitworld, bit_size=bit_size,
+            bitworld=bitworld, bit_size=bit_size, hf_mips=hf_mips,
+            hf_offsets=hf_offsets, terrain_rgb=terrain_rgb,
         )
         return radiance
 
@@ -459,7 +504,8 @@ def render_sample(
             _, c = trace_paths(
                 table, root, height, lut, pos_t, d_t, wl_t, sun, st_t,
                 max_bounces=max_bounces, fog_steps=fog_steps,
-                bitworld=bitworld, bit_size=bit_size,
+                bitworld=bitworld, bit_size=bit_size, hf_mips=hf_mips,
+                hf_offsets=hf_offsets, terrain_rgb=terrain_rgb,
             )
             return c
 
@@ -472,7 +518,8 @@ def render_sample(
             _, c = trace_paths(
                 table, root, height, lut, pos_t, d_t, wl_t, sun, st_t,
                 max_bounces=max_bounces, fog_steps=fog_steps, primary=pr_t,
-                bitworld=bitworld, bit_size=bit_size,
+                bitworld=bitworld, bit_size=bit_size, hf_mips=hf_mips,
+                hf_offsets=hf_offsets, terrain_rgb=terrain_rgb,
             )
             return c
 
@@ -486,13 +533,15 @@ def render_sample(
 
 @partial(jax.jit, static_argnames=("height", "width_px", "height_px",
                                    "max_bounces", "fog_steps", "row_tiles",
-                                   "bit_size", "soup_slots", "fused"))
+                                   "bit_size", "soup_slots", "fused",
+                                   "hf_offsets"))
 def render_samples(
     table, root, height: int, lut, cam_pos, cam_basis, sun, frame_seeds,
     width_px: int, height_px: int, max_bounces: int = 24,
     fog_steps: int = 64, row_tiles: int = 1, aug=None, soup=None,
     soup_bins=None, soup_slots=None, bitworld=None, bit_size: int = 0,
-    fused: bool = True,
+    fused: bool = True, hf_mips=None, hf_offsets: tuple | None = None,
+    terrain_rgb=None,
 ):
     """Accumulate a batch of progressive samples in one device program.
 
@@ -576,6 +625,7 @@ def render_samples(
             table, root, height, lut, fl(pos), fl(d), fl(wavelength),
             sun, fl(state), max_bounces=max_bounces, fog_steps=fog_steps,
             primary=primary, bitworld=bitworld, bit_size=bit_size,
+            hf_mips=hf_mips, hf_offsets=hf_offsets, terrain_rgb=terrain_rgb,
         )
         r = radiance.reshape((k, height_px, width_px, 3))
         # serial sum, matching the scan path's accumulation order exactly
@@ -590,7 +640,8 @@ def render_samples(
             width_px, height_px, max_bounces=max_bounces,
             fog_steps=fog_steps, row_tiles=row_tiles, aug=aug, soup=soup,
             soup_bins=soup_bins, soup_slots=soup_slots, bitworld=bitworld,
-            bit_size=bit_size,
+            bit_size=bit_size, hf_mips=hf_mips, hf_offsets=hf_offsets,
+            terrain_rgb=terrain_rgb,
         )
         return acc + s, None
 

@@ -87,7 +87,7 @@ def _default_pair_slots(pair_slots, jittered: bool):
             1 << 12, 1 << 11, 1 << 10, 1 << 9, 1 << 9)
 
 
-def fit_pair_slots(n_tier, margin: float = 1.25, floor: int = 256,
+def fit_pair_slots(n_tier, margin: float = 1.12, floor: int = 64,
                    current=None):
     """Demand-sized per-tier capacities from the ``n_tier`` counters.
 
@@ -95,10 +95,12 @@ def fit_pair_slots(n_tier, margin: float = 1.25, floor: int = 256,
     pair sort ~5x larger than real pair demand — and the (tile, dmin)
     sort is the largest box-count-driven term of the frame (PERF.md).
     Each tier is sized to ``margin * demand`` rounded up to a multiple
-    of 2^(bits-3) (i.e. within 12.5%), which keeps capacity <= ~1.4x
+    of 2^(bits-4) (i.e. within ~6%), which keeps capacity <= ~1.2x
     demand while quantizing the static-shape space; growing stickily via
     ``current`` bounds the number of distinct shapes — hence recompiles
-    — a session can see.
+    — a session can see. The floor matters at the HIGH tiers: arity
+    1024 x a 256-slot floor alone would pad the sort by 262k pairs for
+    a handful of real boxes.
 
     n_tier: the demand counters [near, t1..t10] returned by
     raster_bins/raster_cast (host ints). Returns a ``pair_slots`` tuple.
@@ -113,7 +115,7 @@ def fit_pair_slots(n_tier, margin: float = 1.25, floor: int = 256,
     out = []
     for k, d in enumerate(tiers):
         need = max(int(d * margin) + 16, floor)
-        step = 1 << max(need.bit_length() - 3, 0)
+        step = 1 << max(need.bit_length() - 4, 0)
         s = -(-need // step) * step
         if current is not None:
             s = max(s, current[k])
@@ -176,12 +178,13 @@ def _pose_bins(
     (kernels.raster.raster_bins) and resolve each sample against the
     cached bins — at flagship scale the bins are most of the frame.
 
-    Returns a dict of device arrays: ``stile``/``sdmin``/``sowner`` (the
-    (tile, dmin)-sorted pair arrays), ``seg_start`` (per-tile segment
-    starts), ``cand`` (NT, K) nearest candidates, ``drop_dmin`` (per-tile
-    nearest dropped lower bound), ``near_idx``/``near_valid`` (dense
-    pre-pass slots), and the ``n_pair``/``n_near``/``n_tier`` demand
-    counters."""
+    Returns a dict of device arrays: ``skey``/``sowner`` (the pair
+    arrays sorted by one packed u32 key — tile in the high bits, dmin
+    quantized into the low ``dmin_bits``), ``seg_start`` (per-tile
+    segment starts), ``cand`` (NT, K) nearest candidates, ``drop_dmin``
+    (per-tile nearest dropped lower bound), ``near_idx``/``near_valid``
+    (dense pre-pass slots), and the ``n_pair``/``n_near``/``n_tier``
+    demand counters."""
     W, H = width_px, height_px
     TW = -(-W // TILE)
     TH = -(-H // TILE)
@@ -410,22 +413,51 @@ def _pose_bins(
     # K nearest candidates are row gathers at [start, start+K). This
     # replaces the scatter-based binning that dominated the frame
     # (multi-million-source scatters run ~9 ns/element, PERF.md).
-    stile, sdmin, sowner = jax.lax.sort((ptile, pdmin, powner), num_keys=2)
-    spacked = jnp.stack([stile, sowner], axis=1)  # (PAIRS, 2) row gathers
+    #
+    # The sort key is ONE packed u32 — tile in the high bits, dmin
+    # quantized into the rest — so the sort is 1-key/2-operand instead
+    # of 2-key/3-operand (~30% cheaper at PAIRS-scale, PERF.md sort
+    # table). Quantizing dmin only loosens the within-tile order by one
+    # quantum; the completeness logic stays sound because every dropped
+    # bound below is the DEQUANTIZED FLOOR minus one quantum — a true
+    # lower bound on any dropped candidate's dmin (same-quantum entries
+    # may be reordered, never misclassified).
+    # tile field (incl. sentinel NT) + one reserved zero sign bit so the
+    # int32-bitcast keys compare identically to the u32 packing
+    NTB = int(NT + 1).bit_length() + 1
+    DB = 32 - NTB
+    diag = float(3.0 ** 0.5) * float(1 << tree_height)
+    quantum = jnp.float32(diag / ((1 << DB) - 2))
+    qd = jnp.minimum(
+        (pdmin * (1.0 / quantum)).astype(jnp.int32), (1 << DB) - 2
+    )
+    qd = jnp.where(jnp.isfinite(pdmin), qd, (1 << DB) - 1)
+    key = jax.lax.bitcast_convert_type(
+        (ptile.astype(jnp.uint32) << DB)
+        | qd.astype(jnp.uint32), jnp.int32,
+    )
+    assert NT < (1 << (NTB - 1)), "tile id would set the sign bit"
+    skey, sowner = jax.lax.sort((key, powner), num_keys=1)
+    stile = jax.lax.shift_right_logical(skey, DB)
+    spacked = jnp.stack([skey, sowner], axis=1)  # (PAIRS, 2) row gathers
     tix = jnp.arange(NT, dtype=jnp.int32)
-    seg_start = jnp.searchsorted(stile, tix).astype(jnp.int32)
+    seg_start = jnp.searchsorted(
+        skey, jnp.left_shift(tix, DB)).astype(jnp.int32)
     pos = jnp.minimum(
         seg_start[:, None] + jnp.arange(K, dtype=jnp.int32), PAIRS - 1
     )
     g = spacked[pos]  # (NT, K, 2)
-    cand = jnp.where(g[..., 0] == tix[:, None], g[..., 1], -1)
+    gtile = jax.lax.shift_right_logical(g[..., 0], DB)
+    cand = jnp.where(gtile == tix[:, None], g[..., 1], -1)
     # nearest dropped candidate per tile (inf = nothing dropped): the
-    # segment is dmin-ascending, so it is exactly the entry at rank K.
+    # conservative dequantized bound of the entry at rank K.
     posk = jnp.minimum(seg_start + K, PAIRS - 1)
-    drop_dmin = jnp.where(stile[posk] == tix, sdmin[posk],
+    deq = lambda k: jnp.maximum(
+        (k & ((1 << DB) - 1)) - 1, 0).astype(jnp.float32) * quantum
+    drop_dmin = jnp.where(stile[posk] == tix, deq(skey[posk]),
                           jnp.float32(jnp.inf))
     return dict(
-        stile=stile, sdmin=sdmin, sowner=sowner, seg_start=seg_start,
+        skey=skey, sowner=sowner, seg_start=seg_start, dmin_bits=DB,
         cand=cand, drop_dmin=drop_dmin, near_idx=near_idx,
         near_valid=near_valid, n_pair=n_pair, n_near=n_near,
         n_tier=n_tier,
@@ -594,14 +626,20 @@ def raster_cast(
         )
         if 1 <= _stage <= 4:
             return bins
-    stile, sdmin = bins["stile"], bins["sdmin"]
+    skey, DB = bins["skey"], bins["dmin_bits"]
     sowner, seg_start = bins["sowner"], bins["seg_start"]
     cand, drop_dmin = bins["cand"], bins["drop_dmin"]
     near_idx, near_valid = bins["near_idx"], bins["near_valid"]
     n_pair, n_near, n_tier = bins["n_pair"], bins["n_near"], bins["n_tier"]
     K = cand.shape[1]
-    PAIRS = stile.shape[0]
-    spacked = jnp.stack([stile, sowner], axis=1)
+    PAIRS = skey.shape[0]
+    spacked = jnp.stack([skey, sowner], axis=1)
+    # dequantized conservative lower bound for a dropped candidate's
+    # dmin (matches _pose_bins' packing: one quantum of slack)
+    diag = float(3.0 ** 0.5) * float(1 << tree_height)
+    quantum = jnp.float32(diag / ((1 << DB) - 2))
+    deq = lambda k: jnp.maximum(
+        (k & ((1 << DB) - 1)) - 1, 0).astype(jnp.float32) * quantum
 
     # ---- band selection ------------------------------------------------
     # The bins are full-frame and pose-only; the resolve side can run on
@@ -773,8 +811,9 @@ def raster_cast(
             PAIRS - 1,
         )
         g2 = spacked[pos2]  # (NWr, k_extra, 2)
+        g2tile = jax.lax.shift_right_logical(g2[..., 0], DB)
         cand2 = jnp.where(
-            wvalid[:, None] & (g2[..., 0] == wg[:, None]), g2[..., 1], -1
+            wvalid[:, None] & (g2tile == wg[:, None]), g2[..., 1], -1
         )
         wc = (tb[wl_c], plb[wl_c]) + (
             (rgbb[wl_c],) if carry_rgb else ())
@@ -792,7 +831,8 @@ def raster_cast(
         consumed = jnp.where(widened, consumed + k_extra, consumed)
         posr = jnp.minimum(seg_start + consumed, PAIRS - 1)
         dropr = jnp.where(
-            stile[posr] == tix, sdmin[posr], jnp.float32(jnp.inf)
+            jax.lax.shift_right_logical(skey[posr], DB) == tix,
+            deq(skey[posr]), jnp.float32(jnp.inf)
         )
         drop_cur = jnp.where(widened, dropr, drop_cur)
     if _stage == 7:

@@ -253,5 +253,8 @@ def generate(
               f"({space.num_nodes()} nodes)")
     # keep the heightmap: unedited terrain worlds get the flagship-scale
     # heightfield box extraction (world/boxes.py extract_boxes_terrain)
+    # and the heightfield cast engine (kernels/heightfield.py), which
+    # also needs the interned terrain leaf color
     space.heights = h
+    space.terrain_rgb = (0.5, 0.5, 0.5)
     return space
