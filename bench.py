@@ -142,8 +142,7 @@ def main():
         soup_args = (jnp.asarray(soup.lo), jnp.asarray(soup.size),
                      jnp.asarray(raster_mod.pack_box_attr(soup)))
 
-        ps = ns = None
-        need_fb = 0
+        ps = ns = ws = None
         for op, basis in cam_args:
             probe = raster_mod.raster_cast(
                 *soup_args, op, basis, dev.height, W, H, want_voxel=False,
@@ -151,9 +150,20 @@ def main():
             ps = raster_mod.fit_pair_slots(probe["n_tier"], current=ps)
             ns = raster_mod.fit_near_slots(probe["n_tier"][0],
                                           current=ns or 0)
+            ws = raster_mod.fit_widen_tiles(probe["n_widen"], current=ws)
+        # re-probe at the FITTED capacities (the timed program), since
+        # fallback demand depends on the widen caps
+        need_fb = 0
+        fb = 64
+        fitted_kw = dict(pair_slots=ps, near_slots=ns, widen_tiles=ws[0],
+                         widen2_tiles=ws[1], widen3_tiles=ws[2])
+        for op, basis in cam_args:
+            probe = raster_mod.raster_cast(
+                *soup_args, op, basis, dev.height, W, H, want_voxel=False,
+                fallback_tiles=fb, **fitted_kw,
+            )
             need_fb = max(need_fb, int(probe["n_fallback"]))
-        fb = max(64, 1 << (4 * need_fb + 16 - 1).bit_length())
-        log(f"probed slots: pair={ps} near={ns} "
+        log(f"probed slots: pair={ps} near={ns} widen={ws} "
             f"fallback={need_fb}->cap {fb}")
 
         if need_fb == 0:
@@ -163,15 +173,15 @@ def main():
             def f_exact(op, basis):
                 return raster_mod.raster_cast(
                     *soup_args, op, basis, dev.height, W, H,
-                    want_voxel=False, pair_slots=ps, near_slots=ns,
-                    fallback_tiles=fb,
+                    want_voxel=False, fallback_tiles=fb, **fitted_kw,
                 )["t"]
         else:
+            fb = max(64, 1 << (4 * need_fb + 16 - 1).bit_length())
+
             def f_exact(op, basis):
                 res = raster_mod.raster_cast(
                     *soup_args, op, basis, dev.height, W, H,
-                    want_voxel=False, pair_slots=ps, near_slots=ns,
-                    fallback_tiles=fb,
+                    want_voxel=False, fallback_tiles=fb, **fitted_kw,
                 )
                 return raster_mod.apply_fallback(
                     res, table, root, dev.height, op, basis, W, H,
@@ -310,8 +320,7 @@ def main():
             flagship["active_boxes"] = int(act.n_active)
             flagship["soup_boxes"] = len(fsoup)
 
-            fps = fns = None
-            ffb = 0
+            fps = fns = fws = None
             for op, basis in fcam_args:
                 probe = raster_mod.raster_cast(
                     *fsoup_args, op, basis, fdev.height, W, H,
@@ -321,24 +330,35 @@ def main():
                                                 current=fps)
                 fns = raster_mod.fit_near_slots(probe["n_tier"][0],
                                                 current=fns or 0)
+                fws = raster_mod.fit_widen_tiles(probe["n_widen"],
+                                                 current=fws)
+            ffb = 0
+            fcap = 64
+            ffit_kw = dict(pair_slots=fps, near_slots=fns,
+                           widen_tiles=fws[0], widen2_tiles=fws[1],
+                           widen3_tiles=fws[2])
+            for op, basis in fcam_args:
+                probe = raster_mod.raster_cast(
+                    *fsoup_args, op, basis, fdev.height, W, H,
+                    want_voxel=False, fallback_tiles=fcap, **ffit_kw,
+                )
                 ffb = max(ffb, int(probe["n_fallback"]))
-            fcap = max(64, 1 << (2 * ffb + 16 - 1).bit_length())
             log(f"flagship probed slots: pair={fps} near={fns} "
-                f"fallback={ffb}->cap {fcap}")
+                f"widen={fws} fallback={ffb}->cap {fcap}")
 
             if ffb == 0:
                 def f_flag(op, basis):
                     return raster_mod.raster_cast(
                         *fsoup_args, op, basis, fdev.height, W, H,
-                        want_voxel=False, pair_slots=fps, near_slots=fns,
-                        fallback_tiles=fcap,
+                        want_voxel=False, fallback_tiles=fcap, **ffit_kw,
                     )["t"]
             else:
+                fcap = max(64, 1 << (2 * ffb + 16 - 1).bit_length())
+
                 def f_flag(op, basis):
                     res = raster_mod.raster_cast(
                         *fsoup_args, op, basis, fdev.height, W, H,
-                        want_voxel=False, pair_slots=fps, near_slots=fns,
-                        fallback_tiles=fcap,
+                        want_voxel=False, fallback_tiles=fcap, **ffit_kw,
                     )
                     return raster_mod.apply_fallback(
                         res, ftable, froot, fdev.height, op, basis, W, H,

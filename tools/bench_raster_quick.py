@@ -36,26 +36,37 @@ def main():
     cams = _cams(5, 1024 / 8192.0)
     cam_args = [(np.asarray(c.pos, np.float32), c.basis()) for c in cams]
 
-    ps = ns = None
-    need_fb = 0
+    ps = ns = ws = None
     for op, basis in cam_args:
         probe = raster_mod.raster_cast(
             *soup_args, op, basis, dev.height, W, H, want_voxel=False,
         )
         ps = raster_mod.fit_pair_slots(probe["n_tier"], current=ps)
         ns = raster_mod.fit_near_slots(probe["n_tier"][0], current=ns or 0)
-        need_fb = max(need_fb, int(probe["n_fallback"]))
+        ws = raster_mod.fit_widen_tiles(probe["n_widen"], current=ws)
         log("n_tier:", np.asarray(probe["n_tier"]),
-            "n_pair:", int(probe["n_pair"]), "fb:", int(probe["n_fallback"]))
+            "n_pair:", int(probe["n_pair"]),
+            "n_widen:", np.asarray(probe["n_widen"]),
+            "fb:", int(probe["n_fallback"]))
+    fit_kw = dict(pair_slots=ps, near_slots=ns, widen_tiles=ws[0],
+                  widen2_tiles=ws[1], widen3_tiles=ws[2])
+    need_fb = 0
+    for op, basis in cam_args:
+        probe = raster_mod.raster_cast(
+            *soup_args, op, basis, dev.height, W, H, want_voxel=False,
+            fallback_tiles=64, **fit_kw,
+        )
+        need_fb = max(need_fb, int(probe["n_fallback"]))
     fb = max(64, 1 << (4 * need_fb + 16 - 1).bit_length())
     pairs = sum(s * a for s, a in zip(
         [min(s, len(soup)) for s in ps], raster_mod.PAIR_ARITIES))
-    log(f"slots pair={ps} near={ns} fbcap={fb} PAIRS~{len(soup) + pairs}")
+    log(f"slots pair={ps} near={ns} widen={ws} fbcap={fb} "
+        f"fitted_fb={need_fb} PAIRS~{len(soup) + pairs}")
 
     def f_exact(op, basis):
         res = raster_mod.raster_cast(
             *soup_args, op, basis, dev.height, W, H, want_voxel=False,
-            pair_slots=ps, near_slots=ns, fallback_tiles=fb,
+            fallback_tiles=fb, **fit_kw,
         )
         return raster_mod.apply_fallback(
             res, table, root, dev.height, op, basis, W, H,
@@ -68,7 +79,7 @@ def main():
     def f_raster(op, basis):
         return raster_mod.raster_cast(
             *soup_args, op, basis, dev.height, W, H, want_voxel=False,
-            pair_slots=ps, near_slots=ns, fallback_tiles=fb,
+            fallback_tiles=fb, **fit_kw,
         )["t"]
 
     dt2, _ = _time_over(f_raster, cam_args)

@@ -53,23 +53,25 @@ def main():
     cam_args = [(np.asarray(c.pos, np.float32), c.basis()) for c in cams]
 
     # tier demand at this config (sizes pair_slots)
-    ps = ns = None
+    ps = ns = ws = None
     for op, basis in cam_args:
         r = raster_mod.raster_cast(*soup_args, op, basis, dev.height, W, H,
                                    want_voxel=False)
         ps = raster_mod.fit_pair_slots(r["n_tier"], current=ps)
         ns = raster_mod.fit_near_slots(r["n_tier"][0], current=ns or 0)
+        ws = raster_mod.fit_widen_tiles(r["n_widen"], current=ws)
     log("n_tier:", np.asarray(r["n_tier"]))
-    log("n_pair:", int(r["n_pair"]), " n_widen:", int(r["n_widen"]),
+    log("n_pair:", int(r["n_pair"]), " n_widen:", np.asarray(r["n_widen"]),
         " n_fallback:", int(r["n_fallback"]),
         " overflow:", bool(r["overflow"]))
-    log("slots:", ps, ns)
+    log("slots:", ps, ns, ws)
 
     def stage_fn(stg):
         def f(op, basis):
             out = raster_mod.raster_cast(
                 *soup_args, op, basis, dev.height, W, H,
                 want_voxel=False, pair_slots=ps, near_slots=ns,
+                widen_tiles=ws[0], widen2_tiles=ws[1], widen3_tiles=ws[2],
                 fallback_tiles=64, _stage=stg,
             )
             if stg == 0:

@@ -426,6 +426,10 @@ def render_sample(
             slots_kw = dict(pair_slots=soup_slots[0],
                             near_slots=soup_slots[1],
                             fallback_tiles=soup_slots[2])
+            if len(soup_slots) > 3 and soup_slots[3] is not None:
+                wt = soup_slots[3]  # fit_widen_tiles caps, one per round
+                slots_kw.update(widen_tiles=wt[0], widen2_tiles=wt[1],
+                                widen3_tiles=wt[2])
         if rows == height_px:
             pr = raster_mod.raster_cast_exact(
                 soup[0], soup[1], soup[2],

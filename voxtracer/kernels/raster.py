@@ -133,6 +133,42 @@ def fit_near_slots(n_near, margin: float = 2.0, floor: int = 8,
     return max(1 << (need - 1).bit_length(), current)
 
 
+def fit_widen_tiles(n_widen, margin: float = 1.5, floor: int = 64,
+                    current=None):
+    """Demand-sized per-round widen tile capacities from the ``n_widen``
+    counters (incomplete tiles ENTERING each round, raster_cast). Same
+    contract as fit_pair_slots: margin + coarse rounding to bound the
+    static-shape space, sticky growth via ``current``. Each widen round
+    costs ~(tiles x k_extra) gather rows (PERF.md), so the default
+    4096-tile round-1 capacity is ~2-3x real demand at the bench poses.
+    """
+    import numpy as np
+
+    counts = [int(x) for x in np.asarray(n_widen).reshape(-1)]
+    out = []
+    for k, d in enumerate(counts):
+        need = max(int(d * margin) + 8, floor)
+        step = 1 << max(need.bit_length() - 3, 0)
+        s = -(-need // step) * step
+        if current is not None:
+            s = max(s, current[k])
+        out.append(s)
+    return tuple(out)
+
+
+def _slice_rows(arr, starts, size: int):
+    """``size`` CONSECUTIVE rows of ``arr`` from each start index — one
+    wide sliced fetch per start instead of ``size`` arbitrary row
+    gathers (row COUNT is the gather cost; width is nearly free,
+    PERF.md). The sorted pair array's per-tile segments are contiguous,
+    so candidate fetches are exactly this shape. XLA dynamic_slice
+    clamps starts to [0, len-size]; a clamp-shifted window only re-reads
+    earlier rows, which the callers' tile-id masks reject."""
+    return jax.vmap(
+        lambda s: jax.lax.dynamic_slice_in_dim(arr, s, size, 0)
+    )(starts)
+
+
 def _ray_dirs_for_pixels(px, py, basis, width, height):
     """World-space unit directions through pixel centers — the exact ops
     of camera.generate_rays so slab t's match the per-ray engine."""
@@ -443,10 +479,7 @@ def _pose_bins(
     tix = jnp.arange(NT, dtype=jnp.int32)
     seg_start = jnp.searchsorted(
         skey, jnp.left_shift(tix, DB)).astype(jnp.int32)
-    pos = jnp.minimum(
-        seg_start[:, None] + jnp.arange(K, dtype=jnp.int32), PAIRS - 1
-    )
-    g = spacked[pos]  # (NT, K, 2)
+    g = _slice_rows(spacked, seg_start, K)  # (NT, K, 2) one fetch/tile
     gtile = jax.lax.shift_right_logical(g[..., 0], DB)
     cand = jnp.where(gtile == tix[:, None], g[..., 1], -1)
     # nearest dropped candidate per tile (inf = nothing dropped): the
@@ -586,7 +619,8 @@ def raster_cast(
 
     Returns dict: hit (H,W) bool, t (H,W) f32, normal (H,W,3), node (H,W)
     i32 leaf slot (-1 miss), rgb (H,W,3), voxel (H,W,3) i32, overflow ()
-    bool, n_pair/n_near/n_widen/n_fallback () i32 demand counters, and
+    bool, n_pair/n_near/n_fallback () i32 demand counters, n_widen (3,)
+    i32 per-round widen demand (fit_widen_tiles), and
     fb_tiles/fb_valid/fb_need — tiles/rays whose result is not provably
     complete (resolve them with ``apply_fallback`` for exactness;
     without it they may show a farther surface than the true nearest).
@@ -792,25 +826,20 @@ def raster_cast(
     # Two rounds: many tiles / modest depth, then few tiles / deep.
     consumed = jnp.full(NTA, K, jnp.int32)
     drop_cur = drop_dmin
-    n_widen = jnp.int32(0)
+    widen_demand = []  # incomplete tiles ENTERING each round (fit_widen_tiles)
     lix = jnp.arange(NTA, dtype=jnp.int32)  # band-local tile index
     for rnd, (k_extra, NWr) in enumerate(widen_plan):
         NWr = min(NWr, NTA)
         tile_max = jnp.max(jnp.where(ok_t, tb, -jnp.inf), axis=1)
         incomplete = jnp.isfinite(drop_cur) & (drop_cur < tile_max)
-        if rnd == 0:
-            n_widen = jnp.sum(incomplete.astype(jnp.int32))
+        widen_demand.append(jnp.sum(incomplete.astype(jnp.int32)))
         wkey = jnp.where(incomplete, lix, jnp.int32(NTA))
         wl = jax.lax.sort(wkey)[:NWr]
         wvalid = wl < NTA
         wl_c = jnp.where(wvalid, wl, 0)
         wg = t0 + wl_c  # global tile id (pair-array comparisons)
-        pos2 = jnp.minimum(
-            seg_start[wl_c][:, None] + consumed[wl_c][:, None]
-            + jnp.arange(k_extra, dtype=jnp.int32),
-            PAIRS - 1,
-        )
-        g2 = spacked[pos2]  # (NWr, k_extra, 2)
+        g2 = _slice_rows(spacked, seg_start[wl_c] + consumed[wl_c],
+                         k_extra)  # (NWr, k_extra, 2) one fetch/tile
         g2tile = jax.lax.shift_right_logical(g2[..., 0], DB)
         cand2 = jnp.where(
             wvalid[:, None] & (g2tile == wg[:, None]), g2[..., 1], -1
@@ -939,7 +968,7 @@ def raster_cast(
         n_pair=n_pair,
         n_near=n_near,
         n_tier=n_tier,
-        n_widen=n_widen,
+        n_widen=jnp.stack(widen_demand),
         n_fallback=n_fb,
         fb_tiles=fb_tiles,
         fb_valid=fb_valid,
