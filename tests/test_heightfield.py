@@ -120,7 +120,10 @@ def test_inside_solid_rays(world):
     _, _, h, (flat, offs, _) = world
     rng = np.random.default_rng(17)
     n = 1 << LOG2
-    heights = np.asarray(flat[: n * n]).reshape(n, n)
+    # un-tile the level-0 rows (build_height_mips packs 4x4 blocks)
+    dp = n // 4
+    heights = (np.asarray(flat[: dp * dp]).reshape(dp, dp, 4, 4)
+               .transpose(0, 2, 1, 3).reshape(n, n))
     sx, sz = np.nonzero(heights >= 2)
     pick = rng.integers(0, len(sx), 2048)
     x, z = sx[pick], sz[pick]

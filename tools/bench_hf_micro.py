@@ -74,10 +74,12 @@ def main():
     lanes = [bounce_lanes(c) for c in cams[:3]]
 
     for mb in (0, 1024, 8192):
-        f = lambda p, d: hf_raycast(flat, offs, hh, p, d, min_bucket=mb)["t"]
-        dt, _ = _time_over(f, lanes)
-        log(f"hf cast {B} lanes mb={mb}: {dt * 1e3:.1f} ms "
-            f"({dt / B * 1e9:.1f} ns/lane)")
+        for ts in ((3, 4, 7) if mb == 1024 else (4,)):
+            f = lambda p, d: hf_raycast(flat, offs, hh, p, d,
+                                        min_bucket=mb, tile_steps=ts)["t"]
+            dt, _ = _time_over(f, lanes)
+            log(f"hf cast {B} lanes mb={mb} steps={ts}: {dt * 1e3:.1f} ms "
+                f"({dt / B * 1e9:.1f} ns/lane)")
 
     f = lambda p, d: svo_raycast_bucketed(
         table, root, dev.height, p, d, min_bucket=1024)["hit_t"

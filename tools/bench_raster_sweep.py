@@ -1,0 +1,75 @@
+"""TPU sweep of the raster frame over cand_k (and the newly tightened
+slot fit), 1080p / 1024^3. Each variant re-probes demand at ITS cand_k
+(widen demand depends on K) and times the raster-only program (fallback
+demand 0 => it IS the exact frame)."""
+
+import sys
+
+import numpy as np
+
+W, H = 1920, 1080
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    sys.path.insert(0, "/root/repo")
+    from bench import _cams, _time_over
+    from voxtracer.kernels import raster as raster_mod
+    from voxtracer.world import worldgen
+    from voxtracer.world.boxes import extract_boxes
+
+    space = worldgen.generate(log2_size=10, verbose=False)
+    dev = space.serialize()
+    soup = extract_boxes(dev)
+    log(f"soup {len(soup)}")
+    soup_args = (jnp.asarray(soup.lo), jnp.asarray(soup.size),
+                 jnp.asarray(raster_mod.pack_box_attr(soup)))
+    cams = _cams(5, 1024 / 8192.0)
+    cam_args = [(np.asarray(c.pos, np.float32), c.basis()) for c in cams]
+
+    for ck in (24, 16, 32):
+        ps = ns = ws = None
+        for op, basis in cam_args:
+            probe = raster_mod.raster_cast(
+                *soup_args, op, basis, dev.height, W, H, want_voxel=False,
+                cand_k=ck,
+            )
+            ps = raster_mod.fit_pair_slots(probe["n_tier"], current=ps)
+            ns = raster_mod.fit_near_slots(probe["n_tier"][0],
+                                           current=ns or 0)
+            ws = raster_mod.fit_widen_tiles(probe["n_widen"], current=ws)
+        fit_kw = dict(pair_slots=ps, near_slots=ns, widen_tiles=ws[0],
+                      widen2_tiles=ws[1], widen3_tiles=ws[2], cand_k=ck)
+        need_fb = 0
+        for op, basis in cam_args:
+            probe = raster_mod.raster_cast(
+                *soup_args, op, basis, dev.height, W, H, want_voxel=False,
+                fallback_tiles=64, **fit_kw,
+            )
+            need_fb = max(need_fb, int(probe["n_fallback"]))
+        pairs = sum(s * a for s, a in zip(
+            [min(s, len(soup)) for s in ps], raster_mod.PAIR_ARITIES))
+        log(f"cand_k={ck} slots={ps} near={ns} widen={ws} "
+            f"fitted_fb={need_fb} PAIRS~{len(soup) + pairs}")
+
+        def f_raster(op, basis):
+            return raster_mod.raster_cast(
+                *soup_args, op, basis, dev.height, W, H, want_voxel=False,
+                fallback_tiles=64, **fit_kw,
+            )["t"]
+
+        dt2, _ = _time_over(f_raster, cam_args)
+        log(f"cand_k={ck}: raster-only {dt2 * 1e3:.1f} ms -> "
+            f"{W * H / dt2 / 1e6:.2f} Mrays/s (fb demand {need_fb})")
+
+
+if __name__ == "__main__":
+    main()

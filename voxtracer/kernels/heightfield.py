@@ -7,10 +7,17 @@ column min/max pyramid; world/worldgen.py keeps the heightmap on the
 space). That collapses ray casting from a 3-D octree walk to a 2-D
 quadtree walk over columns: descend into an (x, z) cell only when the
 ray's y-span over the cell's t-interval dips below the cell's MAX
-height. One max-mip gather per iteration, and incoherent rays finish
-in ~15-40 iterations instead of the octree walk's hundreds (PERF.md:
-per-iteration cost is the ~10 ns/lane serialized gather, so iteration
-count is the whole cost).
+height.
+
+TILED walk (round 3): the per-iteration serialized row gather is the
+whole cost (~13 ns/lane/iteration, PERF.md) while row WIDTH is nearly
+free to ~16 — so the pyramid is packed as 16-wide rows (each row = one
+parent cell's 4x4 children two levels down) and each gather funds an
+UNROLLED multi-step mini-DDA across the 4x4 tile: within-tile advances
+and the final column tests consume no further gathers, descents jump
+TWO levels per iteration, and a tile exit coarsens two levels in one
+step. Measured ~3x fewer gathers per lane than the one-cell-per-gather
+walk this replaces (tools/bench_hf_micro.py).
 
 Exactness: every comparison and every emitted ``t`` uses the SVO
 traversal's own mirrored arithmetic — ``s0 = flip ? bound - start :
@@ -19,10 +26,12 @@ s0) * inv_d`` (kernels/traverse._svo_cast_init / _svo_cast_body, after
 raytrace.wgsl:68-180) — so hits are bit-identical to ``svo_raycast``
 on heightfield worlds away from degenerate edge-grazes (the same
 budgeted class as the other engines; tests/test_heightfield.py).
-Only the X/Z axes drive the 2-D walk; Y reasoning stays per-plane, but
-every emitted y-crossing t goes through the mirrored formula, which is
-bit-wise the float expression the traversal evaluates for the same
-plane.
+Every cell-boundary crossing t is a float product of an integer-valued
+f32 and a power of two, so the SAME geometric plane yields the SAME
+bits at every tile granularity — which is what makes the pruning
+schedule (which levels get dip-tested, how far a coarsen jumps) a pure
+performance choice: recorded hits only ever come from the column-level
+test, whose floats are schedule-independent.
 
 Semantics matched (traverse.svo_raycast):
   * skip_t0: hits at exactly t == 0 are skipped; a ray starting inside
@@ -53,48 +62,89 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from voxtracer.core.lanes import take_lanes
 from voxtracer.core.vecmath import hmax, hmin
 from voxtracer.kernels.traverse import EPS, FAR
 
+_I16 = tuple(range(16))
+
+
+def _top_child_level(height: int) -> int:
+    """Coarsest EVEN walk level: H-2 for even tree heights (a 4x4 root
+    tile), H-1 for odd (a 2x2 root tile padded into one 16-wide row)."""
+    if height <= 1:
+        return 0
+    return height - 2 if height % 2 == 0 else height - 1
+
 
 def build_height_mips(heights):
-    """Max-mip pyramid of the column heightmap, packed for the cast.
+    """Tiled max-mip pyramid of the column heightmap (module doc).
 
     heights: (n, n) integer array indexed [x, z], values in [0, n]
-    (world/worldgen.heightmap). Returns (flat, offsets, height):
-    ``flat`` is one f32 array holding every level contiguously (level
-    L has (n >> L)^2 entries, each the MAX column height over its
-    2^L x 2^L footprint) and ``offsets`` a static tuple of level start
-    indices — one gather per walk iteration regardless of level.
+    (world/worldgen.heightmap). Returns (tiles, offsets, height):
+    ``tiles`` is one (R, 16) f32 array where row r holds the 4x4
+    children (two levels down, slot (x & 3) * 4 + (z & 3)) of one
+    parent cell, for every EVEN child level Lc = 0, 2, ..; level-0
+    rows hold EXACT column heights. ``offsets`` is the static tuple of
+    per-child-level row starts (index Lc // 2). Grid edges that do not
+    fill a 4x4 tile (the 2x2 root of odd tree heights) pad with 0
+    (empty — never dipped into).
     """
     import numpy as np
 
     h = np.asarray(heights)
     n = h.shape[0]
     assert h.shape == (n, n) and (n & (n - 1)) == 0
-    levels = [h.astype(np.float32)]
-    while levels[-1].shape[0] > 1:
-        m = levels[-1]
-        levels.append(
-            np.maximum.reduce(
-                [m[0::2, 0::2], m[0::2, 1::2], m[1::2, 0::2], m[1::2, 1::2]]
-            )
+    height = int(math.log2(n))
+    ltop = _top_child_level(height)
+
+    mips = {0: h.astype(np.float32)}
+    cur, lvl = mips[0], 0
+    while lvl < ltop:
+        cur = np.maximum.reduce(
+            [cur[0::2, 0::2], cur[0::2, 1::2], cur[1::2, 0::2],
+             cur[1::2, 1::2]]
         )
-    offsets = []
-    off = 0
-    for m in levels:
+        lvl += 1
+        if lvl % 2 == 0:
+            mips[lvl] = cur
+
+    rows, offsets, off = [], [], 0
+    for lc in range(0, ltop + 1, 2):
+        m = mips[lc]
+        dc = m.shape[0]
+        if dc >= 4:
+            dp = dc // 4
+            r = m.reshape(dp, 4, dp, 4).transpose(0, 2, 1, 3)
+            r = np.ascontiguousarray(r).reshape(dp * dp, 16)
+        else:  # 1x1 or 2x2 grid -> one zero-padded row
+            r = np.zeros((1, 16), np.float32)
+            for i in range(dc):
+                for j in range(dc):
+                    r[0, i * 4 + j] = m[i, j]
+        rows.append(r)
         offsets.append(off)
-        off += m.size
-    flat = np.concatenate([m.reshape(-1) for m in levels])
-    return jnp.asarray(flat), tuple(offsets), int(math.log2(n))
+        off += r.shape[0]
+    tiles = np.concatenate(rows, axis=0)
+    return jnp.asarray(tiles), tuple(offsets), height
 
 
-def _hf_init(flat_mips, offsets, height: int, start, d, distance,
+def _row_select(row, ii):
+    """Per-lane in-register pick of element ``ii`` from a (B, 16) row —
+    one-hot multiply-sum, NOT take_along_axis (which lowers to another
+    serialized gather on this backend)."""
+    oh = ii[:, None] == jnp.arange(16, dtype=jnp.int32)[None, :]
+    return jnp.sum(jnp.where(oh, row, 0.0), axis=1)
+
+
+def _hf_init(tiles, offsets, height: int, start, d, distance,
              skip_t0: bool, active):
     """Per-lane setup in the traversal's exact mirrored arithmetic
     (traverse._svo_cast_init), plus closed-form resolution of rays
     starting inside solid (module doc: the only place t == 0 hits can
-    arise, so the walk body stays one-gather-per-iteration)."""
+    arise, so the walk body stays one-gather-per-iteration), plus the
+    strict-midplane descent chain from the root to the coarsest even
+    walk level (the root cell itself has no parent row to gather)."""
     batch_shape = d.shape[:-1]
     B = int(math.prod(batch_shape)) if batch_shape else 1
     start = jnp.broadcast_to(start, d.shape).reshape(B, 3).astype(jnp.float32)
@@ -126,10 +176,15 @@ def _hf_init(flat_mips, offsets, height: int, start, d, distance,
         alive = alive & jnp.broadcast_to(active, batch_shape).reshape(B)
 
     offs = jnp.asarray(offsets, jnp.int32)
+    R = tiles.shape[0]
 
     def col_h(vx, vz, inb):
-        g = offs[0] + vx * bound_i + vz
-        h = flat_mips[jnp.clip(g, 0, flat_mips.shape[0] - 1)]
+        """Exact column height at UN-mirrored (vx, vz) — one row gather
+        into the level-0 tile rows + an in-register 16-way pick."""
+        dp0 = max((1 << height) >> 2, 1)
+        r = offs[0] + (vx >> 2) * dp0 + (vz >> 2)
+        row = tiles[jnp.clip(r, 0, R - 1)]
+        h = _row_select(row, (vx & 3) * 4 + (vz & 3))
         return jnp.where(inb, h, 0.0)
 
     # ---- t == 0 occupancy: rays starting inside solid ----------------
@@ -159,15 +214,33 @@ def _hf_init(flat_mips, offsets, height: int, start, d, distance,
     h_n = col_h(vox_n[:, 0], vox_n[:, 2], inb_n)
     n_solid = inb_n & (vox_n[:, 1].astype(jnp.float32) < h_n)
 
+    # ---- root descent to the coarsest even level ---------------------
+    # The walk body gathers a cell's max from its PARENT's row, so the
+    # start cell must sit at ltop (whose parent row exists). Descend
+    # from the root by the body's own strict midplane picks (identical
+    # floats); descending without a dip test is a pure pruning-schedule
+    # choice (module doc) — empty tiles advance out in O(1) iterations.
+    ltop = _top_child_level(height)
+    cxi = jnp.zeros((B,), jnp.int32)
+    czi = jnp.zeros((B,), jnp.int32)
+    for lvl in range(height, ltop, -1):
+        half = jnp.float32(1 << (lvl - 1))
+        tbx = ((2 * cxi + 1).astype(jnp.float32) * half
+               - s0[:, 0]) * inv_d[:, 0]
+        tbz = ((2 * czi + 1).astype(jnp.float32) * half
+               - s0[:, 2]) * inv_d[:, 2]
+        cxi = 2 * cxi + (tbx < t0).astype(jnp.int32)
+        czi = 2 * czi + (tbz < t0).astype(jnp.int32)
+
     hit = jnp.zeros((B,), jnp.bool_)
     hit_t = jnp.zeros((B,), jnp.float32)
     hit_axis = jnp.full((B,), 3, jnp.int32)
     hit_voxel = jnp.zeros((B, 3), jnp.int32)
     t_start = jnp.broadcast_to(t0, (B,))
     ax_start = axis0.astype(jnp.int32)
-    L_start = jnp.full((B,), height, jnp.int32)
-    cx_start = jnp.zeros((B,), jnp.int32)
-    cz_start = jnp.zeros((B,), jnp.int32)
+    L_start = jnp.full((B,), ltop, jnp.int32)
+    cx_start = cxi
+    cz_start = czi
     if skip_t0:
         # inside-solid start: the t==0 hit is skipped; the follow-up
         # crossing is the hit if still solid, else the walk resumes
@@ -215,125 +288,164 @@ def _hf_init(flat_mips, offsets, height: int, start, d, distance,
     return state, consts, d_sign, batch_shape
 
 
-def _hf_body(st, co, flat_mips, offsets, H: int, skip_t0: bool = True):
-    """One walk iteration: test the current quadtree cell, then hit /
-    descend / advance-and-coarsen (module doc)."""
+def _hf_body(st, co, tiles, offsets, H: int, skip_t0: bool = True,
+             tile_steps: int = 4):
+    """One walk iteration: ONE row gather (the current cell's parent
+    tile = its own 4x4 sibling block), then up to ``tile_steps``
+    unrolled mini-DDA steps across the tile — each step tests / hits /
+    descends / advances exactly like the one-cell walk, but within-tile
+    advances and column tests reuse the register row (module doc)."""
     s0, dd, inv_d = co["s0"], co["dd"], co["inv_d"]
     flip, distance, tend = co["flip"], co["distance"], co["tend"]
-    t = st["t"]
-    L = st["L"]
-    cx, cz = st["cx"], st["cz"]
-    alive = st["alive"]
     bound = jnp.float32(1 << H)
     bound_i = jnp.int32(1 << H)
-
-    cell = jnp.exp2(L.astype(jnp.float32))  # 2^L, exact
-    # mirrored cell exit crossings (x/z walk axes)
-    tox = ((cx + 1).astype(jnp.float32) * cell - s0[:, 0]) * inv_d[:, 0]
-    toz = ((cz + 1).astype(jnp.float32) * cell - s0[:, 2]) * inv_d[:, 2]
-    t_out = jnp.minimum(tox, toz)
-
-    # un-mirrored cell index -> one flat gather for the level's max
-    dim = bound_i >> L  # cells per axis at level L
-    ux = jnp.where(flip[:, 0], dim - 1 - cx, cx)
-    uz = jnp.where(flip[:, 2], dim - 1 - cz, cz)
     offs = jnp.asarray(offsets, jnp.int32)
-    base = offs[jnp.minimum(L, len(offsets) - 1)]
-    gidx = base + ux * dim + uz
-    maxh = flat_mips[jnp.clip(gidx, 0, flat_mips.shape[0] - 1)]
+    R = tiles.shape[0]
 
-    # t at which the ray crosses the plane y == maxh, via the mirrored
-    # formula — bit-identical to the traversal's crossing of the same
-    # plane at any level.
-    mplane = jnp.where(flip[:, 1], bound - maxh, maxh)
-    t_m = (mplane - s0[:, 1]) * inv_d[:, 1]
-    desc = flip[:, 1]
-    # does the ray dip below maxh within [t, t_out)? (descending: below
-    # for t' > t_m; ascending: below for t' < t_m; strict — grazing the
-    # plane exactly stays in the empty voxel above, floor semantics)
-    dip = jnp.where(desc, t_m < t_out, t < t_m) & (maxh > 0.0)
+    L = st["L"]  # even child level, fixed for this iteration's steps
+    dc = jax.lax.shift_right_logical(bound_i, L)  # child grid dim
+    dp = jnp.maximum(jax.lax.shift_right_logical(dc, 2), 1)
+    cell = jnp.exp2(L.astype(jnp.float32))  # 2^L, exact
+    fx, fz = flip[:, 0], flip[:, 2]
+    desc_y = flip[:, 1]
 
+    # ---- the one gather: this cell's parent row (its 4x4 block) ------
+    ucx0 = jnp.where(fx, dc - 1 - st["cx"], st["cx"])
+    ucz0 = jnp.where(fz, dc - 1 - st["cz"], st["cz"])
+    base = offs[jnp.clip(L >> 1, 0, len(offsets) - 1)]
+    ridx = base + (ucx0 >> 2) * dp + (ucz0 >> 2)
+    row = tiles[jnp.clip(ridx, 0, R - 1)]  # (B, 16)
+
+    # mirrored parent index is cx >> 2 at every grid dim the walk can
+    # see (dc % 4 == 0 below the root tile; the root tile exits the
+    # world instead of the tile) — so tile membership and the coarsened
+    # neighbor are both plain shifts of the mirrored child index.
+    pcx0, pcz0 = st["cx"] >> 2, st["cz"] >> 2
+
+    cur_t, cur_ax = st["t"], st["axis"]
+    cur_cx, cur_cz = st["cx"], st["cz"]
+    alive = st["alive"]
+    hit, hit_t = st["hit"], st["hit_t"]
+    hit_axis, hit_voxel = st["hit_axis"], st["hit_voxel"]
+    new_L, new_cx, new_cz = L, cur_cx, cur_cz
     at_col = L == 0
+    stepping = alive
 
-    # ---- column test (L == 0): entry into the solid span [0, h) -----
-    # descending: solid from max(t, t_m); ascending: solid at t only
-    t_solid = jnp.where(desc, jnp.maximum(t, t_m), t)
-    in_col = jnp.where(desc, t_solid < t_out, dip)
-    col_hit = at_col & dip & in_col & (t_solid < tend)
-    top_face = desc & (t_m > t)  # entered through the y == h plane
-    hit_t_new = t_solid
-    if skip_t0:
-        # legitimate inside-solid starts were resolved in init; a t==0
-        # record here means the lane started exactly ON a boundary and
-        # the strict descend placed it in the cell behind — not a hit
-        # (the traversal's t==0 leaf skip); advance instead (the cell's
-        # remaining span is zero-width, so the walk marches straight on)
-        col_hit = col_hit & (hit_t_new != 0.0)
-    hit_axis_new = jnp.where(top_face, 1, st["axis"])
-    # strict-cap: the prospective hit (and every later one) is beyond
-    # the cap — the lane is done with no record
-    over = col_hit & (hit_t_new > distance)
-    rec = col_hit & alive & ~over
+    for _ in range(tile_steps):
+        tox = ((cur_cx + 1).astype(jnp.float32) * cell
+               - s0[:, 0]) * inv_d[:, 0]
+        toz = ((cur_cz + 1).astype(jnp.float32) * cell
+               - s0[:, 2]) * inv_d[:, 2]
+        t_out = jnp.minimum(tox, toz)
 
-    # hit voxel (un-mirrored): column (ux, uz); y = h-1 for top-face
-    # entries, else floor of the entry position clipped into the span —
-    # the same position-eval scheme the rasterizer's parity-tested
-    # voxel output uses (raster.py:868-881).
-    pm_y = s0[:, 1] + dd[:, 1] * hit_t_new
-    y_m = jnp.floor(pm_y)
-    y_e = jnp.where(flip[:, 1], bound - 1.0 - y_m, y_m)
-    y_vox = jnp.where(top_face, maxh - 1.0,
-                      jnp.clip(y_e, 0.0, jnp.maximum(maxh - 1.0, 0.0)))
-    voxel = jnp.stack([ux, y_vox.astype(jnp.int32), uz], axis=1)
+        ucx = jnp.where(fx, dc - 1 - cur_cx, cur_cx)
+        ucz = jnp.where(fz, dc - 1 - cur_cz, cur_cz)
+        maxh = _row_select(row, (ucx & 3) * 4 + (ucz & 3))
 
-    hit = st["hit"] | rec
-    hit_t = jnp.where(rec, hit_t_new, st["hit_t"])
-    hit_axis = jnp.where(rec, hit_axis_new, st["hit_axis"])
-    hit_voxel = jnp.where(rec[:, None], voxel, st["hit_voxel"])
+        # t at which the ray crosses the plane y == maxh, via the
+        # mirrored formula — bit-identical to the traversal's crossing
+        # of the same plane at any level.
+        mplane = jnp.where(desc_y, bound - maxh, maxh)
+        t_m = (mplane - s0[:, 1]) * inv_d[:, 1]
+        # does the ray dip below maxh within [t, t_out)? (descending:
+        # below for t' > t_m; ascending: below for t' < t_m; strict —
+        # grazing the plane exactly stays in the empty voxel above)
+        dip = jnp.where(desc_y, t_m < t_out, cur_t < t_m) & (maxh > 0.0)
 
-    # ---- descend (dip at L > 0): split to the child containing t ----
-    do_desc = dip & ~at_col
-    half = cell * 0.5
-    tbx = ((2 * cx + 1).astype(jnp.float32) * half - s0[:, 0]) * inv_d[:, 0]
-    tbz = ((2 * cz + 1).astype(jnp.float32) * half - s0[:, 2]) * inv_d[:, 2]
-    dcx = 2 * cx + (tbx < t).astype(jnp.int32)  # strict: ``tmid < t``
-    dcz = 2 * cz + (tbz < t).astype(jnp.int32)
+        # ---- column test (L == 0): entry into the solid span [0, h) -
+        # descending: solid from max(t, t_m); ascending: solid at t only
+        t_solid = jnp.where(desc_y, jnp.maximum(cur_t, t_m), cur_t)
+        in_col = jnp.where(desc_y, t_solid < t_out, dip)
+        col_hit = at_col & dip & in_col & (t_solid < tend)
+        top_face = desc_y & (t_m > cur_t)  # entered through y == h
+        if skip_t0:
+            # legitimate inside-solid starts were resolved in init; a
+            # t==0 record here means the lane started exactly ON a
+            # boundary and the strict descend placed it in the cell
+            # behind — not a hit (the traversal's t==0 leaf skip)
+            col_hit = col_hit & (t_solid != 0.0)
+        over = col_hit & (t_solid > distance)
+        rec = col_hit & stepping & ~over
 
-    # ---- advance (no dip, or column without entry): exit the cell,
-    # then re-coarsen one level. Coarsening is only taken when the
-    # advanced axis lands on an EVEN cell index: the position t then
-    # sits at the parent's own boundary, so a later descend's strict
-    # ``tb < t`` child pick stays ahead of it. (Coarsening past an odd
-    # index would let descend re-pick the just-exited sibling — the
-    # crossing t equals the midplane crossing exactly — and the walk
-    # would cycle. The traversal encodes the same fact by SETTING the
-    # crossed subvoxel bit, traverse.py:201-204.)
-    adv = ~do_desc & ~col_hit
-    ax_x = tox <= toz  # x-before-z on exact ties (hmin axis priority)
-    acx = cx + (adv & ax_x).astype(jnp.int32)
-    acz = cz + (adv & ~ax_x).astype(jnp.int32)
-    a_axis = jnp.where(ax_x, 0, 2).astype(jnp.int32)
-    even = jnp.where(ax_x, (acx & 1) == 0, (acz & 1) == 0)
-    up = adv & (L < H) & even
+        # hit voxel (un-mirrored): column (ucx, ucz); y = h-1 for
+        # top-face entries, else floor of the entry position clipped
+        # into the span (raster.py's parity-tested voxel scheme).
+        pm_y = s0[:, 1] + dd[:, 1] * t_solid
+        y_m = jnp.floor(pm_y)
+        y_e = jnp.where(flip[:, 1], bound - 1.0 - y_m, y_m)
+        y_vox = jnp.where(top_face, maxh - 1.0,
+                          jnp.clip(y_e, 0.0, jnp.maximum(maxh - 1.0, 0.0)))
+        voxel = jnp.stack([ucx, y_vox.astype(jnp.int32), ucz], axis=1)
 
-    new_L = jnp.where(do_desc, L - 1, jnp.where(up, L + 1, L))
-    new_cx = jnp.where(do_desc, dcx, jnp.where(up, acx >> 1, acx))
-    new_cz = jnp.where(do_desc, dcz, jnp.where(up, acz >> 1, acz))
-    new_t = jnp.where(adv, t_out, t)
-    new_axis = jnp.where(adv, a_axis, st["axis"])
+        hit = hit | rec
+        hit_t = jnp.where(rec, t_solid, hit_t)
+        hit_axis = jnp.where(rec, jnp.where(top_face, 1, cur_ax), hit_axis)
+        hit_voxel = jnp.where(rec[:, None], voxel, hit_voxel)
 
-    dim_new = bound_i >> jnp.clip(new_L, 0, H)
-    out = (new_cx >= dim_new) | (new_cz >= dim_new)
-    done = rec | over | (adv & out)
-    alive = alive & ~done & (new_t <= distance) & (new_t < tend)
+        # ---- descend (dip at L > 0): TWO strict midplane picks ------
+        do_desc = stepping & dip & ~at_col
+        half = cell * 0.5
+        quart = cell * 0.25
+        tb1x = ((2 * cur_cx + 1).astype(jnp.float32) * half
+                - s0[:, 0]) * inv_d[:, 0]
+        tb1z = ((2 * cur_cz + 1).astype(jnp.float32) * half
+                - s0[:, 2]) * inv_d[:, 2]
+        c1x = 2 * cur_cx + (tb1x < cur_t).astype(jnp.int32)
+        c1z = 2 * cur_cz + (tb1z < cur_t).astype(jnp.int32)
+        tb2x = ((2 * c1x + 1).astype(jnp.float32) * quart
+                - s0[:, 0]) * inv_d[:, 0]
+        tb2z = ((2 * c1z + 1).astype(jnp.float32) * quart
+                - s0[:, 2]) * inv_d[:, 2]
+        gcx = 2 * c1x + (tb2x < cur_t).astype(jnp.int32)
+        gcz = 2 * c1z + (tb2z < cur_t).astype(jnp.int32)
+        new_L = jnp.where(do_desc, L - 2, new_L)
+        new_cx = jnp.where(do_desc, gcx, new_cx)
+        new_cz = jnp.where(do_desc, gcz, new_cz)
+
+        # ---- advance (no dip, or column without entry) --------------
+        adv = stepping & ~do_desc & ~col_hit
+        ax_x = tox <= toz  # x-before-z on exact ties (hmin priority)
+        acx = cur_cx + (adv & ax_x).astype(jnp.int32)
+        acz = cur_cz + (adv & ~ax_x).astype(jnp.int32)
+        a_axis = jnp.where(ax_x, 0, 2).astype(jnp.int32)
+        out = adv & ((acx >= dc) | (acz >= dc))
+        in_tile = adv & (acx >> 2 == pcx0) & (acz >> 2 == pcz0)
+        # tile exit coarsens two levels onto the neighbor cell; the
+        # crossing t is the SAME float at both granularities (module
+        # doc: integer-valued f32 x power of two). (A stay-at-column-
+        # level variant for dipping exits measured exactly neutral —
+        # bounce distributions rarely exit a dipped column tile — and
+        # was dropped.)
+        exit_t = adv & ~in_tile & ~out
+        new_L = jnp.where(exit_t, L + 2, new_L)
+        new_cx = jnp.where(exit_t, acx >> 2, jnp.where(in_tile, acx, new_cx))
+        new_cz = jnp.where(exit_t, acz >> 2, jnp.where(in_tile, acz, new_cz))
+
+        a_t = jnp.where(adv, t_out, cur_t)
+        a_ax = jnp.where(adv, a_axis, cur_ax)
+        done = rec | over | out
+        lane_dead = done | (adv & ((a_t > distance) | (a_t >= tend)))
+        alive = alive & ~(stepping & lane_dead)
+        cur_t = jnp.where(stepping, a_t, cur_t)
+        cur_ax = jnp.where(stepping, a_ax, cur_ax)
+        cur_cx = jnp.where(in_tile, acx, cur_cx)
+        cur_cz = jnp.where(in_tile, acz, cur_cz)
+        # only in-tile advances keep the register row valid
+        stepping = in_tile & ~lane_dead
+
+    # lanes still stepping after the unroll simply re-gather this row
+    # next iteration; descended / coarsened lanes take their new cell
+    stay = new_L == L
+    new_cx = jnp.where(stay, cur_cx, new_cx)
+    new_cz = jnp.where(stay, cur_cz, new_cz)
 
     upd = lambda new, old: jnp.where(st["alive"], new, old)
     return dict(
-        t=upd(new_t, t),
-        axis=upd(new_axis, st["axis"]),
-        L=upd(new_L, L),
-        cx=upd(new_cx, cx),
-        cz=upd(new_cz, cz),
+        t=upd(cur_t, st["t"]),
+        axis=upd(cur_ax, st["axis"]),
+        L=upd(new_L, st["L"]),
+        cx=upd(new_cx, st["cx"]),
+        cz=upd(new_cz, st["cz"]),
         alive=alive,
         hit=hit,
         hit_t=hit_t,
@@ -360,19 +472,20 @@ _HIT_KEYS = ("hit", "hit_t", "hit_axis", "hit_voxel")
 
 
 @partial(jax.jit, static_argnames=("height", "offsets", "skip_t0",
-                                   "min_bucket"))
+                                   "min_bucket", "tile_steps"))
 def hf_raycast(flat_mips, offsets: tuple, height: int, start, d,
                distance=FAR, skip_t0: bool = True, active=None,
-               min_bucket: int = 0):
+               min_bucket: int = 0, tile_steps: int = 4):
     """Cast rays against the heightfield terrain (module doc).
 
-    flat_mips/offsets/height: build_height_mips output. start/d/
-    distance/skip_t0/active: as traverse.svo_raycast (``distance`` is
-    strict here — see module doc). min_bucket > 0 enables live-lane
-    compaction between loop segments (the svo_raycast_bucketed scheme;
-    worthwhile for big incoherent batches). Returns dict hit/t/normal/
-    voxel — no ``node`` (terrain worlds have a single interned leaf;
-    callers shade with the terrain color).
+    flat_mips/offsets/height: build_height_mips output (the tiled
+    pack). start/d/distance/skip_t0/active: as traverse.svo_raycast
+    (``distance`` is strict here — see module doc). min_bucket > 0
+    enables live-lane compaction between loop segments (the
+    svo_raycast_bucketed scheme; worthwhile for big incoherent
+    batches). tile_steps: unrolled mini-DDA steps per gather. Returns
+    dict hit/t/normal/voxel — no ``node`` (terrain worlds have a
+    single interned leaf; callers shade with the terrain color).
     """
     state, consts, d_sign, batch_shape = _hf_init(
         flat_mips, offsets, height, start, d, distance, skip_t0, active
@@ -398,7 +511,8 @@ def hf_raycast(flat_mips, offsets: tuple, height: int, start, d,
 
     def seg_body(c):
         st, co = c
-        return _hf_body(st, co, flat_mips, offsets, height, skip_t0), co
+        return _hf_body(st, co, flat_mips, offsets, height, skip_t0,
+                        tile_steps), co
 
     carry = (state, consts)
     unwinds = []
@@ -407,10 +521,14 @@ def hf_raycast(flat_mips, offsets: tuple, height: int, start, d,
         st, co = carry
         perm = jnp.argsort(~st["alive"])[:nxt]
         unwinds.append(({k: st[k] for k in _HIT_KEYS}, perm))
-        take = lambda a: a[perm]
+        # ONE packed row gather for the ~24 per-lane arrays: separate
+        # takes pay the serialized per-row gather toll per ARRAY and had
+        # cost more than the walk itself (core/lanes.py)
+        both = take_lanes({**st, **{"co_" + k: v for k, v in co.items()}},
+                          perm)
         carry = (
-            {k: take(v) for k, v in st.items()},
-            {k: take(v) for k, v in co.items()},
+            {k: both[k] for k in st},
+            {k: both["co_" + k] for k in co},
         )
 
     carry = jax.lax.while_loop(seg_cond(None), seg_body, carry)

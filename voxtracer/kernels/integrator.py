@@ -36,6 +36,7 @@ import jax.numpy as jnp
 
 from voxtracer.core import rng as vrng
 from voxtracer.core import sampling
+from voxtracer.core.lanes import take_lanes
 from voxtracer.core.sampling import COS_SUN_RADIUS, PI, SUN_COLOR, SUN_WEIGHT
 from voxtracer.core.spectra import fog_density, spectral_throughput
 from voxtracer.core.vecmath import dot
@@ -309,9 +310,13 @@ def trace_paths(
         i_, st_, pos_, d_, light_, color_, alive_, den_ = carry
         perm = jnp.argsort(~alive_)[:nxt]
         unwinds.append((color_, st_, perm, i_))
-        take = lambda a: a[perm]
-        carry = (i_, take(st_), take(pos_), take(d_), take(light_),
-                 take(color_), take(alive_), take(den_))
+        # ONE packed row gather for the ~17 per-lane columns
+        # (core/lanes.py): separate takes pay the serialized per-row
+        # gather toll per ARRAY at every bucket boundary
+        tk = take_lanes(dict(st=st_, pos=pos_, d=d_, light=light_,
+                             color=color_, alive=alive_, den=den_), perm)
+        carry = (i_, tk["st"], tk["pos"], tk["d"], tk["light"],
+                 tk["color"], tk["alive"], tk["den"])
 
     carry = jax.lax.while_loop(seg_cond(None), bounce, carry)
     i_final, state, _, _, _, color, _, _ = carry

@@ -87,7 +87,7 @@ def _default_pair_slots(pair_slots, jittered: bool):
             1 << 12, 1 << 11, 1 << 10, 1 << 9, 1 << 9)
 
 
-def fit_pair_slots(n_tier, margin: float = 1.12, floor: int = 64,
+def fit_pair_slots(n_tier, margin: float = 1.06, floor: int = 16,
                    current=None):
     """Demand-sized per-tier capacities from the ``n_tier`` counters.
 
@@ -95,12 +95,15 @@ def fit_pair_slots(n_tier, margin: float = 1.12, floor: int = 64,
     pair sort ~5x larger than real pair demand — and the (tile, dmin)
     sort is the largest box-count-driven term of the frame (PERF.md).
     Each tier is sized to ``margin * demand`` rounded up to a multiple
-    of 2^(bits-4) (i.e. within ~6%), which keeps capacity <= ~1.2x
+    of 2^(bits-5) (i.e. within ~3%), which keeps capacity <= ~1.1x
     demand while quantizing the static-shape space; growing stickily via
     ``current`` bounds the number of distinct shapes — hence recompiles
-    — a session can see. The floor matters at the HIGH tiers: arity
-    1024 x a 256-slot floor alone would pad the sort by 262k pairs for
-    a handful of real boxes.
+    — a session can see. Every probe re-fits before the timed/production
+    cast, so the margin only absorbs pose-to-pose drift between probes,
+    not safety (slots sized from a pose's own probe cannot overflow for
+    that pose). The floor matters at the HIGH tiers: arity 1024 x a
+    256-slot floor alone would pad the sort by 262k pairs for a handful
+    of real boxes — 16 slots x the two top tiers is ~25k.
 
     n_tier: the demand counters [near, t1..t10] returned by
     raster_bins/raster_cast (host ints). Returns a ``pair_slots`` tuple.
@@ -115,7 +118,7 @@ def fit_pair_slots(n_tier, margin: float = 1.12, floor: int = 64,
     out = []
     for k, d in enumerate(tiers):
         need = max(int(d * margin) + 16, floor)
-        step = 1 << max(need.bit_length() - 4, 0)
+        step = 1 << max(need.bit_length() - 5, 0)
         s = -(-need // step) * step
         if current is not None:
             s = max(s, current[k])

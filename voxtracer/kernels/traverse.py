@@ -24,6 +24,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from voxtracer.core.lanes import take_lanes
 from voxtracer.core.vecmath import hmax, hmin, to_bits
 
 EPS = 1.0e-6  # raytrace.wgsl:53
@@ -349,10 +350,13 @@ def svo_raycast_bucketed(table, root, height: int, start, d, distance=FAR,
         st, co = carry
         perm = jnp.argsort(~st["alive"])[:nxt]
         unwinds.append(({k: st[k] for k in _HIT_KEYS}, perm))
-        take = lambda a: a[perm]
+        # ONE packed row gather for the per-lane arrays (core/lanes.py):
+        # separate takes pay the serialized per-row gather toll per ARRAY
+        both = take_lanes({**st, **{"co_" + k: v for k, v in co.items()}},
+                          perm)
         carry = (
-            {k: take(v) for k, v in st.items()},
-            {k: take(v) for k, v in co.items()},
+            {k: both[k] for k in st},
+            {k: both["co_" + k] for k in co},
         )
 
     carry = jax.lax.while_loop(seg_cond(None), seg_body, carry)
