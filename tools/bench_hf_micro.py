@@ -73,8 +73,8 @@ def main():
 
     lanes = [bounce_lanes(c) for c in cams[:3]]
 
-    for mb in (0, 1024, 8192):
-        for ts in ((3, 4, 7) if mb == 1024 else (4,)):
+    for mb in (256, 512, 1024):
+        for ts in ((2, 3) if mb == 1024 else (3,)):
             f = lambda p, d: hf_raycast(flat, offs, hh, p, d,
                                         min_bucket=mb, tile_steps=ts)["t"]
             dt, _ = _time_over(f, lanes)
@@ -113,25 +113,26 @@ def main():
         ps = raster_mod.fit_pair_slots(b["n_tier"], current=ps)
         ns = raster_mod.fit_near_slots(b["n_tier"][0], current=ns)
     nt = (-(-PTW // 8)) * (-(-PTH // 8))
-    pt = jax.jit(lambda seeds, op, basis: render_samples(
-        table, root, dev.height, lut, op, basis, sun_j, seeds,
-        PTW, PTH, max_bounces=8, fog_steps=64,
-        soup=soup_args, soup_slots=(ps, ns, nt),
-        hf_mips=flat, hf_offsets=offs,
-        terrain_rgb=jnp.asarray([0.5, 0.5, 0.5], jnp.float32),
-    ))
-    args = [
-        (jnp.asarray(np.frombuffer(os.urandom(12 * K), np.uint32
-                                   ).copy().reshape(K, 3)),
-         np.asarray(c.pos, np.float32), c.basis())
-        for c in cams[:3]
-    ]
-    t0 = time.monotonic()
-    dt, _ = _time_over(pt, args)
-    log(f"(fused compile+reps wall {time.monotonic() - t0:.0f}s)")
-    log(f"fused k={K} deep-buckets: {dt * 1e3:.0f} ms/batch = "
-        f"{dt * 1e3 / K:.0f} ms/sample -> "
-        f"{PTW * PTH * K / dt / 1e6:.3f} Mpaths/s")
+    for k in (K, 2 * K):
+        pt = jax.jit(lambda seeds, op, basis: render_samples(
+            table, root, dev.height, lut, op, basis, sun_j, seeds,
+            PTW, PTH, max_bounces=8, fog_steps=64,
+            soup=soup_args, soup_slots=(ps, ns, nt),
+            hf_mips=flat, hf_offsets=offs,
+            terrain_rgb=jnp.asarray([0.5, 0.5, 0.5], jnp.float32),
+        ))
+        args = [
+            (jnp.asarray(np.frombuffer(os.urandom(12 * k), np.uint32
+                                       ).copy().reshape(k, 3)),
+             np.asarray(c.pos, np.float32), c.basis())
+            for c in cams[:3]
+        ]
+        t0 = time.monotonic()
+        dt, _ = _time_over(pt, args)
+        log(f"(fused compile+reps wall {time.monotonic() - t0:.0f}s)")
+        log(f"fused k={k} deep-buckets: {dt * 1e3:.0f} ms/batch = "
+            f"{dt * 1e3 / k:.0f} ms/sample -> "
+            f"{PTW * PTH * k / dt / 1e6:.3f} Mpaths/s")
 
 
 if __name__ == "__main__":

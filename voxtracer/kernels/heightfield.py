@@ -475,7 +475,7 @@ _HIT_KEYS = ("hit", "hit_t", "hit_axis", "hit_voxel")
                                    "min_bucket", "tile_steps"))
 def hf_raycast(flat_mips, offsets: tuple, height: int, start, d,
                distance=FAR, skip_t0: bool = True, active=None,
-               min_bucket: int = 0, tile_steps: int = 4):
+               min_bucket: int = 0, tile_steps: int = 3):
     """Cast rays against the heightfield terrain (module doc).
 
     flat_mips/offsets/height: build_height_mips output (the tiled
