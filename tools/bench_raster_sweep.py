@@ -35,7 +35,7 @@ def main():
     cams = _cams(5, 1024 / 8192.0)
     cam_args = [(np.asarray(c.pos, np.float32), c.basis()) for c in cams]
 
-    for ck in (24, 16, 32):
+    for ck in (16, 12, 8):
         ps = ns = ws = None
         for op, basis in cam_args:
             probe = raster_mod.raster_cast(

@@ -509,7 +509,7 @@ def _pose_bins(
 ))
 def raster_bins(
     box_lo, box_size, cam_pos, cam_basis, tree_height: int,
-    width_px: int, height_px: int, cand_k: int = 24, near_slots: int = 64,
+    width_px: int, height_px: int, cand_k: int = 16, near_slots: int = 64,
     pair_slots: tuple | None = None,
     jittered: bool = False, _stage: int = 0,
 ):
@@ -540,7 +540,7 @@ def raster_cast(
     width_px: int,
     height_px: int,
     distance=FAR,
-    cand_k: int = 24,
+    cand_k: int = 16,
     widen_k: int = 104,
     widen_tiles: int = 4096,
     widen2_k: int = 256,
