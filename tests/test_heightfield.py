@@ -120,9 +120,11 @@ def test_inside_solid_rays(world):
     _, _, h, (flat, offs, _) = world
     rng = np.random.default_rng(17)
     n = 1 << LOG2
-    # un-tile the level-0 rows (build_height_mips packs 4x4 blocks)
-    dp = n // 4
-    heights = (np.asarray(flat[: dp * dp]).reshape(dp, dp, 4, 4)
+    # un-tile the level-0 rows (build_height_mips packs TSxTS blocks;
+    # offs[0] carries the tile log)
+    ts = 1 << offs[0]
+    dp = n // ts
+    heights = (np.asarray(flat[: dp * dp]).reshape(dp, dp, ts, ts)
                .transpose(0, 2, 1, 3).reshape(n, n))
     sx, sz = np.nonzero(heights >= 2)
     pick = rng.integers(0, len(sx), 2048)

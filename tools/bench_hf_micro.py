@@ -46,6 +46,8 @@ def main():
     table = jnp.asarray(dev.table.view(np.int32))
     root = np.int32(dev.root)
     flat, offs, hh = build_height_mips(space.heights)
+    packs = {2: build_height_mips(space.heights, tile_log=2),
+             3: (flat, offs, hh)}
 
     # bounce-like lanes: cast primaries from bench poses, reflect
     rng = np.random.default_rng(int.from_bytes(os.urandom(8), "little"))
@@ -73,13 +75,15 @@ def main():
 
     lanes = [bounce_lanes(c) for c in cams[:3]]
 
-    for mb in (256, 512, 1024):
-        for ts in ((2, 3) if mb == 1024 else (3,)):
-            f = lambda p, d: hf_raycast(flat, offs, hh, p, d,
-                                        min_bucket=mb, tile_steps=ts)["t"]
-            dt, _ = _time_over(f, lanes)
-            log(f"hf cast {B} lanes mb={mb} steps={ts}: {dt * 1e3:.1f} ms "
-                f"({dt / B * 1e9:.1f} ns/lane)")
+    sweep = [(2, 1024, 3), (3, 1024, 2), (3, 1024, 3), (3, 1024, 4),
+             (3, 1024, 6), (3, 512, 3), (3, 2048, 3)]
+    for tl, mb, ts in sweep:
+        pf, po, ph = packs[tl]
+        f = lambda p, d: hf_raycast(pf, po, ph, p, d,
+                                    min_bucket=mb, tile_steps=ts)["t"]
+        dt, _ = _time_over(f, lanes)
+        log(f"hf cast {B} lanes TS={1 << tl} mb={mb} steps={ts}: "
+            f"{dt * 1e3:.1f} ms ({dt / B * 1e9:.1f} ns/lane)")
 
     f = lambda p, d: svo_raycast_bucketed(
         table, root, dev.height, p, d, min_bucket=1024)["hit_t"
@@ -113,7 +117,7 @@ def main():
         ps = raster_mod.fit_pair_slots(b["n_tier"], current=ps)
         ns = raster_mod.fit_near_slots(b["n_tier"][0], current=ns)
     nt = (-(-PTW // 8)) * (-(-PTH // 8))
-    for k in (K, 2 * K):
+    for k in (K,):
         pt = jax.jit(lambda seeds, op, basis: render_samples(
             table, root, dev.height, lut, op, basis, sun_j, seeds,
             PTW, PTH, max_bounces=8, fog_steps=64,

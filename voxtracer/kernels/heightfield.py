@@ -11,13 +11,15 @@ height.
 
 TILED walk (round 3): the per-iteration serialized row gather is the
 whole cost (~13 ns/lane/iteration, PERF.md) while row WIDTH is nearly
-free to ~16 — so the pyramid is packed as 16-wide rows (each row = one
-parent cell's 4x4 children two levels down) and each gather funds an
-UNROLLED multi-step mini-DDA across the 4x4 tile: within-tile advances
-and the final column tests consume no further gathers, descents jump
-TWO levels per iteration, and a tile exit coarsens two levels in one
-step. Measured ~3x fewer gathers per lane than the one-cell-per-gather
-walk this replaces (tools/bench_hf_micro.py).
+free past 100 bytes — so the pyramid is packed as TS*TS-wide rows
+(TS = 2**tile_log; each row = one parent cell's TS x TS children
+``tile_log`` levels down) and each gather funds an UNROLLED multi-step
+mini-DDA across the tile: within-tile advances and the final column
+tests consume no further gathers, descents jump ``tile_log`` levels
+per iteration via chained strict midplane picks, and a tile exit
+coarsens ``tile_log`` levels in one step. Measured ~3x fewer gathers
+per lane than the one-cell-per-gather walk this replaced at TS=4
+(tools/bench_hf_micro.py); the default is TS=8.
 
 Exactness: every comparison and every emitted ``t`` uses the SVO
 traversal's own mirrored arithmetic — ``s0 = flip ? bound - start :
@@ -66,37 +68,40 @@ from voxtracer.core.lanes import take_lanes
 from voxtracer.core.vecmath import hmax, hmin
 from voxtracer.kernels.traverse import EPS, FAR
 
-_I16 = tuple(range(16))
-
-
-def _top_child_level(height: int) -> int:
-    """Coarsest EVEN walk level: H-2 for even tree heights (a 4x4 root
-    tile), H-1 for odd (a 2x2 root tile padded into one 16-wide row)."""
+def _top_child_level(height: int, tl: int) -> int:
+    """Coarsest walk level that is a multiple of the tile log: the
+    largest multiple of ``tl`` <= height-1, so the top tile's parent
+    row covers the whole (possibly partial, zero-padded) grid."""
     if height <= 1:
         return 0
-    return height - 2 if height % 2 == 0 else height - 1
+    return tl * ((height - 1) // tl)
 
 
-def build_height_mips(heights):
+def build_height_mips(heights, tile_log: int = 3):
     """Tiled max-mip pyramid of the column heightmap (module doc).
 
     heights: (n, n) integer array indexed [x, z], values in [0, n]
     (world/worldgen.heightmap). Returns (tiles, offsets, height):
-    ``tiles`` is one (R, 16) f32 array where row r holds the 4x4
-    children (two levels down, slot (x & 3) * 4 + (z & 3)) of one
-    parent cell, for every EVEN child level Lc = 0, 2, ..; level-0
-    rows hold EXACT column heights. ``offsets`` is the static tuple of
-    per-child-level row starts (index Lc // 2). Grid edges that do not
-    fill a 4x4 tile (the 2x2 root of odd tree heights) pad with 0
-    (empty — never dipped into).
+    ``tiles`` is one (R, TS*TS) f32 array (TS = 2**tile_log) where row
+    r holds the TS x TS children (``tile_log`` levels down, slot
+    (x & TS-1) * TS + (z & TS-1)) of one parent cell, for every child
+    level Lc = 0, tile_log, 2*tile_log, ..; level-0 rows hold EXACT
+    column heights. ``offsets`` is the static tuple
+    ``(tile_log, row_start_0, row_start_1, ...)`` (row starts indexed
+    by Lc // tile_log) — carrying tile_log inside the tuple keeps every
+    caller pack-agnostic and makes a build/cast mismatch impossible.
+    Grid edges that do not fill a full tile (the top levels of
+    non-multiple tree heights) pad with 0 (empty — never dipped into).
     """
     import numpy as np
 
+    tl = tile_log
+    TS = 1 << tl
     h = np.asarray(heights)
     n = h.shape[0]
     assert h.shape == (n, n) and (n & (n - 1)) == 0
     height = int(math.log2(n))
-    ltop = _top_child_level(height)
+    ltop = _top_child_level(height, tl)
 
     mips = {0: h.astype(np.float32)}
     cur, lvl = mips[0], 0
@@ -106,22 +111,22 @@ def build_height_mips(heights):
              cur[1::2, 1::2]]
         )
         lvl += 1
-        if lvl % 2 == 0:
+        if lvl % tl == 0:
             mips[lvl] = cur
 
-    rows, offsets, off = [], [], 0
-    for lc in range(0, ltop + 1, 2):
+    rows, offsets, off = [], [tl], 0
+    for lc in range(0, ltop + 1, tl):
         m = mips[lc]
         dc = m.shape[0]
-        if dc >= 4:
-            dp = dc // 4
-            r = m.reshape(dp, 4, dp, 4).transpose(0, 2, 1, 3)
-            r = np.ascontiguousarray(r).reshape(dp * dp, 16)
-        else:  # 1x1 or 2x2 grid -> one zero-padded row
-            r = np.zeros((1, 16), np.float32)
+        if dc >= TS:
+            dp = dc // TS
+            r = m.reshape(dp, TS, dp, TS).transpose(0, 2, 1, 3)
+            r = np.ascontiguousarray(r).reshape(dp * dp, TS * TS)
+        else:  # partial grid -> one zero-padded row
+            r = np.zeros((1, TS * TS), np.float32)
             for i in range(dc):
                 for j in range(dc):
-                    r[0, i * 4 + j] = m[i, j]
+                    r[0, i * TS + j] = m[i, j]
         rows.append(r)
         offsets.append(off)
         off += r.shape[0]
@@ -130,10 +135,10 @@ def build_height_mips(heights):
 
 
 def _row_select(row, ii):
-    """Per-lane in-register pick of element ``ii`` from a (B, 16) row —
+    """Per-lane in-register pick of element ``ii`` from a (B, W) row —
     one-hot multiply-sum, NOT take_along_axis (which lowers to another
     serialized gather on this backend)."""
-    oh = ii[:, None] == jnp.arange(16, dtype=jnp.int32)[None, :]
+    oh = ii[:, None] == jnp.arange(row.shape[1], dtype=jnp.int32)[None, :]
     return jnp.sum(jnp.where(oh, row, 0.0), axis=1)
 
 
@@ -178,13 +183,16 @@ def _hf_init(tiles, offsets, height: int, start, d, distance,
     offs = jnp.asarray(offsets, jnp.int32)
     R = tiles.shape[0]
 
+    tl = offsets[0]
+    TS = 1 << tl
+
     def col_h(vx, vz, inb):
         """Exact column height at UN-mirrored (vx, vz) — one row gather
-        into the level-0 tile rows + an in-register 16-way pick."""
-        dp0 = max((1 << height) >> 2, 1)
-        r = offs[0] + (vx >> 2) * dp0 + (vz >> 2)
+        into the level-0 tile rows + an in-register one-hot pick."""
+        dp0 = max((1 << height) >> tl, 1)
+        r = offs[1] + (vx >> tl) * dp0 + (vz >> tl)
         row = tiles[jnp.clip(r, 0, R - 1)]
-        h = _row_select(row, (vx & 3) * 4 + (vz & 3))
+        h = _row_select(row, (vx & (TS - 1)) * TS + (vz & (TS - 1)))
         return jnp.where(inb, h, 0.0)
 
     # ---- t == 0 occupancy: rays starting inside solid ----------------
@@ -214,13 +222,13 @@ def _hf_init(tiles, offsets, height: int, start, d, distance,
     h_n = col_h(vox_n[:, 0], vox_n[:, 2], inb_n)
     n_solid = inb_n & (vox_n[:, 1].astype(jnp.float32) < h_n)
 
-    # ---- root descent to the coarsest even level ---------------------
+    # ---- root descent to the coarsest walk level ---------------------
     # The walk body gathers a cell's max from its PARENT's row, so the
     # start cell must sit at ltop (whose parent row exists). Descend
     # from the root by the body's own strict midplane picks (identical
     # floats); descending without a dip test is a pure pruning-schedule
     # choice (module doc) — empty tiles advance out in O(1) iterations.
-    ltop = _top_child_level(height)
+    ltop = _top_child_level(height, tl)
     cxi = jnp.zeros((B,), jnp.int32)
     czi = jnp.zeros((B,), jnp.int32)
     for lvl in range(height, ltop, -1):
@@ -291,7 +299,7 @@ def _hf_init(tiles, offsets, height: int, start, d, distance,
 def _hf_body(st, co, tiles, offsets, H: int, skip_t0: bool = True,
              tile_steps: int = 4):
     """One walk iteration: ONE row gather (the current cell's parent
-    tile = its own 4x4 sibling block), then up to ``tile_steps``
+    tile = its own TS x TS sibling block), then up to ``tile_steps``
     unrolled mini-DDA steps across the tile — each step tests / hits /
     descends / advances exactly like the one-cell walk, but within-tile
     advances and column tests reuse the register row (module doc)."""
@@ -299,28 +307,30 @@ def _hf_body(st, co, tiles, offsets, H: int, skip_t0: bool = True,
     flip, distance, tend = co["flip"], co["distance"], co["tend"]
     bound = jnp.float32(1 << H)
     bound_i = jnp.int32(1 << H)
+    tl = offsets[0]
+    TS = 1 << tl
     offs = jnp.asarray(offsets, jnp.int32)
     R = tiles.shape[0]
 
-    L = st["L"]  # even child level, fixed for this iteration's steps
+    L = st["L"]  # child level (multiple of tl), fixed for these steps
     dc = jax.lax.shift_right_logical(bound_i, L)  # child grid dim
-    dp = jnp.maximum(jax.lax.shift_right_logical(dc, 2), 1)
+    dp = jnp.maximum(jax.lax.shift_right_logical(dc, tl), 1)
     cell = jnp.exp2(L.astype(jnp.float32))  # 2^L, exact
     fx, fz = flip[:, 0], flip[:, 2]
     desc_y = flip[:, 1]
 
-    # ---- the one gather: this cell's parent row (its 4x4 block) ------
+    # ---- the one gather: this cell's parent row (its TSxTS block) ----
     ucx0 = jnp.where(fx, dc - 1 - st["cx"], st["cx"])
     ucz0 = jnp.where(fz, dc - 1 - st["cz"], st["cz"])
-    base = offs[jnp.clip(L >> 1, 0, len(offsets) - 1)]
-    ridx = base + (ucx0 >> 2) * dp + (ucz0 >> 2)
-    row = tiles[jnp.clip(ridx, 0, R - 1)]  # (B, 16)
+    base = offs[jnp.clip(L // tl + 1, 1, len(offsets) - 1)]
+    ridx = base + (ucx0 >> tl) * dp + (ucz0 >> tl)
+    row = tiles[jnp.clip(ridx, 0, R - 1)]  # (B, TS*TS)
 
-    # mirrored parent index is cx >> 2 at every grid dim the walk can
-    # see (dc % 4 == 0 below the root tile; the root tile exits the
+    # mirrored parent index is cx >> tl at every grid dim the walk can
+    # see (dc % TS == 0 below the root tile; the root tile exits the
     # world instead of the tile) — so tile membership and the coarsened
     # neighbor are both plain shifts of the mirrored child index.
-    pcx0, pcz0 = st["cx"] >> 2, st["cz"] >> 2
+    pcx0, pcz0 = st["cx"] >> tl, st["cz"] >> tl
 
     cur_t, cur_ax = st["t"], st["axis"]
     cur_cx, cur_cz = st["cx"], st["cz"]
@@ -340,7 +350,7 @@ def _hf_body(st, co, tiles, offsets, H: int, skip_t0: bool = True,
 
         ucx = jnp.where(fx, dc - 1 - cur_cx, cur_cx)
         ucz = jnp.where(fz, dc - 1 - cur_cz, cur_cz)
-        maxh = _row_select(row, (ucx & 3) * 4 + (ucz & 3))
+        maxh = _row_select(row, (ucx & (TS - 1)) * TS + (ucz & (TS - 1)))
 
         # t at which the ray crosses the plane y == maxh, via the
         # mirrored formula — bit-identical to the traversal's crossing
@@ -382,23 +392,19 @@ def _hf_body(st, co, tiles, offsets, H: int, skip_t0: bool = True,
         hit_axis = jnp.where(rec, jnp.where(top_face, 1, cur_ax), hit_axis)
         hit_voxel = jnp.where(rec[:, None], voxel, hit_voxel)
 
-        # ---- descend (dip at L > 0): TWO strict midplane picks ------
+        # ---- descend (dip at L > 0): tl chained strict midplane picks
         do_desc = stepping & dip & ~at_col
-        half = cell * 0.5
-        quart = cell * 0.25
-        tb1x = ((2 * cur_cx + 1).astype(jnp.float32) * half
-                - s0[:, 0]) * inv_d[:, 0]
-        tb1z = ((2 * cur_cz + 1).astype(jnp.float32) * half
-                - s0[:, 2]) * inv_d[:, 2]
-        c1x = 2 * cur_cx + (tb1x < cur_t).astype(jnp.int32)
-        c1z = 2 * cur_cz + (tb1z < cur_t).astype(jnp.int32)
-        tb2x = ((2 * c1x + 1).astype(jnp.float32) * quart
-                - s0[:, 0]) * inv_d[:, 0]
-        tb2z = ((2 * c1z + 1).astype(jnp.float32) * quart
-                - s0[:, 2]) * inv_d[:, 2]
-        gcx = 2 * c1x + (tb2x < cur_t).astype(jnp.int32)
-        gcz = 2 * c1z + (tb2z < cur_t).astype(jnp.int32)
-        new_L = jnp.where(do_desc, L - 2, new_L)
+        gcx, gcz = cur_cx, cur_cz
+        sub = cell
+        for _d in range(tl):
+            sub = sub * 0.5
+            tbx = ((2 * gcx + 1).astype(jnp.float32) * sub
+                   - s0[:, 0]) * inv_d[:, 0]
+            tbz = ((2 * gcz + 1).astype(jnp.float32) * sub
+                   - s0[:, 2]) * inv_d[:, 2]
+            gcx = 2 * gcx + (tbx < cur_t).astype(jnp.int32)
+            gcz = 2 * gcz + (tbz < cur_t).astype(jnp.int32)
+        new_L = jnp.where(do_desc, L - tl, new_L)
         new_cx = jnp.where(do_desc, gcx, new_cx)
         new_cz = jnp.where(do_desc, gcz, new_cz)
 
@@ -409,17 +415,19 @@ def _hf_body(st, co, tiles, offsets, H: int, skip_t0: bool = True,
         acz = cur_cz + (adv & ~ax_x).astype(jnp.int32)
         a_axis = jnp.where(ax_x, 0, 2).astype(jnp.int32)
         out = adv & ((acx >= dc) | (acz >= dc))
-        in_tile = adv & (acx >> 2 == pcx0) & (acz >> 2 == pcz0)
-        # tile exit coarsens two levels onto the neighbor cell; the
+        in_tile = adv & (acx >> tl == pcx0) & (acz >> tl == pcz0)
+        # tile exit coarsens tl levels onto the neighbor cell; the
         # crossing t is the SAME float at both granularities (module
         # doc: integer-valued f32 x power of two). (A stay-at-column-
         # level variant for dipping exits measured exactly neutral —
         # bounce distributions rarely exit a dipped column tile — and
         # was dropped.)
         exit_t = adv & ~in_tile & ~out
-        new_L = jnp.where(exit_t, L + 2, new_L)
-        new_cx = jnp.where(exit_t, acx >> 2, jnp.where(in_tile, acx, new_cx))
-        new_cz = jnp.where(exit_t, acz >> 2, jnp.where(in_tile, acz, new_cz))
+        new_L = jnp.where(exit_t, L + tl, new_L)
+        new_cx = jnp.where(exit_t, acx >> tl,
+                           jnp.where(in_tile, acx, new_cx))
+        new_cz = jnp.where(exit_t, acz >> tl,
+                           jnp.where(in_tile, acz, new_cz))
 
         a_t = jnp.where(adv, t_out, cur_t)
         a_ax = jnp.where(adv, a_axis, cur_ax)
