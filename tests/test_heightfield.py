@@ -247,3 +247,28 @@ def test_trace_paths_hf_engine_bit_identical(world):
     assert int(diff.sum()) <= 2, f"{int(diff.sum())} lanes differ"
     sdiff = np.any(np.asarray(st_a) != np.asarray(st_b), axis=-1)
     assert int(sdiff.sum()) <= 2
+
+
+def test_tile_size_invariant(world):
+    """The pack's tile size is a pure performance choice: TS=2/4/8
+    packs (and different tile_steps) yield bit-identical casts — every
+    emitted t is an integer-valued f32 times a power of two, the same
+    float at every granularity (heightfield.py module doc)."""
+    table, root, h, _ = world
+    space = worldgen.generate(log2_size=LOG2, verbose=False)
+    rng = np.random.default_rng(29)
+    n = 1 << LOG2
+    B = 4096
+    start = rng.uniform(-0.25 * n, 1.25 * n, (B, 3)).astype(np.float32)
+    d = _rand_dirs(rng, B)
+    outs = []
+    for tl, steps in ((1, 3), (2, 3), (3, 2), (3, 5)):
+        flat, offs, hh = build_height_mips(space.heights, tile_log=tl)
+        assert offs[0] == tl and hh == h
+        outs.append(hf_raycast(flat, offs, hh, jnp.asarray(start),
+                               jnp.asarray(d), tile_steps=steps))
+    a = outs[0]
+    for b in outs[1:]:
+        for k in ("hit", "t", "normal", "voxel"):
+            np.testing.assert_array_equal(np.asarray(a[k]),
+                                          np.asarray(b[k]))
