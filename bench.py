@@ -121,6 +121,7 @@ def main():
     cam_args = [(np.asarray(c.pos, np.float32), c.basis()) for c in cams]
 
     results = {}
+    results_4k = 0.0
     soup_args = None
 
     # --- headline: gather-free box rasterizer, EXACT frames ---
@@ -191,7 +192,54 @@ def main():
         results["raster"] = W * H / dt / 1e6
         log(f"raster exact frame {dt * 1e3:.1f} ms -> "
             f"{results['raster']:.2f} Mrays/s")
+
+        # 4K (BASELINE config 5's resolution): same soup, re-probed
+        # slots — resolution only grows the tile/resolve side, so
+        # Mrays/s rises with pixel count until the box side dominates
+        W4, H4 = 3840, 2160
+        ps4 = ns4 = ws4 = None
+        for op, basis in cam_args:
+            probe = raster_mod.raster_cast(
+                *soup_args, op, basis, dev.height, W4, H4,
+                want_voxel=False,
+            )
+            ps4 = raster_mod.fit_pair_slots(probe["n_tier"], current=ps4)
+            ns4 = raster_mod.fit_near_slots(probe["n_tier"][0],
+                                            current=ns4 or 0)
+            ws4 = raster_mod.fit_widen_tiles(probe["n_widen"], current=ws4)
+        fit4 = dict(pair_slots=ps4, near_slots=ns4, widen_tiles=ws4[0],
+                    widen2_tiles=ws4[1], widen3_tiles=ws4[2])
+        fb4 = 0
+        for op, basis in cam_args:
+            probe = raster_mod.raster_cast(
+                *soup_args, op, basis, dev.height, W4, H4,
+                want_voxel=False, fallback_tiles=64, **fit4,
+            )
+            fb4 = max(fb4, int(probe["n_fallback"]))
+        if fb4 == 0:
+            def f_4k(op, basis):
+                return raster_mod.raster_cast(
+                    *soup_args, op, basis, dev.height, W4, H4,
+                    want_voxel=False, fallback_tiles=64, **fit4,
+                )["t"]
+        else:
+            cap4 = max(64, 1 << (4 * fb4 + 16 - 1).bit_length())
+
+            def f_4k(op, basis):
+                res = raster_mod.raster_cast(
+                    *soup_args, op, basis, dev.height, W4, H4,
+                    want_voxel=False, fallback_tiles=cap4, **fit4,
+                )
+                return raster_mod.apply_fallback(
+                    res, table, root, dev.height, op, basis, W4, H4,
+                )["t"]
+
+        dt4, _ = _time_over(f_4k, cam_args)
+        results_4k = W4 * H4 / dt4 / 1e6
+        log(f"raster exact 4K frame {dt4 * 1e3:.1f} ms -> "
+            f"{results_4k:.2f} Mrays/s (fb demand {fb4})")
     except Exception as e:
+        results_4k = 0.0
         log("raster bench failed:", type(e).__name__, str(e)[:200])
 
     # --- beam engine (tree-walk amortized per tile) ---
@@ -413,6 +461,7 @@ def main():
         "vs_baseline": round(best / NORTH_STAR_MRAYS, 3),
         "extras": {
             "pt_mpaths_853x480_svo1024": round(pt_mpaths, 3),
+            "raster_4k_mrays": round(results_4k, 2),
             "flagship_8192": flagship,
         },
     }))
