@@ -143,10 +143,39 @@ def main():
         soup_args = (jnp.asarray(soup.lo), jnp.asarray(soup.size),
                      jnp.asarray(raster_mod.pack_box_attr(soup)))
 
-        ps = ns = ws = None
+        # Active-set frustum cull (world/active.py) with the cap fitted
+        # to probed demand (the fit_* pattern): every per-box stage
+        # (projection, tier select, pair emission/sort) then runs over
+        # the ~visible subset instead of the full soup. Pixel-exact by
+        # the cull's conservativeness (tests/test_active.py); the 12
+        # degree angular margin dwarfs the sub-degree frustum-extent
+        # differences between the probed resolutions/jitter.
+        from voxtracer.world.active import ActiveSoup
+
+        heights = getattr(space, "heights", None)
+        act = ActiveSoup(soup, W, H, heights=heights)
+        n_act = 0
         for op, basis in cam_args:
+            act.active(op, basis)
+            n_act = max(n_act, act.n_active)
+        acap = max(1 << 16, 1 << (int(n_act * 1.06) - 1).bit_length())
+        if acap < len(soup):
+            act = ActiveSoup(soup, W, H, cap=acap,
+                             heights=heights)
+            pose_soups = [tuple(act.active(op, basis))
+                          for op, basis in cam_args]
+            log(f"active cull: max {n_act} of {len(soup)} boxes "
+                f"-> cap {acap}")
+        else:
+            pose_soups = [soup_args] * len(cam_args)
+            log(f"active cull skipped: {n_act} of {len(soup)} visible")
+        pose_args = [s + c for s, c in zip(pose_soups, cam_args)]
+
+        ps = ns = ws = None
+        for lo_a, sz_a, at_a, op, basis in pose_args:
             probe = raster_mod.raster_cast(
-                *soup_args, op, basis, dev.height, W, H, want_voxel=False,
+                lo_a, sz_a, at_a, op, basis, dev.height, W, H,
+                want_voxel=False,
             )
             ps = raster_mod.fit_pair_slots(probe["n_tier"], current=ps)
             ns = raster_mod.fit_near_slots(probe["n_tier"][0],
@@ -158,10 +187,10 @@ def main():
         fb = 64
         fitted_kw = dict(pair_slots=ps, near_slots=ns, widen_tiles=ws[0],
                          widen2_tiles=ws[1], widen3_tiles=ws[2])
-        for op, basis in cam_args:
+        for lo_a, sz_a, at_a, op, basis in pose_args:
             probe = raster_mod.raster_cast(
-                *soup_args, op, basis, dev.height, W, H, want_voxel=False,
-                fallback_tiles=fb, **fitted_kw,
+                lo_a, sz_a, at_a, op, basis, dev.height, W, H,
+                want_voxel=False, fallback_tiles=fb, **fitted_kw,
             )
             need_fb = max(need_fb, int(probe["n_fallback"]))
         log(f"probed slots: pair={ps} near={ns} widen={ws} "
@@ -171,24 +200,24 @@ def main():
             # every probed pose resolved fully in-raster (the widen
             # rounds emptied the fallback list): the raster frame IS the
             # exact frame — no fallback program to time
-            def f_exact(op, basis):
+            def f_exact(lo_a, sz_a, at_a, op, basis):
                 return raster_mod.raster_cast(
-                    *soup_args, op, basis, dev.height, W, H,
+                    lo_a, sz_a, at_a, op, basis, dev.height, W, H,
                     want_voxel=False, fallback_tiles=fb, **fitted_kw,
                 )["t"]
         else:
             fb = max(64, 1 << (4 * need_fb + 16 - 1).bit_length())
 
-            def f_exact(op, basis):
+            def f_exact(lo_a, sz_a, at_a, op, basis):
                 res = raster_mod.raster_cast(
-                    *soup_args, op, basis, dev.height, W, H,
+                    lo_a, sz_a, at_a, op, basis, dev.height, W, H,
                     want_voxel=False, fallback_tiles=fb, **fitted_kw,
                 )
                 return raster_mod.apply_fallback(
                     res, table, root, dev.height, op, basis, W, H,
                 )["t"]
 
-        dt, _ = _time_over(f_exact, cam_args)
+        dt, _ = _time_over(f_exact, pose_args)
         results["raster"] = W * H / dt / 1e6
         log(f"raster exact frame {dt * 1e3:.1f} ms -> "
             f"{results['raster']:.2f} Mrays/s")
@@ -198,9 +227,9 @@ def main():
         # Mrays/s rises with pixel count until the box side dominates
         W4, H4 = 3840, 2160
         ps4 = ns4 = ws4 = None
-        for op, basis in cam_args:
+        for lo_a, sz_a, at_a, op, basis in pose_args:
             probe = raster_mod.raster_cast(
-                *soup_args, op, basis, dev.height, W4, H4,
+                lo_a, sz_a, at_a, op, basis, dev.height, W4, H4,
                 want_voxel=False,
             )
             ps4 = raster_mod.fit_pair_slots(probe["n_tier"], current=ps4)
@@ -210,31 +239,31 @@ def main():
         fit4 = dict(pair_slots=ps4, near_slots=ns4, widen_tiles=ws4[0],
                     widen2_tiles=ws4[1], widen3_tiles=ws4[2])
         fb4 = 0
-        for op, basis in cam_args:
+        for lo_a, sz_a, at_a, op, basis in pose_args:
             probe = raster_mod.raster_cast(
-                *soup_args, op, basis, dev.height, W4, H4,
+                lo_a, sz_a, at_a, op, basis, dev.height, W4, H4,
                 want_voxel=False, fallback_tiles=64, **fit4,
             )
             fb4 = max(fb4, int(probe["n_fallback"]))
         if fb4 == 0:
-            def f_4k(op, basis):
+            def f_4k(lo_a, sz_a, at_a, op, basis):
                 return raster_mod.raster_cast(
-                    *soup_args, op, basis, dev.height, W4, H4,
+                    lo_a, sz_a, at_a, op, basis, dev.height, W4, H4,
                     want_voxel=False, fallback_tiles=64, **fit4,
                 )["t"]
         else:
             cap4 = max(64, 1 << (4 * fb4 + 16 - 1).bit_length())
 
-            def f_4k(op, basis):
+            def f_4k(lo_a, sz_a, at_a, op, basis):
                 res = raster_mod.raster_cast(
-                    *soup_args, op, basis, dev.height, W4, H4,
+                    lo_a, sz_a, at_a, op, basis, dev.height, W4, H4,
                     want_voxel=False, fallback_tiles=cap4, **fit4,
                 )
                 return raster_mod.apply_fallback(
                     res, table, root, dev.height, op, basis, W4, H4,
                 )["t"]
 
-        dt4, _ = _time_over(f_4k, cam_args)
+        dt4, _ = _time_over(f_4k, pose_args)
         results_4k = W4 * H4 / dt4 / 1e6
         log(f"raster exact 4K frame {dt4 * 1e3:.1f} ms -> "
             f"{results_4k:.2f} Mrays/s (fb demand {fb4})")
@@ -289,11 +318,18 @@ def main():
         import os as _os
 
         lut = jnp.asarray(build_wl_to_rgb_lut())
+        # primaries ride the same per-pose active soups as the raster
+        # headline (conservative for jittered rays: the 12-degree
+        # margin dwarfs the half-pixel jitter's angular reach)
+        try:
+            pt_soups = pose_soups[:3]
+        except NameError:
+            pt_soups = [soup_args] * 3
         pt_slots = None
         pt_near = 0
-        for c in cams[:3]:
+        for (slo, ssz, sat), c in zip(pt_soups, cams[:3]):
             b = raster_mod.raster_bins(
-                soup_args[0], soup_args[1], np.asarray(c.pos, np.float32),
+                slo, ssz, np.asarray(c.pos, np.float32),
                 c.basis(), dev.height, PTW, PTH, jittered=True, _stage=2,
             )
             pt_slots = raster_mod.fit_pair_slots(b["n_tier"],
@@ -311,17 +347,17 @@ def main():
         hf_flat, hf_offs, _ = build_height_mips(space.heights)
         hf_rgb = jnp.asarray(space.terrain_rgb, jnp.float32)
 
-        pt = jax.jit(lambda seeds, op, basis: render_samples(
+        pt = jax.jit(lambda seeds, op, basis, slo, ssz, sat: render_samples(
             table, root, dev.height, lut, op, basis, sun_j, seeds,
             PTW, PTH, max_bounces=8, fog_steps=64,
-            soup=soup_args, soup_slots=(pt_slots, pt_near, pt_nt),
+            soup=(slo, ssz, sat), soup_slots=(pt_slots, pt_near, pt_nt),
             hf_mips=hf_flat, hf_offsets=hf_offs, terrain_rgb=hf_rgb,
         ))
         pt_args = [
             (jnp.asarray(np.frombuffer(_os.urandom(12 * PTK), np.uint32
                                        ).copy().reshape(PTK, 3)),
-             np.asarray(c.pos, np.float32), c.basis())
-            for c in cams[:3]
+             np.asarray(c.pos, np.float32), c.basis()) + s
+            for c, s in zip(cams[:3], pt_soups)
         ]
         dt, out = _time_over(pt, pt_args)
         pt_mpaths = PTW * PTH * PTK / dt / 1e6

@@ -92,3 +92,33 @@ def test_active_soup_overflow_serves_full():
     b = _frame(full, cam, dev, W, H)
     for k in a:
         np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+
+
+def test_renderer_occlusion_view_parity():
+    """The Renderer's per-pose occlusion-culled soup view
+    (driver._get_soup, OCCL_THRESHOLD) produces bit-identical samples
+    to the full patchable soup, and is dropped on world updates."""
+    import numpy as np
+
+    from voxtracer.core import camera as vcam
+    from voxtracer.render.driver import Renderer
+    from voxtracer.world import worldgen
+
+    space = worldgen.generate(log2_size=6, verbose=False)
+    dev = space.serialize()
+    r = Renderer(dev, 32, 24, max_bounces=2, fog_steps=4, seed=7)
+    r.OCCL_THRESHOLD = 1  # engage the view at this tiny soup
+    r2 = Renderer(dev, 32, 24, max_bounces=2, fog_steps=4, seed=7)
+
+    cam = vcam.Camera(pos=(20.0, 40.0, -10.0), yaw=0.3, pitch=-0.5)
+    sun = np.array([0.3, 0.8, 0.5])
+    r.sample(cam, sun)
+    r2.sample(cam, sun)
+    assert r._act is not None, "occlusion view never engaged"
+    assert r2._act is None
+    np.testing.assert_array_equal(np.asarray(r.acc.mean()),
+                                  np.asarray(r2.acc.mean()))
+
+    # a world update drops the view (stale heights would be unsound)
+    r.update_space(dev)
+    assert r._act is None

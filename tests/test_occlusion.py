@@ -66,7 +66,8 @@ def test_hidden_mask_sound_and_effective():
 
     # effectiveness: ground behind the ridge and far away gets culled
     behind = (c[:, 0] > 1200) & (c[:, 1] < 100)
-    far = np.linalg.norm((c - cam)[:, [0, 2]], axis=1) >= occ.R_MIN + 64
+    far = (np.linalg.norm((c - cam)[:, [0, 2]], axis=1)
+           >= occ.r_min(occ.POOL) + 64)
     assert hidden[behind & far].mean() > 0.6, (
         f"only {hidden[behind & far].mean():.2f} of far-behind-ridge "
         "boxes culled")
@@ -93,6 +94,79 @@ def test_hidden_mask_sound_and_effective():
                 p1 = c[i] + cr * half[i]
                 assert not _los_clear(heights, c0, p1), (
                     f"box {c[i]} culled but visible from {c0}")
+
+
+def _soundness_fuzz(heights, pool, slack, cam, half_lo, half_hi, seed):
+    """Shared brute-force soundness check: every culled box must be
+    occluded from every slack camera toward every box corner."""
+    hmin2 = jnp.asarray(occ.min_pool_heights(heights, pool))
+    n = heights.shape[0]
+    nd = int(np.ceil(n * 1.5 / pool)) + 1
+    tables = occ.build_horizon(hmin2, cam, slack, nd, pool)
+
+    rng = np.random.default_rng(seed)
+    M = 300
+    bx = rng.uniform(0, n, M)
+    bz = rng.uniform(0, n, M)
+    ih = heights[bx.astype(int), bz.astype(int)]
+    by = rng.uniform(0, 1, M) * ih
+    c = np.stack([bx, by, bz], 1).astype(np.float32)
+    half = rng.uniform(half_lo, half_hi, (M, 3)).astype(np.float32)
+    hidden = np.asarray(
+        occ.hidden_mask(tables, jnp.asarray(c), jnp.asarray(half),
+                        cam, slack, nd, pool))
+
+    offs = [np.zeros(3)]
+    diag = slack * 0.999 / np.sqrt(3.0)
+    for sx in (-1, 1):
+        for sy in (-1, 1):
+            for sz in (-1, 1):
+                offs.append(np.array([sx, sy, sz]) * diag)
+    for ax in range(3):
+        for s in (-1, 1):
+            o = np.zeros(3)
+            o[ax] = s * slack * 0.999
+            offs.append(o)
+    corners = np.array(
+        [[sx, sy, sz] for sx in (-1, 1) for sy in (-1, 1)
+         for sz in (-1, 1)], np.float64)
+    for i in np.nonzero(hidden)[0]:
+        for o in offs:
+            c0 = cam + o
+            for cr in corners:
+                p1 = c[i] + cr * half[i]
+                assert not _los_clear(heights, c0, p1, step=2.0), (
+                    f"box {c[i]} half {half[i]} culled but visible "
+                    f"from {c0}")
+    return hidden
+
+
+def test_hidden_mask_sound_large_boxes():
+    """Boxes with horizontal half-diagonals well beyond the slack must
+    still only be culled soundly (the window-fit guard keeps oversized
+    angular ranges; the lateral bound holds for any hd)."""
+    heights = _ridge_heights()
+    cam = np.array([100.0, 30.0, 1024.0], np.float32)
+    hidden = _soundness_fuzz(heights, occ.POOL, SLACK, cam,
+                             half_lo=8.0, half_hi=80.0, seed=5)
+    assert hidden.any(), "no large box culled — fuzz is vacuous"
+
+
+def test_hidden_mask_sound_fine_pool():
+    """pool=4 (the 1024^3 tuning): same soundness bar, and the cull
+    must be effective at sub-flagship distances (R_MIN scales down)."""
+    heights = _ridge_heights(1024)
+    # shrink the ridge proportionally: x in [400, 480), height 200
+    heights[:] = np.clip(
+        8 + (3 * np.sin(np.arange(1024)[:, None] * 0.05)
+             * np.cos(np.arange(1024)[None, :] * 0.07)).astype(np.int64),
+        1, None)
+    heights[400:480, :] = 200
+    cam = np.array([50.0, 25.0, 512.0], np.float32)
+    hidden = _soundness_fuzz(heights, 4, SLACK, cam,
+                             half_lo=1.0, half_hi=8.0, seed=7)
+    c_far_behind = hidden.any()
+    assert c_far_behind, "no box culled at pool=4 — cull ineffective"
 
 
 def test_active_soup_occlusion_pixel_exact():
@@ -133,12 +207,13 @@ def test_active_soup_occlusion_pixel_exact():
                 np.array([0.0, 0.0, 1.0]))[0]), y)
         for y in np.linspace(-np.pi, np.pi, 64)
     )[1]
+    budget = act._trans_budget() * 0.9
     poses = [
         vcam.Camera(pos=(100.0, 60.0, 1024.0), yaw=best, pitch=0.0),
         # translated within the (occlusion-tightened) reuse volume:
         # same active rows, no re-cull (the advisor-trap scenario for
         # the frustum margin)
-        vcam.Camera(pos=(100.0 + 15.0, 60.0, 1024.0), yaw=best,
+        vcam.Camera(pos=(100.0 + budget, 60.0, 1024.0), yaw=best,
                     pitch=0.0),
     ]
     rows = act.active(np.asarray(poses[0].pos, np.float32),

@@ -26,21 +26,35 @@ def main():
     from voxtracer.world import worldgen
     from voxtracer.world.boxes import extract_boxes
 
+    from voxtracer.world.active import ActiveSoup
+
     space = worldgen.generate(log2_size=10, verbose=False)
     dev = space.serialize()
     soup = extract_boxes(dev)
     log(f"soup {len(soup)}")
-    soup_args = (jnp.asarray(soup.lo), jnp.asarray(soup.size),
-                 jnp.asarray(raster_mod.pack_box_attr(soup)))
     cams = _cams(5, 1024 / 8192.0)
     cam_args = [(np.asarray(c.pos, np.float32), c.basis()) for c in cams]
 
+    # per-pose active soups (frustum + horizon cull), exactly as the
+    # bench headline serves them
+    heights = getattr(space, "heights", None)
+    act = ActiveSoup(soup, W, H, heights=heights)
+    n_act = 0
+    for op, basis in cam_args:
+        act.active(op, basis)
+        n_act = max(n_act, act.n_active)
+    acap = max(1 << 16, 1 << (int(n_act * 1.06) - 1).bit_length())
+    act = ActiveSoup(soup, W, H, cap=acap, heights=heights)
+    pose_soups = [tuple(act.active(op, basis)) for op, basis in cam_args]
+    log(f"active cull: max {n_act} of {len(soup)} -> cap {acap}")
+    pose_args = [s + c for s, c in zip(pose_soups, cam_args)]
+
     for ck in (16, 12, 8):
         ps = ns = ws = None
-        for op, basis in cam_args:
+        for lo_a, sz_a, at_a, op, basis in pose_args:
             probe = raster_mod.raster_cast(
-                *soup_args, op, basis, dev.height, W, H, want_voxel=False,
-                cand_k=ck,
+                lo_a, sz_a, at_a, op, basis, dev.height, W, H,
+                want_voxel=False, cand_k=ck,
             )
             ps = raster_mod.fit_pair_slots(probe["n_tier"], current=ps)
             ns = raster_mod.fit_near_slots(probe["n_tier"][0],
@@ -49,24 +63,24 @@ def main():
         fit_kw = dict(pair_slots=ps, near_slots=ns, widen_tiles=ws[0],
                       widen2_tiles=ws[1], widen3_tiles=ws[2], cand_k=ck)
         need_fb = 0
-        for op, basis in cam_args:
+        for lo_a, sz_a, at_a, op, basis in pose_args:
             probe = raster_mod.raster_cast(
-                *soup_args, op, basis, dev.height, W, H, want_voxel=False,
-                fallback_tiles=64, **fit_kw,
+                lo_a, sz_a, at_a, op, basis, dev.height, W, H,
+                want_voxel=False, fallback_tiles=64, **fit_kw,
             )
             need_fb = max(need_fb, int(probe["n_fallback"]))
         pairs = sum(s * a for s, a in zip(
-            [min(s, len(soup)) for s in ps], raster_mod.PAIR_ARITIES))
+            [min(s, acap) for s in ps], raster_mod.PAIR_ARITIES))
         log(f"cand_k={ck} slots={ps} near={ns} widen={ws} "
-            f"fitted_fb={need_fb} PAIRS~{len(soup) + pairs}")
+            f"fitted_fb={need_fb} PAIRS~{acap + pairs}")
 
-        def f_raster(op, basis):
+        def f_raster(lo_a, sz_a, at_a, op, basis):
             return raster_mod.raster_cast(
-                *soup_args, op, basis, dev.height, W, H, want_voxel=False,
-                fallback_tiles=64, **fit_kw,
+                lo_a, sz_a, at_a, op, basis, dev.height, W, H,
+                want_voxel=False, fallback_tiles=64, **fit_kw,
             )["t"]
 
-        dt2, _ = _time_over(f_raster, cam_args)
+        dt2, _ = _time_over(f_raster, pose_args)
         log(f"cand_k={ck}: raster-only {dt2 * 1e3:.1f} ms -> "
             f"{W * H / dt2 / 1e6:.2f} Mrays/s (fb demand {need_fb})")
 

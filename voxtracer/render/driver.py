@@ -117,6 +117,7 @@ class Renderer:
         self._use_soup_default = use_soup  # restored by update_space
         self._dev = device_svo
         self._soup = None  # lazy (box_lo, box_size, box_attr) on device
+        self._act = None  # occlusion-culled per-pose view (_get_soup)
         self._bins = None  # pose-only raster state (kernels.raster)
         self._bins_key = None
         # sticky demand-sized raster capacities (kernels.raster
@@ -140,6 +141,7 @@ class Renderer:
         self._dist_step = None  # world changed: rebuild the sharded step
         self._dev = device_svo
         self._soup = None
+        self._act = None
         self._bins = self._bins_key = None
         # a full rebuild re-enables rasterized primaries even if point
         # edits (or a transient extraction failure) disabled them
@@ -189,6 +191,11 @@ class Renderer:
         patched = False
         if edits is not None and isinstance(self._soup, SoupPatcher):
             patched = self._soup.apply(edits, space)
+        # the occlusion view reads the PRE-edit heightmap (a deleted
+        # voxel can reveal boxes the old horizon proof culled) and the
+        # patch lands in the full arrays only — drop the view for good
+        # (it rebuilds on the next full update_space)
+        self._act = None
         if not patched:
             # patcher unavailable/overflowed: a partial patch must not
             # survive — drop rasterized primaries until update_space
@@ -223,12 +230,19 @@ class Renderer:
                         jnp.asarray(rgb, jnp.float32))
         return self._hf
 
-    ACTIVE_THRESHOLD = 4_000_000  # boxes; above this, frustum-cull
+    ACTIVE_THRESHOLD = 4_000_000  # boxes; above this, ActiveSoup only
+    OCCL_THRESHOLD = 1 << 17  # boxes; above this, unedited terrain also
+    # gets a per-pose occlusion-culled view alongside the patcher
 
     def _get_soup(self, cam=None):
         """Device box-soup arrays for rasterized primaries (lazy). Big
-        worlds go through the ActiveSoup frustum cull, refreshed per
-        camera pose (world/active.py)."""
+        worlds go through the ActiveSoup frustum + horizon-occlusion
+        cull, refreshed per camera pose (world/active.py); mid-size
+        UNEDITED terrain worlds keep the patchable full soup as the
+        authority but serve a culled per-pose view (~4-5x fewer boxes
+        at 1024^3) until the first edit — an edit both invalidates the
+        heightmap the occlusion proof reads and is patched into the
+        full arrays only, so the view is dropped, not patched."""
         if not self.use_soup:
             return None
         from voxtracer.world.boxes import SoupPatcher
@@ -244,22 +258,31 @@ class Renderer:
             if len(soup) == 0:
                 self.use_soup = False
                 return None
+            sp = getattr(self._dev, "space", None)
+            # unedited terrain worlds carry their heightmap: enables
+            # the horizon occlusion cull (world/occlusion.py)
+            heights = (getattr(sp, "heights", None)
+                       if not getattr(sp, "edited", False) else None)
             if len(soup) > self.ACTIVE_THRESHOLD:
                 from voxtracer.world.active import ActiveSoup
 
-                # unedited terrain worlds carry their heightmap: enables
-                # the horizon occlusion cull (world/occlusion.py)
-                sp = getattr(self._dev, "space", None)
-                heights = (getattr(sp, "heights", None)
-                           if not getattr(sp, "edited", False) else None)
                 self._soup = ActiveSoup(soup, self.width, self.height,
-                                        heights=heights)
+                                        cap="auto", heights=heights)
             else:
                 # patchable wrapper: point edits update the device
                 # arrays in place (apply_edits) instead of dropping the
                 # fast raster primaries
                 self._soup = SoupPatcher(soup)
+                if (heights is not None
+                        and len(soup) >= self.OCCL_THRESHOLD):
+                    from voxtracer.world.active import ActiveSoup
+
+                    self._act = ActiveSoup(soup, self.width, self.height,
+                                           cap="auto", heights=heights)
         if isinstance(self._soup, SoupPatcher):
+            if self._act is not None and cam is not None:
+                return self._act.active(np.asarray(cam.pos, np.float32),
+                                        cam.basis())
             return self._soup.device_soup
         if not isinstance(self._soup, tuple):
             if cam is None:

@@ -35,10 +35,10 @@ import jax.numpy as jnp
 import numpy as np
 
 
-@partial(jax.jit, static_argnames=("cap", "nd", "occl_slack"))
+@partial(jax.jit, static_argnames=("cap", "nd", "occl_slack", "pool"))
 def _cull(box_lo, box_size, box_attr, cam_pos, basis, fx, fy, keep_r,
           trans_r, cap: int, occl=None, nd: int = 0,
-          occl_slack: float = 0.0):
+          occl_slack: float = 0.0, pool: int = 32):
     """Conservative frustum cull + compaction.
 
     box_lo/box_size: (M,3) i32; box_attr: (M,4) f32. Returns
@@ -84,7 +84,8 @@ def _cull(box_lo, box_size, box_attr, cam_pos, basis, fx, fy, keep_r,
         # alone keeps ~92% of the soup)
         from voxtracer.world.occlusion import hidden_mask
 
-        hidden = hidden_mask(occl, c, half_f, cam_pos, occl_slack, nd)
+        hidden = hidden_mask(occl, c, half_f, cam_pos, occl_slack, nd,
+                             pool)
         keep = (in_frustum & ~hidden) | near
     n_active = jnp.sum(keep.astype(jnp.int32))
     midx = jnp.arange(M, dtype=jnp.int32)
@@ -111,12 +112,18 @@ class ActiveSoup:
     flagship 1080p, so correctness costs only the cull's savings)."""
 
     def __init__(self, soup, width_px: int, height_px: int,
-                 cap: int = 1 << 24, margin_deg: float = 12.0,
+                 cap=1 << 24, margin_deg: float = 12.0,
                  keep_radius: float = 128.0, heights=None):
         """``heights``: optional (n, n) terrain heightmap enabling the
         conservative horizon occlusion cull (world/occlusion.py) on top
         of the frustum cull — the lever that makes flagship horizon
-        poses tractable (frustum alone keeps ~92% of the soup)."""
+        poses tractable (frustum alone keeps ~92% of the soup).
+
+        ``cap="auto"``: fit the compacted capacity to the first cull's
+        demand (a power of two with 13% headroom) and grow it on later
+        overflows instead of serving the full soup — the per-box raster
+        stages (projection, tier select, pair emission) then run over
+        ~n_active rows, not the full soup."""
         from voxtracer.kernels.raster import pack_box_attr
 
         self._lo = jnp.asarray(np.asarray(soup.lo, np.int32))
@@ -125,21 +132,32 @@ class ActiveSoup:
                                             np.float32))
         self._hmin2 = None
         self._nd = 0
+        self._pool = 32
         if heights is not None:
             from voxtracer.world import occlusion as occ
 
             n = np.asarray(heights).shape[0]
-            if n % occ.POOL == 0 and n >= occ.POOL * 8:
+            # pool scales with the world so the cull's reach (the
+            # r_min floor, radial resolution) stays proportional:
+            # 16 at 8192^3, 4 at 1024^3 and below. Measured at bench
+            # poses: 77-80% of the 1024^3 soup culled at pool 4.
+            self._pool = max(4, n // 512)
+            if n % self._pool == 0 and n >= self._pool * 8:
                 self._hmin2 = jnp.asarray(
-                    occ.min_pool_heights(np.asarray(heights)))
+                    occ.min_pool_heights(np.asarray(heights),
+                                         self._pool))
                 # radial reach: world diagonal (+1 for strict indexing)
-                self._nd = int(np.ceil(n * 1.5 / occ.POOL)) + 1
+                self._nd = int(np.ceil(n * 1.5 / self._pool)) + 1
         # occlusion validity budget: much smaller than keep_radius/2 —
-        # wide theta windows (big slack) mix bearings whose rays cross
-        # oblique occluders at different radii and gut the cull's
-        # effectiveness (world/occlusion.window_levels)
-        self.occl_slack = 16.0
-        self.cap = min(cap, len(soup))
+        # slack widens every box's angular range and slope bounds, and
+        # its vertical component must stay small next to the terrain
+        # relief, so it scales with the pool (world/occlusion.py;
+        # slack 8 vs 4 measured 71% vs 77% culled at 1024^3)
+        self.occl_slack = float(max(4, self._pool))
+        self._m = len(soup)
+        self._auto = cap == "auto"
+        self._fitted = False
+        self.cap = self._m if self._auto else min(cap, self._m)
         self.margin = math.radians(margin_deg)
         self.keep_radius = float(keep_radius)
         # actual frustum half-extent tangents (camera.pixel_ndc mapping)
@@ -168,6 +186,18 @@ class ActiveSoup:
                             -1.0, 1.0))
         return math.acos(dot) <= self.margin / 2
 
+    def _cull_at(self, cam_pos, basis, occl):
+        return _cull(
+            self._lo, self._size, self._attr,
+            jnp.asarray(cam_pos), jnp.asarray(basis),
+            jnp.float32(self._fx), jnp.float32(self._fy),
+            jnp.float32(self.keep_radius),
+            jnp.float32(self._trans_budget()), cap=self.cap,
+            occl=occl, nd=self._nd,
+            occl_slack=float(self._trans_budget()),
+            pool=self._pool,
+        )
+
     def active(self, cam_pos, basis):
         cam_pos = np.asarray(cam_pos, np.float32)
         basis = np.asarray(basis, np.float32)
@@ -177,18 +207,29 @@ class ActiveSoup:
                 from voxtracer.world.occlusion import build_horizon
 
                 occl = build_horizon(self._hmin2, jnp.asarray(cam_pos),
-                                     self.occl_slack, self._nd)
-            lo_a, size_a, attr_a, n = _cull(
-                self._lo, self._size, self._attr,
-                jnp.asarray(cam_pos), jnp.asarray(basis),
-                jnp.float32(self._fx), jnp.float32(self._fy),
-                jnp.float32(self.keep_radius),
-                jnp.float32(self._trans_budget()), cap=self.cap,
-                occl=occl, nd=self._nd,
-                occl_slack=float(self._trans_budget()),
-            )
+                                     self.occl_slack, self._nd,
+                                     self._pool)
+            lo_a, size_a, attr_a, n = self._cull_at(cam_pos, basis, occl)
             self.n_active = int(n)
-            if self.n_active > self.cap:
+            if self._auto and (not self._fitted
+                               or self.n_active > self.cap):
+                # fit the cap to the first cull's demand (grow-only on
+                # later overflows: stable shapes keep the raster program
+                # compiled once)
+                fit = min(self._m, max(1 << 12, 1 << max(
+                    (int(self.n_active * 1.13) - 1).bit_length(), 0)))
+                if fit != self.cap:
+                    stale = self.n_active > self.cap  # grown: arrays
+                    # from the old cap truncated visible boxes
+                    self.cap = fit
+                    if self.cap < self._m:
+                        lo_a, size_a, attr_a, n = self._cull_at(
+                            cam_pos, basis, occl)
+                        self.n_active = int(n)
+                    elif stale:
+                        lo_a = None  # serve the full soup below
+                self._fitted = True
+            if lo_a is None or self.n_active > self.cap:
                 # truncation would silently drop visible boxes — serve
                 # the full soup for this pose instead (zero-copy)
                 self._rows = (self._lo, self._size, self._attr)

@@ -22,9 +22,9 @@ Soundness chain (every step weakens occluders or strengthens boxes):
 * box slope upper bound: (top - (cam_y - slack)) / (r0 - slack) above
   camera, / (r_far + slack) below;
 * theta windows: per radial sample, the horizon is min-pooled over
-  power-of-two theta windows at half-window offsets; a box's angular
-  range (box extent + slack shift) fits inside one window of its
-  distance class, and a window min over a SUPERSET of the range only
+  power-of-two theta windows at half-window offsets; each box picks the
+  SMALLEST ladder window its (exact-arcsin, slack-widened) angular
+  range fits inside, and a window min over a SUPERSET of the range only
   under-reports the horizon;
 * lateral coverage: an occluder sample at radius r' blocks every ray of
   the box's (slack-widened) range only when the range's lateral reach
@@ -54,42 +54,44 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-POOL = 32  # heightmap min-pool factor and radial step (voxels)
+POOL = 32  # default heightmap min-pool factor and radial step (voxels)
 NTH = 4096  # angular bins
-R_MIN = 1024.0  # never occlusion-cull boxes nearer than this
-_HD_MAX = 11.4  # max box horizontal half-diagonal the levels assume
 _J = 9  # radial range-max levels (2^8 = 256 >= any [a, b] length)
 
-
-def window_levels(slack: float):
-    """(distance-class lower bound, theta-window bins) per class: the
-    window's HALF must cover the box's angular range
-    2*ceil(1.01 (hd + slack) / (r0 - slack) / dtheta) + 1 bins. Windows
-    are the cull's conservatism knob: a wide window (large slack) mixes
-    bearings whose rays cross an oblique occluder at different radii,
-    so its per-radius theta-min rarely aligns — which is why the
-    occlusion reuse budget (ActiveSoup.occl_slack) is kept small."""
-    import math
-
-    out = []
-    for lo in (8192.0, 4096.0, 2048.0, 1024.0):
-        need = 2 * math.ceil(
-            1.01 * (_HD_MAX + slack) * NTH
-            / (2 * math.pi * max(lo - slack, 1.0))) + 1
-        w = 16
-        while w // 2 < need and w < NTH:
-            w *= 2
-        out.append((lo, w))
-    return tuple(out)
+# All radial quantities scale with the pool: the never-cull floor sits
+# at 32 pools, so pool=32 reproduces the original flagship reach
+# (R_MIN 1024) while pool=4 gives a 1024^3 world the same RELATIVE
+# culling reach (R_MIN 128). The soundness chain is pool-uniform:
+# every step bounds error by +-pool laterally/radially.
+WINDOW_LADDER = (16, 32, 64, 128, 256, 512)
 
 
-def min_pool_heights(heights: np.ndarray) -> np.ndarray:
-    """(n, n) heights -> (n/POOL, n/POOL) conservative pooled heights:
-    the 3x3-neighborhood min of the POOL-block min (module doc)."""
+def r_min(pool: int = POOL) -> float:
+    """Never occlusion-cull boxes nearer than this (32 pools)."""
+    return 32.0 * pool
+
+
+def window_levels(slack: float, pool: int = POOL):
+    """Theta-window sizes (bins) the tables carry. Each box picks the
+    SMALLEST window whose HALF covers its own angular range
+    2*ceil(1.01 (hd + slack) / (r0 - slack) / dtheta) + 1 bins
+    (hidden_mask) — per-box selection instead of per-distance-class
+    keeps windows tight for small/far boxes, and window width is the
+    cull's conservatism knob: a wide window mixes bearings whose rays
+    cross an oblique occluder at different radii, so its per-radius
+    theta-min rarely aligns. (That is also why the occlusion reuse
+    budget, ActiveSoup.occl_slack, is kept small: slack widens every
+    range.) Boxes needing more than the widest half are kept."""
+    return WINDOW_LADDER
+
+
+def min_pool_heights(heights: np.ndarray, pool: int = POOL) -> np.ndarray:
+    """(n, n) heights -> (n/pool, n/pool) conservative pooled heights:
+    the 3x3-neighborhood min of the pool-block min (module doc)."""
     n = heights.shape[0]
-    assert heights.shape == (n, n) and n % POOL == 0
-    k = n // POOL
-    hp = heights.reshape(k, POOL, k, POOL).min(axis=(1, 3))
+    assert heights.shape == (n, n) and n % pool == 0
+    k = n // pool
+    hp = heights.reshape(k, pool, k, pool).min(axis=(1, 3))
     pad = np.pad(hp, 1, mode="edge")
     out = hp.copy()
     for di in (0, 1, 2):
@@ -98,11 +100,12 @@ def min_pool_heights(heights: np.ndarray) -> np.ndarray:
     return out.astype(np.float32)
 
 
-@partial(jax.jit, static_argnames=("nd", "slack"))
-def build_horizon(hmin2, cam_pos, slack: float, nd: int):
+@partial(jax.jit, static_argnames=("nd", "slack", "pool"))
+def build_horizon(hmin2, cam_pos, slack: float, nd: int,
+                  pool: int = POOL):
     """Polar horizon tables around cam_pos (module doc).
 
-    hmin2: (k, k) pooled heights (min_pool_heights), world edge k*POOL.
+    hmin2: (k, k) pooled heights (min_pool_heights), world edge k*pool.
     Returns {w: (rows, nd, _J) f32} radial range-max tables over
     theta-window-minned slope samples, one per window_levels(slack)
     entry. ``slack`` is static (it sizes the window set).
@@ -110,11 +113,11 @@ def build_horizon(hmin2, cam_pos, slack: float, nd: int):
     k = hmin2.shape[0]
     cam_pos = jnp.asarray(cam_pos, jnp.float32)
     th = (jnp.arange(NTH, dtype=jnp.float32) + 0.5) * (2 * np.pi / NTH)
-    r = (jnp.arange(nd, dtype=jnp.float32) + 1.0) * POOL  # (nd,)
+    r = (jnp.arange(nd, dtype=jnp.float32) + 1.0) * pool  # (nd,)
     qx = cam_pos[0] + jnp.cos(th)[:, None] * r[None, :]
     qz = cam_pos[2] + jnp.sin(th)[:, None] * r[None, :]
-    ix = jnp.floor(qx / POOL).astype(jnp.int32)
-    iz = jnp.floor(qz / POOL).astype(jnp.int32)
+    ix = jnp.floor(qx / pool).astype(jnp.int32)
+    iz = jnp.floor(qz / pool).astype(jnp.int32)
     inside = (ix >= 0) & (ix < k) & (iz >= 0) & (iz < k)
     flat = hmin2.reshape(-1)
     h = jnp.where(
@@ -129,7 +132,7 @@ def build_horizon(hmin2, cam_pos, slack: float, nd: int):
                             jnp.maximum(r[None, :] - slack, 1.0))
 
     out = {}
-    for _, w in window_levels(slack):
+    for w in window_levels(slack, pool):
         half = w // 2
         rows = NTH // half
         pooled = slope.reshape(rows, half, nd).min(axis=1)
@@ -151,12 +154,17 @@ def build_horizon(hmin2, cam_pos, slack: float, nd: int):
     return out
 
 
-def hidden_mask(tables, box_c, box_half, cam_pos, slack, nd: int):
+def hidden_mask(tables, box_c, box_half, cam_pos, slack, nd: int,
+                pool: int = POOL):
     """True for boxes PROVABLY hidden behind terrain (module doc).
 
-    tables: build_horizon output (same cam_pos/slack). box_c/box_half:
-    (M, 3) f32 centers and half-extents. Traced helper — call inside
-    the cull jit. Requires box horizontal half-diagonals <= slack.
+    tables: build_horizon output (same cam_pos/slack/pool). box_c /
+    box_half: (M, 3) f32 centers and half-extents. Traced helper —
+    call inside the cull jit. Sound for ANY box size: the lateral
+    coverage bound only loosens as hd grows (the bearing window's arc
+    at the witness radius scales with hd + slack), and oversized
+    angular ranges are kept by the window-fit guard; the large-box
+    fuzz in tests/test_occlusion.py pins this.
     """
     cam_pos = jnp.asarray(cam_pos, jnp.float32)
     slack = float(slack)
@@ -178,14 +186,14 @@ def hidden_mask(tables, box_c, box_half, cam_pos, slack, nd: int):
 
     # radial sample range [a, b]: strictly nearer than the box for any
     # slack camera (b), and laterally covering (a >= ~r0/4, module doc)
-    b_idx = jnp.floor((r0 - slack) / POOL).astype(jnp.int32) - 1
+    b_idx = jnp.floor((r0 - slack) / pool).astype(jnp.int32) - 1
     a_idx = jnp.maximum(
-        jnp.floor(r0 * jnp.maximum(slack - POOL, 0.0)
-                  / (2.0 * jnp.maximum(slack, 1.0) * POOL)).astype(
+        jnp.floor(r0 * jnp.maximum(slack - pool, 0.0)
+                  / (2.0 * jnp.maximum(slack, 1.0) * pool)).astype(
             jnp.int32),
         0,
     )
-    ok = (b_idx >= a_idx) & (b_idx < nd) & (r0 >= R_MIN)
+    ok = (b_idx >= a_idx) & (b_idx < nd) & (r0 >= r_min(pool))
     a_c = jnp.clip(a_idx, 0, nd - 1)
     b_c = jnp.clip(b_idx, 0, nd - 1)
     # doubling level jq = floor(log2(len)): the two 2^jq windows at the
@@ -196,37 +204,36 @@ def hidden_mask(tables, box_c, box_half, cam_pos, slack, nd: int):
                    for t in range(1, _J)]), axis=0,
     )
 
-    hidden = jnp.zeros(box_c.shape[0], bool)
-    prev_lo = None
-    for lo, w in window_levels(slack):
-        half = w // 2
-        rows = NTH // half
-        # the box range's low theta edge picks the containing window.
-        # Bearing deviation of any box point from any slack camera is
-        # <= asin((hd + slack)/(r0 - slack)); the /(r0 - slack) and the
-        # 1.01 factor absorb the asin-vs-linear gap (< 0.1% at the
-        # x <= 0.08 these classes allow).
-        range_hw = 1.01 * (half_diag + slack) / jnp.maximum(
-            r0 - slack, 1.0)
-        lo_bin = tbin - jnp.ceil(
-            range_hw * (NTH / (2 * np.pi))).astype(jnp.int32)
-        range_bins = 2 * jnp.ceil(
-            range_hw * (NTH / (2 * np.pi))).astype(jnp.int32) + 1
-        wi = ((lo_bin % NTH) // half) % rows
-        tab = tables[w]  # (rows, nd, _J)
-        flat = tab.reshape(-1)
-        base = wi * (nd * _J)
-        hi = flat[base + b_c * _J + jq]
-        lo_end = jnp.minimum(a_c + (1 << jq) - 1, nd - 1)
-        lo_v = flat[base + lo_end * _J + jq]
-        hmax = jnp.maximum(hi, lo_v)
-        if prev_lo is None:
-            in_class = r0 >= lo
-        else:
-            in_class = (r0 >= lo) & (r0 < prev_lo)
-        # the window must actually contain the range (guards callers
-        # using a larger slack than WINDOW_LEVELS was sized for)
-        in_class = in_class & (range_bins <= half)
-        hidden = hidden | (in_class & ok & (hmax > s_box + 1e-4))
-        prev_lo = lo
-    return hidden
+    # Bearing half-range of any box point seen from any slack camera:
+    # asin((hd + slack)/(r0 - slack)), computed EXACTLY (arcsin; the
+    # 1.001 covers float rounding) — per-box window selection reaches
+    # ranges where a linearization would under-cover.
+    ladder = window_levels(slack, pool)
+    assert tuple(ladder) == (16, 32, 64, 128, 256, 512)
+    range_x = jnp.minimum(
+        (half_diag + slack) / jnp.maximum(r0 - slack, 1.0), 0.999)
+    rb = jnp.ceil(1.001 * jnp.arcsin(range_x)
+                  * (NTH / (2 * np.pi))).astype(jnp.int32)
+    lo_bin = (tbin - rb) % NTH
+    range_bins = 2 * rb + 1
+
+    # smallest ladder window whose HALF covers the range (the low theta
+    # edge picks the containing window: windows sit at half-window
+    # offsets, so [lo_bin, lo_bin + half) always fits one). half(lvl) =
+    # 8 << lvl, so the level index turns into plain shifts below; boxes
+    # too wide for the widest half are kept.
+    halves = [w // 2 for w in ladder]
+    lvl = sum((range_bins > h).astype(jnp.int32) for h in halves)
+    fits = lvl < len(ladder)
+    lvl_c = jnp.minimum(lvl, len(ladder) - 1)
+    wi = jax.lax.shift_right_logical(lo_bin, 3 + lvl_c)
+    sizes = [(NTH // h) * nd * _J for h in halves]
+    base = sum(jnp.where(lvl_c > t, jnp.int32(sizes[t]), 0)
+               for t in range(len(ladder)))
+    base = base + wi * (nd * _J)
+    allflat = jnp.concatenate([tables[w].reshape(-1) for w in ladder])
+    hi = allflat[base + b_c * _J + jq]
+    lo_end = jnp.minimum(a_c + (1 << jq) - 1, nd - 1)
+    lo_v = allflat[base + lo_end * _J + jq]
+    hmax = jnp.maximum(hi, lo_v)
+    return fits & ok & (hmax > s_box + 1e-4)
