@@ -394,7 +394,7 @@ def main():
             from voxtracer.world.active import ActiveSoup
 
             t0 = time.monotonic()
-            act = ActiveSoup(fsoup, W, H,
+            act = ActiveSoup(fsoup, W, H, cap="auto",
                              heights=getattr(fspace, "heights", None))
             fsoup_args = act.active(*fcam_args[0])
             jax.block_until_ready(fsoup_args[0])

@@ -45,18 +45,33 @@ def main():
     t0 = time.monotonic()
     soup = extract_boxes(dev)
     log(f"soup {len(soup)} boxes in {time.monotonic() - t0:.1f}s")
-    soup_args = (jnp.asarray(soup.lo), jnp.asarray(soup.size),
-                 jnp.asarray(raster_mod.pack_box_attr(soup)))
 
     s = (1 << LOG2_SIZE) / 8192.0
     cams = _cams(4, s)
     cam_args = [(np.asarray(c.pos, np.float32), c.basis()) for c in cams]
 
+    # production shape: the pose-culled active soup (world/active.py).
+    # All poses share one fitted cap so every stage profiles one shape.
+    from voxtracer.world.active import ActiveSoup
+
+    heights = getattr(space, "heights", None)
+    act = ActiveSoup(soup, W, H, heights=heights)
+    n_act = 0
+    for op, basis in cam_args:
+        act.active(op, basis)
+        n_act = max(n_act, act.n_active)
+    acap = max(1 << 12, 1 << (int(n_act * 1.06) - 1).bit_length())
+    act = ActiveSoup(soup, W, H, cap=acap, heights=heights)
+    log(f"active cull: max {n_act} of {len(soup)} -> cap {acap}")
+    pose_soups = [tuple(act.active(op, basis)) for op, basis in cam_args]
+    pose_args = [ps + ca for ps, ca in zip(pose_soups, cam_args)]
+    soup_args = pose_soups[0]
+
     # tier demand at this config (sizes pair_slots)
     ps = ns = ws = None
-    for op, basis in cam_args:
-        r = raster_mod.raster_cast(*soup_args, op, basis, dev.height, W, H,
-                                   want_voxel=False)
+    for lo_a, sz_a, at_a, op, basis in pose_args:
+        r = raster_mod.raster_cast(lo_a, sz_a, at_a, op, basis,
+                                   dev.height, W, H, want_voxel=False)
         ps = raster_mod.fit_pair_slots(r["n_tier"], current=ps)
         ns = raster_mod.fit_near_slots(r["n_tier"][0], current=ns or 0)
         ws = raster_mod.fit_widen_tiles(r["n_widen"], current=ws)
@@ -67,9 +82,9 @@ def main():
     log("slots:", ps, ns, ws)
 
     def stage_fn(stg):
-        def f(op, basis):
+        def f(lo_a, sz_a, at_a, op, basis):
             out = raster_mod.raster_cast(
-                *soup_args, op, basis, dev.height, W, H,
+                lo_a, sz_a, at_a, op, basis, dev.height, W, H,
                 want_voxel=False, pair_slots=ps, near_slots=ns,
                 widen_tiles=ws[0], widen2_tiles=ws[1], widen3_tiles=ws[2],
                 fallback_tiles=64, _stage=stg,
@@ -83,7 +98,7 @@ def main():
     prev = 0.0
     for stg in (3, 4, 5, 6, 7, 8, 0):
         try:
-            dt, _ = _time_over(stage_fn(stg), cam_args)
+            dt, _ = _time_over(stage_fn(stg), pose_args)
             log(f"stage {stg}: {dt * 1e3:7.1f} ms  (delta "
                 f"{(dt - prev) * 1e3:+7.1f} ms)")
             prev = dt
@@ -91,12 +106,12 @@ def main():
             log(f"stage {stg} failed: {type(e).__name__} {str(e)[:160]}")
 
     # bins alone (the pose-only half) vs full
-    def f_bins(op, basis):
+    def f_bins(lo_a, sz_a, at_a, op, basis):
         return raster_mod.raster_bins(
-            soup_args[0], soup_args[1], op, basis, dev.height, W, H,
+            lo_a, sz_a, op, basis, dev.height, W, H,
         )["cand"]
 
-    dt, _ = _time_over(f_bins, cam_args)
+    dt, _ = _time_over(f_bins, pose_args)
     log(f"raster_bins (pose half): {dt * 1e3:7.1f} ms")
 
 
