@@ -66,6 +66,7 @@ def trace_paths(
     hf_mips=None,
     hf_offsets: tuple | None = None,
     terrain_rgb=None,
+    sun_maps=None,
 ):
     """Trace one spectral path per ray; returns (state, radiance (...,3)).
 
@@ -95,6 +96,12 @@ def trace_paths(
         with ``terrain_rgb`` (the single interned terrain leaf color,
         bit-equal to leaf_rgb of that leaf, so radiance is identical).
         Takes precedence over ``bitworld``.
+      sun_maps: optional conservative sun-visibility thresholds
+        (kernels.sunshadow.build, arrays device-resident) for the same
+        unedited-terrain worlds: NEE lanes the maps PROVE lit skip the
+        shadow walk (two row gathers instead of ~7+); the residue takes
+        the exact cast, so radiance is bit-identical
+        (tests/test_sunshadow.py, tests/test_integrator.py).
     """
     use_hf = hf_mips is not None
 
@@ -134,6 +141,15 @@ def trace_paths(
 
     def nee_occluded(pos_, sun_dir, act):
         if use_hf:
+            if sun_maps is not None:
+                # provably-lit lanes skip the walk (sunshadow module
+                # doc: lit implies the cast reports no hit for ANY
+                # cone member, so the boolean is unchanged)
+                from voxtracer.kernels.sunshadow import sun_clear
+
+                lit = sun_clear(sun_maps, pos_)
+                hit = svo_cast(pos_, sun_dir, active=act & ~lit)["hit"]
+                return hit & ~lit
             # the heightfield walk resolves near occluders in a couple
             # of iterations anyway — one cast, same exact boolean
             return svo_cast(pos_, sun_dir, active=act)["hit"]
@@ -373,6 +389,7 @@ def render_sample(
     hf_mips=None,
     hf_offsets: tuple | None = None,
     terrain_rgb=None,
+    sun_maps=None,
 ):
     """One progressive sample: 1 spectral path per pixel (raytrace.wgsl:415-430).
 
@@ -497,6 +514,7 @@ def render_sample(
             max_bounces=max_bounces, fog_steps=fog_steps, primary=primary,
             bitworld=bitworld, bit_size=bit_size, hf_mips=hf_mips,
             hf_offsets=hf_offsets, terrain_rgb=terrain_rgb,
+            sun_maps=sun_maps,
         )
         return radiance
 
@@ -515,6 +533,7 @@ def render_sample(
                 max_bounces=max_bounces, fog_steps=fog_steps,
                 bitworld=bitworld, bit_size=bit_size, hf_mips=hf_mips,
                 hf_offsets=hf_offsets, terrain_rgb=terrain_rgb,
+                sun_maps=sun_maps,
             )
             return c
 
@@ -529,6 +548,7 @@ def render_sample(
                 max_bounces=max_bounces, fog_steps=fog_steps, primary=pr_t,
                 bitworld=bitworld, bit_size=bit_size, hf_mips=hf_mips,
                 hf_offsets=hf_offsets, terrain_rgb=terrain_rgb,
+                sun_maps=sun_maps,
             )
             return c
 
@@ -550,7 +570,7 @@ def render_samples(
     fog_steps: int = 64, row_tiles: int = 1, aug=None, soup=None,
     soup_bins=None, soup_slots=None, bitworld=None, bit_size: int = 0,
     fused: bool = True, hf_mips=None, hf_offsets: tuple | None = None,
-    terrain_rgb=None,
+    terrain_rgb=None, sun_maps=None,
 ):
     """Accumulate a batch of progressive samples in one device program.
 
@@ -635,6 +655,7 @@ def render_samples(
             sun, fl(state), max_bounces=max_bounces, fog_steps=fog_steps,
             primary=primary, bitworld=bitworld, bit_size=bit_size,
             hf_mips=hf_mips, hf_offsets=hf_offsets, terrain_rgb=terrain_rgb,
+            sun_maps=sun_maps,
         )
         r = radiance.reshape((k, height_px, width_px, 3))
         # serial sum, matching the scan path's accumulation order exactly
@@ -650,7 +671,7 @@ def render_samples(
             fog_steps=fog_steps, row_tiles=row_tiles, aug=aug, soup=soup,
             soup_bins=soup_bins, soup_slots=soup_slots, bitworld=bitworld,
             bit_size=bit_size, hf_mips=hf_mips, hf_offsets=hf_offsets,
-            terrain_rgb=terrain_rgb,
+            terrain_rgb=terrain_rgb, sun_maps=sun_maps,
         )
         return acc + s, None
 

@@ -147,6 +147,7 @@ class Renderer:
         # edits (or a transient extraction failure) disabled them
         self.use_soup = self._use_soup_default
         self._hf = None  # re-gate the heightfield engine on the new space
+        self._sun_maps_key = self._sun_maps = None  # heights changed
         self.acc.invalidate()
 
     def apply_edits(self, space, edits=None):
@@ -400,6 +401,31 @@ class Renderer:
         lighting = jnp.sum(sun_unit * r["normal"], axis=-1) / 2.0 + 1.0
         return r["rgb"] * lighting[..., None] * r["hit"][..., None]
 
+    def _get_sun_maps(self, sun_unit):
+        """Conservative sun-visibility thresholds for this (world, sun)
+        (kernels/sunshadow.py): NEE lanes the maps prove lit skip the
+        shadow walk with bit-identical radiance. Only meaningful with
+        the heightfield engine (same unedited-terrain gate); cached per
+        sun — the headless day cycle steps the sun once per frame, so
+        one build serves the whole frame's samples. Returns None when
+        gated (low/near-vertical sun, edited world)."""
+        if self._hf is False or self._hf is None and (
+                self._get_hf()[0] is None):
+            return None
+        key = np.asarray(sun_unit, np.float32).tobytes()
+        if getattr(self, "_sun_maps_key", None) == key:
+            return self._sun_maps
+        from voxtracer.kernels import sunshadow
+
+        sp = getattr(self._dev, "space", None)
+        maps = sunshadow.build(sp.heights, sun_unit)
+        if maps is not None:
+            maps = dict(maps, t_near=jnp.asarray(maps["t_near"]),
+                        t_far=jnp.asarray(maps["t_far"]))
+        self._sun_maps_key = key
+        self._sun_maps = maps
+        return maps
+
     def sample(self, cam: vcam.Camera, sun: np.ndarray):
         """One progressive step: 1 spectral path/pixel per device (N
         samples per call when ``devices=N``)."""
@@ -449,6 +475,7 @@ class Renderer:
             soup_slots=self._soup_slots() if bins is not None else None,
             **dict(zip(("hf_mips", "hf_offsets", "terrain_rgb"),
                        self._get_hf())),
+            sun_maps=self._get_sun_maps(sun_unit),
         )
         self.acc.add(sample)
 
@@ -473,6 +500,7 @@ class Renderer:
             soup_slots=self._soup_slots() if bins is not None else None,
             **dict(zip(("hf_mips", "hf_offsets", "terrain_rgb"),
                        self._get_hf())),
+            sun_maps=self._get_sun_maps(sun_unit),
         )
         self.acc.buffer = self.acc.buffer + total
         self.acc.samples += k
