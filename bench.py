@@ -346,12 +346,23 @@ def main():
         # way, render/driver.py _get_hf)
         hf_flat, hf_offs, _ = build_height_mips(space.heights)
         hf_rgb = jnp.asarray(space.terrain_rgb, jnp.float32)
+        # sun-visibility maps: provably-lit NEE lanes skip the shadow
+        # walk (bit-identical radiance; the Renderer builds these the
+        # same way per sun — kernels/sunshadow.py)
+        from voxtracer.kernels import sunshadow
+
+        smaps = sunshadow.build(space.heights, sun)
+        if smaps is not None:
+            smaps = dict(smaps, t_near=jnp.asarray(smaps["t_near"]),
+                         t_far=jnp.asarray(smaps["t_far"]))
+        log(f"sun maps: {'on' if smaps is not None else 'gated off'}")
 
         pt = jax.jit(lambda seeds, op, basis, slo, ssz, sat: render_samples(
             table, root, dev.height, lut, op, basis, sun_j, seeds,
             PTW, PTH, max_bounces=8, fog_steps=64,
             soup=(slo, ssz, sat), soup_slots=(pt_slots, pt_near, pt_nt),
             hf_mips=hf_flat, hf_offsets=hf_offs, terrain_rgb=hf_rgb,
+            sun_maps=smaps,
         ))
         pt_args = [
             (jnp.asarray(np.frombuffer(_os.urandom(12 * PTK), np.uint32
@@ -469,11 +480,21 @@ def main():
                 fpt_near = raster_mod.fit_near_slots(b["n_tier"][0],
                                                      current=fpt_near)
             fhf_flat, fhf_offs, _ = build_height_mips(fspace.heights)
+            t0 = time.monotonic()
+            fsmaps = sunshadow.build(fspace.heights, sun)
+            if fsmaps is not None:
+                fsmaps = dict(fsmaps,
+                              t_near=jnp.asarray(fsmaps["t_near"]),
+                              t_far=jnp.asarray(fsmaps["t_far"]))
+            log(f"flagship sun maps "
+                f"{'on' if fsmaps is not None else 'gated off'} "
+                f"({time.monotonic() - t0:.1f}s)")
             fpt = jax.jit(lambda seeds, op, basis: render_samples(
                 ftable, froot, fdev.height, lut, op, basis, sun_j, seeds,
                 PTW, PTH, max_bounces=8, fog_steps=64, soup=fsoup_args,
                 soup_slots=(fpt_slots, fpt_near, pt_nt),
                 hf_mips=fhf_flat, hf_offsets=fhf_offs, terrain_rgb=hf_rgb,
+                sun_maps=fsmaps,
             ))
             fpt_args = [
                 (jnp.asarray(np.frombuffer(

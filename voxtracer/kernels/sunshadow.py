@@ -97,16 +97,20 @@ SXZ_MIN_GATE = 0.05  # min horizontal component (near-vertical sun gate)
 MARGIN = 0.25  # conservative slack added to every threshold
 
 
-def _shift(a: np.ndarray, di: int, dj: int) -> np.ndarray:
-    """a shifted so out[i, j] = a[i+di, j+dj], OOB = 0 (no terrain)."""
-    n0, n1 = a.shape
-    out = np.zeros_like(a)
+
+def _max_shift_into(dst: np.ndarray, src: np.ndarray, di: int, dj: int,
+                    sub: float) -> None:
+    """dst[i, j] = max(dst[i, j], src[i+di, j+dj] - sub) over the
+    in-bounds overlap, in place — no temporaries. Out-of-bounds source
+    cells have no terrain: their contribution (0 - sub <= 0) can never
+    raise a threshold, so skipping them is exact."""
+    n0, n1 = src.shape
     si = slice(max(di, 0), max(n0 + min(di, 0), 0))
     ti = slice(max(-di, 0), max(n0 + min(-di, 0), 0))
     sj = slice(max(dj, 0), max(n1 + min(dj, 0), 0))
     tj = slice(max(-dj, 0), max(n1 + min(-dj, 0), 0))
-    out[ti, tj] = a[si, sj]
-    return out
+    np.maximum(dst[ti, tj], src[si, sj] - np.float32(sub),
+               out=dst[ti, tj])
 
 
 def _max_mips(h: np.ndarray, pool: int):
@@ -211,7 +215,6 @@ def build(heights, sun, pool: int | None = None,
         for b in range(b_lo, b_hi + 1):
             if a == 0 and b == 0:
                 continue  # own column: the h-1 term (module doc)
-            s_ab = None
             for px in range(sr):
                 mx = m_min_ax(a, px / sr, (px + 1) / sr, rx_lo, rx_hi)
                 if mx >= L_NEAR:
@@ -221,11 +224,8 @@ def build(heights, sun, pool: int | None = None,
                                              rz_lo, rz_hi))
                     if m_min >= L_NEAR:
                         continue  # far field covers m >= 0.9 L_NEAR
-                    if s_ab is None:
-                        s_ab = _shift(h, a, b)
-                    np.maximum(t_near[px::sr, pz::sr],
-                               s_ab - np.float32(m_min * q_min),
-                               out=t_near[px::sr, pz::sr])
+                    _max_shift_into(t_near[px::sr, pz::sr], h, a, b,
+                                    m_min * q_min)
 
     # ---- far field: per-pool-cell charged mip fetches ----------------
     mips = _max_mips(h, pool)
@@ -289,12 +289,8 @@ def build(heights, sun, pool: int | None = None,
                     continue  # rectangle entirely off-swath laterally
                 d_min = math.hypot(mnx, mnz)
                 charge = max(m_lo, d_min) * q_min
-                np.maximum(
-                    t_far,
-                    _shift(a2, f0x + dx * s, f0z + dz * s)
-                    - np.float32(charge),
-                    out=t_far,
-                )
+                _max_shift_into(t_far, a2, f0x + dx * s, f0z + dz * s,
+                                charge)
         m_lo = m_hi
 
     return dict(
