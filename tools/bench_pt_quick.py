@@ -15,6 +15,10 @@ def log(*a):
 
 
 def main():
+    if "--nee-off" in sys.argv:
+        import os as _os0
+
+        _os0.environ["VOXT_PT_PROF"] = "nee_off"
     import jax
     import jax.numpy as jnp
 
@@ -64,6 +68,17 @@ def main():
                        terrain_rgb=jnp.asarray([0.5, 0.5, 0.5],
                                                jnp.float32))
         log("heightfield engine ON")
+        if "--sunmaps" in sys.argv:
+            from voxtracer.kernels import sunshadow
+
+            t0 = time.monotonic()
+            smaps = sunshadow.build(space.heights, sun)
+            if smaps is not None:
+                smaps = dict(smaps, t_near=jnp.asarray(smaps["t_near"]),
+                             t_far=jnp.asarray(smaps["t_far"]))
+            log(f"sun maps {'ON' if smaps is not None else 'gated'} "
+                f"(build {time.monotonic() - t0:.1f}s)")
+            hf_args["sun_maps"] = smaps
 
     pt = jax.jit(lambda seeds, op, basis: render_samples(
         table, root, dev.height, lut, op, basis, sun_j, seeds,

@@ -29,6 +29,7 @@ RNG discipline: every stochastic stage consumes draws unconditionally
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -43,6 +44,13 @@ from voxtracer.core.vecmath import dot
 from voxtracer.kernels import atmosphere
 from voxtracer.kernels.traverse import (FAR, leaf_rgb, svo_raycast,
                                         svo_raycast_bucketed)
+
+# Profiling-only stage ablations (module-level, read once at import so
+# jit closures stay static): VOXT_PT_PROF="nee_off" replaces the NEE
+# occlusion cast with "never blocked" — RADIANCE IS WRONG; the only use
+# is timing the NEE walk's share of a fused PT batch on hardware
+# (tools/bench_pt_quick.py --nee-off). Never set in production.
+_PROF = os.environ.get("VOXT_PT_PROF", "")
 
 
 @partial(jax.jit, static_argnames=("height", "max_bounces", "fog_steps",
@@ -140,6 +148,8 @@ def trace_paths(
     NEE_NEAR = 8.0
 
     def nee_occluded(pos_, sun_dir, act):
+        if "nee_off" in _PROF:  # profiling ablation (module doc)
+            return jnp.zeros(act.shape, jnp.bool_)
         if use_hf:
             if sun_maps is not None:
                 # provably-lit lanes skip the walk (sunshadow module
