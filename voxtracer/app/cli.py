@@ -51,16 +51,24 @@ def _add_common(p):
     p.add_argument("--devices", type=int, default=None,
                    help="shard path-traced sampling over the first N JAX "
                         "devices (sample sharding + psum merge)")
+    p.add_argument("--noise-device", default="cpu",
+                   help="JAX backend for the worldgen noise eval: 'cpu' "
+                        "(default; remote one-shot compiles cost more "
+                        "than the host eval) or 'default' for the "
+                        "session's accelerator (pays off once the "
+                        "persistent compile cache holds the program)")
 
 
 def _build_world(args, log=print):
     from voxtracer.world import worldgen
 
     t0 = time.monotonic()
+    nd = getattr(args, "noise_device", "cpu")
     space = worldgen.generate(
         log2_size=args.log2_size,
         seed_scale=getattr(args, "seed_scale", None),
         seed_noise=getattr(args, "seed_noise", None),
+        noise_device=None if nd == "default" else nd,
     )
     log(f"worldgen total {time.monotonic() - t0:.2f}s")
     return space

@@ -216,18 +216,26 @@ def generate(
     backend: str = "auto",
     seed_scale: int | None = None,
     seed_noise: int | None = None,
+    noise_device: str | None = "cpu",
 ):
     """Full worldgen (worldgen.rs:10-59): heightmap + pyramid + octree.
 
     backend: 'native' (C++ builder), 'python', or 'auto' (native when the
     library is available). Both produce identical octrees; the native
     path also does the pyramid internally.
+
+    noise_device: JAX backend for the noise eval — "cpu" (default: the
+    one-shot remote compile over the axon tunnel costs more than the
+    whole host eval, PERF.md) or None for the session's default device
+    (worth it once the persistent compile cache holds the program; the
+    octree build consumes the heights host-side either way).
     """
     t0 = time.monotonic()
     h = heightmap(
         log2_size,
         seed_scale=SEED_SCALE if seed_scale is None else seed_scale,
         seed_noise=SEED_NOISE if seed_noise is None else seed_noise,
+        device=noise_device,
     )
     t1 = time.monotonic()
     if verbose:
