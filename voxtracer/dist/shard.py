@@ -38,6 +38,9 @@ def sample_sharded_step(
     axis: str = "dp",
     soup=None,
     soup_slots=None,
+    hf_mips=None,
+    hf_offsets=None,
+    terrain_rgb=None,
 ):
     """Build a jitted step: (seeds (ndev, 3) u32, cam_pos, cam_basis, sun)
     -> summed radiance (H, W, 3) of ndev samples (replicated).
@@ -45,7 +48,11 @@ def sample_sharded_step(
     ``soup``: optional replicated (box_lo, box_size, box_attr) arrays —
     each chip then casts its first bounce with the rasterizer
     (kernels/raster.py), the fastest primary engine. ``soup_slots``:
-    static demand-probed rasterizer capacities (see render_sample)."""
+    static demand-probed rasterizer capacities (see render_sample).
+    ``hf_mips``/``hf_offsets``/``terrain_rgb``: optional replicated
+    heightfield engine args (see trace_paths) — world-fixed, so they
+    close over the step like the table. (Sun-visibility maps are
+    sun-dependent and stay a single-chip optimization for now.)"""
 
     def step(seeds, cam_pos, cam_basis, sun):
         def shard_fn(seeds, cam_pos, cam_basis, sun):
@@ -53,7 +60,8 @@ def sample_sharded_step(
                 table, root, height, lut, cam_pos, cam_basis, sun,
                 seeds[0], width_px, height_px,
                 max_bounces=max_bounces, fog_steps=fog_steps, soup=soup,
-                soup_slots=soup_slots,
+                soup_slots=soup_slots, hf_mips=hf_mips,
+                hf_offsets=hf_offsets, terrain_rgb=terrain_rgb,
             )
             return jax.lax.psum(s, axis)
 
@@ -81,6 +89,9 @@ def tile_sharded_step(
     axis: str = "dp",
     soup=None,
     soup_slots=None,
+    hf_mips=None,
+    hf_offsets=None,
+    terrain_rgb=None,
 ):
     """Build a jitted step: each chip renders its horizontal band; the
     output (H, W, 3) is sharded across rows (no collectives).
@@ -103,7 +114,8 @@ def tile_sharded_step(
                 seed, width_px, height_px,
                 row0=band * rows, rows=rows,
                 max_bounces=max_bounces, fog_steps=fog_steps,
-                soup=soup, soup_slots=soup_slots,
+                soup=soup, soup_slots=soup_slots, hf_mips=hf_mips,
+                hf_offsets=hf_offsets, terrain_rgb=terrain_rgb,
             )
 
         return jax.shard_map(
@@ -117,11 +129,13 @@ def tile_sharded_step(
     return jax.jit(step)
 
 
-def replicate_world(mesh: Mesh, table, lut, soup=None):
-    """Pin the read-only world/LUT (and optionally the box soup) to
-    every chip (replicated sharding)."""
+def replicate_world(mesh: Mesh, table, lut, soup=None, hf_mips=None):
+    """Pin the read-only world/LUT (and optionally the box soup and
+    heightfield mips) to every chip (replicated sharding)."""
     rep = NamedSharding(mesh, P())
     out = (jax.device_put(table, rep), jax.device_put(lut, rep))
     if soup is not None:
         out += (tuple(jax.device_put(a, rep) for a in soup),)
+    if hf_mips is not None:
+        out += (jax.device_put(hf_mips, rep),)
     return out

@@ -357,19 +357,26 @@ class Renderer:
             # camera-dependent ActiveSoup cull is single-device)
             soup = self._get_soup()
             soup = soup if isinstance(soup, tuple) else None
+            # heightfield bounce/NEE engine on every chip (world-fixed,
+            # so it closes over the step like the node table)
+            hf_flat, hf_offs, hf_rgb = self._get_hf()
             if soup is not None:
-                self.table, self.lut, soup = replicate_world(
-                    mesh, self.table, self.lut, soup
+                self.table, self.lut, soup, *hf = replicate_world(
+                    mesh, self.table, self.lut, soup, hf_mips=hf_flat
                 )
             else:
-                self.table, self.lut = replicate_world(mesh, self.table,
-                                                       self.lut)
+                self.table, self.lut, *hf = replicate_world(
+                    mesh, self.table, self.lut, hf_mips=hf_flat
+                )
+            if hf:
+                hf_flat = hf[0]
             self._dist_step = sample_sharded_step(
                 mesh, self.table, self.root, self.tree_height, self.lut,
                 self.width, self.height, max_bounces=self.max_bounces,
                 fog_steps=self.fog_steps, soup=soup,
                 soup_slots=(self._soup_slots() if soup is not None
                             else None),
+                hf_mips=hf_flat, hf_offsets=hf_offs, terrain_rgb=hf_rgb,
             )
             self._dist_slots = self._soup_slots()
         return self._dist_step
