@@ -291,3 +291,35 @@ def test_row_band_soup_matches_full_frame():
                           np.asarray(cam.pos, np.float32), cam.basis(),
                           sun_vec(), seed, 32, 24, row0=6, rows=10, **kw)
     assert np.array_equal(np.asarray(full)[6:16], np.asarray(band2))
+
+
+def test_render_samples_fused_soup_equals_serial():
+    """The fused batch with rasterized primaries (one k-batched resolve,
+    kernels/raster.py) must equal per-sample accumulation bit-for-bit:
+    identical primaries, identical per-lane paths, identical sum order."""
+    from voxtracer.kernels.integrator import render_samples
+    from voxtracer.kernels.raster import pack_box_attr
+    from voxtracer.world import worldgen
+    from voxtracer.world.boxes import extract_boxes
+
+    space = worldgen.generate(log2_size=6, verbose=False)
+    dev = space.serialize()
+    table = jnp.asarray(dev.table.view(np.int32))
+    root = np.int32(dev.root)
+    soup = extract_boxes(dev)
+    sargs = (jnp.asarray(soup.lo), jnp.asarray(soup.size),
+             jnp.asarray(pack_box_attr(soup)))
+    cam = vcam.Camera(pos=(20.0, 50.0, 12.0), yaw=0.7, pitch=-0.5)
+    seeds = np.stack([np.array([7 * i + 1, i, 5 * i + 2], np.uint32)
+                      for i in range(3)])
+    kw = dict(max_bounces=3, fog_steps=8, soup=sargs)
+    total = render_samples(table, root, dev.height, LUT,
+                           np.asarray(cam.pos, np.float32), cam.basis(),
+                           sun_vec(), jnp.asarray(seeds), 48, 32, **kw)
+    acc = None
+    for s in seeds:
+        r = np.asarray(render_sample(
+            table, root, dev.height, LUT, np.asarray(cam.pos, np.float32),
+            cam.basis(), sun_vec(), jnp.asarray(s), 48, 32, **kw))
+        acc = r if acc is None else acc + r
+    assert np.array_equal(np.asarray(total), acc)

@@ -297,3 +297,58 @@ def test_want_voxel_false_shading_parity(clutter):
     for k in ("hit", "t", "normal", "rgb"):
         assert np.array_equal(np.asarray(full[k])[16:32],
                               np.asarray(band[k])), k
+
+
+def test_k_batched_jitter_resolve(terrain):
+    """A leading (k,) sample axis on ray_dirs resolves k jitters of one
+    pose in a single pass; every per-sample output must equal the k
+    separate casts bit-for-bit (same candidates, same fold order) —
+    including through the per-ray fallback when tiles stay incomplete."""
+    from voxtracer.kernels.raster import raster_cast_exact
+
+    dev, args = _soup_args(terrain)
+    table = jnp.asarray(dev.table.view(np.int32))
+    root = np.int32(dev.root)
+    s = 64 / 8192
+    cam = vcam.Camera(pos=(800.2352 * s, 1511.8693 * s, 654.40125 * s),
+                      yaw=-5.3800497, pitch=0.21999985)
+    op = np.asarray(cam.pos, np.float32)
+    basis = np.asarray(cam.basis(), np.float32)
+    W, H = 96, 56
+    K = 3
+    rng = np.random.default_rng(11)
+    ds = jnp.stack([
+        vcam.generate_rays(cam, W, H,
+                           jitter=jnp.asarray(rng.random((H, W, 2),
+                                                         np.float32)))[1]
+        for _ in range(K)
+    ])
+
+    for kw in (dict(),
+               # starve cand_k/widen budgets so the fallback engages
+               dict(cand_k=8, widen_k=8, widen2_k=8, widen3_k=8)):
+        batched = raster_cast_exact(
+            *args, op, basis, dev.height, W, H, table=table, root=root,
+            ray_dirs=ds, want_voxel=True, **kw,
+        )
+        assert batched["hit"].shape == (K, H, W)
+        for i in range(K):
+            single = raster_cast_exact(
+                *args, op, basis, dev.height, W, H, table=table,
+                root=root, ray_dirs=ds[i], want_voxel=True, **kw,
+            )
+            for f in ("hit", "t", "normal", "node", "rgb", "voxel"):
+                np.testing.assert_array_equal(
+                    np.asarray(batched[f])[i], np.asarray(single[f]),
+                    err_msg=f"{f} (sample {i}, kw={kw})")
+
+    # shading-only path (the PT batch's configuration)
+    b2 = raster_cast_exact(*args, op, basis, dev.height, W, H,
+                           table=table, root=root, ray_dirs=ds,
+                           want_voxel=False)
+    s0 = raster_cast_exact(*args, op, basis, dev.height, W, H,
+                           table=table, root=root, ray_dirs=ds[1],
+                           want_voxel=False)
+    for f in ("hit", "t", "normal", "rgb"):
+        np.testing.assert_array_equal(np.asarray(b2[f])[1],
+                                      np.asarray(s0[f]), err_msg=f)

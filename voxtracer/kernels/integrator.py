@@ -643,18 +643,19 @@ def render_samples(
                     pair_slots=slots_kw.get("pair_slots"), jittered=True,
                 )
 
-            def cast(d_i):
-                pr = raster_mod.raster_cast_exact(
-                    soup[0], soup[1], soup[2],
-                    jnp.asarray(cam_pos, jnp.float32), cam_basis, height,
-                    width_px, height_px, table=table, root=root,
-                    ray_dirs=d_i, bins=soup_bins, want_voxel=False,
-                    **slots_kw,
-                )
-                return dict(hit=pr["hit"], t=pr["t"],
-                            normal=pr["normal"], rgb=pr["rgb"])
-
-            primary = jax.lax.map(cast, d)
+            # ONE k-batched resolve: the per-tile candidate row gathers
+            # (the resolve's serialized cost) are paid once for all k
+            # jitters; the slab math — vector work — scales with k
+            # (kernels/raster.py, bit-identical to k separate casts)
+            pr = raster_mod.raster_cast_exact(
+                soup[0], soup[1], soup[2],
+                jnp.asarray(cam_pos, jnp.float32), cam_basis, height,
+                width_px, height_px, table=table, root=root,
+                ray_dirs=d, bins=soup_bins, want_voxel=False,
+                **slots_kw,
+            )
+            primary = dict(hit=pr["hit"], t=pr["t"],
+                           normal=pr["normal"], rgb=pr["rgb"])
 
         B = k * height_px * width_px
         fl = lambda a: a.reshape((B,) + a.shape[3:])

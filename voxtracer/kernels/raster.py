@@ -596,7 +596,12 @@ def raster_cast(
         the pixel-center rays — for sub-pixel-jittered path-tracing
         primaries (render_sample). Each ray must stay within its pixel's
         footprint (the box bboxes are then padded by the half-pixel
-        jitter range).
+        jitter range). A leading sample axis (k, H, W, 3) resolves k
+        jitters of the SAME pose in one pass: the per-tile candidate
+        row gathers (the resolve's serialized cost, PERF.md) are paid
+        once and the slab math — vector work — scales with k; outputs
+        then carry the leading k axis. Bit-identical per sample to k
+        separate casts (same candidates, same fold order).
       bins: optional pose-only raster state from ``raster_bins`` (same
         box arrays, pose, and cand_k/near_slots/pair_slots; jittered
         bins when ray_dirs is used). Skips projection/emission/sorting —
@@ -716,20 +721,31 @@ def raster_cast(
         indexing="ij",
     )
     pix_ok = (pxp < W) & (pyp < H)
+    KS = 1  # jitter samples resolved together (leading ray_dirs axis)
     if ray_dirs is None:
         d_pad = _ray_dirs_for_pixels(
             jnp.minimum(pxp, W - 1), jnp.minimum(pyp, H - 1), basis, W, H
-        )
+        )[None]
     else:
         rd = jnp.asarray(ray_dirs, jnp.float32)  # (HB, W, 3) band rows
+        if rd.ndim == 3:
+            rd = rd[None]
+        KS = rd.shape[0]
         d_pad = jnp.pad(
-            rd, ((0, HP - rd.shape[0]), (0, WP - W), (0, 0)), mode="edge",
+            rd, ((0, 0), (0, HP - rd.shape[1]), (0, WP - W), (0, 0)),
+            mode="edge",
         )
     tile_of = lambda a: a.reshape(TB, TILE, TW, TILE, -1).transpose(
         0, 2, 1, 3, 4
     ).reshape(NTA, TILE * TILE, -1)
-    d_t = tile_of(d_pad)  # (NTA, 64, 3)
-    ok_t = tile_of(pix_ok[..., None])[..., 0]  # (NTA, 64)
+    # per-tile rays: the KS jitters stack inside the tile's ray axis
+    # (r = sample * 64 + intile) — every downstream resolve stage is
+    # shape-agnostic over that axis
+    d_t = d_pad.reshape(KS, TB, TILE, TW, TILE, 3).transpose(
+        1, 3, 0, 2, 4, 5
+    ).reshape(NTA, KS * TILE * TILE, 3)
+    ok_t1 = tile_of(pix_ok[..., None])[..., 0]  # (NTA, 64)
+    ok_t = jnp.tile(ok_t1, (1, KS))  # (NTA, KS*64)
 
     # Shading-only callers (want_voxel=False: PT primaries, preview,
     # bench) carry the winner's RGB through the resolve instead of
@@ -778,13 +794,14 @@ def raster_cast(
             valid[None, :, None] & hit,
         ), None
 
+    R = KS * TILE * TILE
     carry0 = (
-        jnp.full((NTA, TILE * TILE), jnp.inf, jnp.float32),
-        jnp.full((NTA, TILE * TILE), -1, jnp.int32),
+        jnp.full((NTA, R), jnp.inf, jnp.float32),
+        jnp.full((NTA, R), -1, jnp.int32),
     )
     if carry_rgb:
         carry0 = carry0 + (
-            jnp.zeros((NTA, TILE * TILE, 3), jnp.float32),)
+            jnp.zeros((NTA, R, 3), jnp.float32),)
     carry, _ = jax.lax.scan(
         near_chunk, carry0,
         (near_idx.reshape(-1, CHUNK), near_valid.reshape(-1, CHUNK)),
@@ -889,10 +906,12 @@ def raster_cast(
     fb_need = fb_valid[:, None] & (tb[fb_local] >= drop_cur[fb_local][:, None])
 
     # ---- reassemble dense frame (band rows when band_rows is set) -------
+    PF = KS * P  # flattened pixels across the KS jitter samples
+
     def untile(a):
-        return a.reshape(TB, TW, TILE, TILE).transpose(0, 2, 1, 3).reshape(
-            HP, WP
-        )[:HB, :W].reshape(P)
+        return a.reshape(TB, TW, KS, TILE, TILE).transpose(
+            2, 0, 3, 1, 4
+        ).reshape(KS, HP, WP)[:, :HB, :W].reshape(PF)
 
     t_px = untile(tb)
     pl_px = untile(plb)
@@ -914,16 +933,17 @@ def raster_cast(
         # shading-only: RGB rode the resolve carry — no per-pixel
         # gather; `node` is not computed (want_voxel callers get it)
         win = None
-        node = jnp.full((P,), -1, jnp.int32)
+        node = jnp.full((PF,), -1, jnp.int32)
         rgb = jnp.where(
             hit_px[:, None],
-            rgbb.reshape(TB, TW, TILE, TILE, 3).transpose(
-                0, 2, 1, 3, 4).reshape(HP, WP, 3)[:HB, :W].reshape(P, 3),
+            rgbb.reshape(TB, TW, KS, TILE, TILE, 3).transpose(
+                2, 0, 3, 1, 4, 5).reshape(KS, HP, WP, 3)[
+                :, :HB, :W].reshape(PF, 3),
             0.0,
         )
     if _stage == 8:
         return dict(t_px=t_px, pl_px=pl_px, rgb=rgb)
-    d_flat = d_pad[:HB, :W].reshape(P, 3)
+    d_flat = d_pad[:, :HB, :W].reshape(PF, 3)
     d_sign = jnp.sign(d_flat)
     normal = jnp.where(
         (win_axis[:, None] == jnp.arange(3, dtype=jnp.int32)[None, :])
@@ -955,14 +975,14 @@ def raster_cast(
         )
         voxel = jnp.where(hit_px[:, None], voxel, 0)
     else:
-        voxel = jnp.zeros((P, 3), jnp.int32)
+        voxel = jnp.zeros((PF, 3), jnp.int32)
 
     t_out = jnp.where(hit_px, t_px, 0.0)
     overflow = (
         jnp.any(n_tier > jnp.asarray((NS,) + pair_slots))
         | (n_fb > NFB)
     )
-    shp = (HB, W)
+    shp = (KS, HB, W) if KS > 1 else (HB, W)
     return dict(
         hit=hit_px.reshape(shp),
         t=t_out.reshape(shp),
@@ -995,8 +1015,10 @@ def apply_fallback(
     tile ids; ``res``/``ray_dirs`` are band-shaped).
     """
     W, H = width_px, height_px
-    HB = res["hit"].shape[0]  # band rows (== H when full-frame)
+    KS = res["hit"].shape[0] if res["hit"].ndim == 3 else 1
+    HB = res["hit"].shape[-2]  # band rows (== H when full-frame)
     P = W * HB
+    PF = KS * P
     TW = -(-W // TILE)
     band_y0 = jnp.asarray(band_row0, jnp.int32)
     fb_tiles = res["fb_tiles"]
@@ -1013,11 +1035,16 @@ def apply_fallback(
     if ray_dirs is None:
         fd = _ray_dirs_for_pixels(
             jnp.minimum(fpx, W - 1), jnp.minimum(fpy, H - 1), basis, W, H
-        )
+        )[:, None, :, :]  # (NFB, 1, 64, 3)
     else:
-        fd = jnp.asarray(ray_dirs, jnp.float32)[
-            jnp.clip(fpy - band_y0, 0, HB - 1), jnp.minimum(fpx, W - 1)
-        ]
+        rd = jnp.asarray(ray_dirs, jnp.float32)
+        if rd.ndim == 3:
+            rd = rd[None]
+        fd = rd[
+            :, jnp.clip(fpy - band_y0, 0, HB - 1), jnp.minimum(fpx, W - 1)
+        ].transpose(1, 0, 2, 3)  # (NFB, KS, 64, 3)
+    # match raster_cast's per-tile ray layout r = sample * 64 + intile
+    fd = fd.reshape(fd.shape[0], -1, 3)  # (NFB, KS*64, 3)
     # only the rays raster_cast proved incomplete re-cast (fb_need);
     # provably-complete rays of the same tile keep their raster result
     need = res["fb_need"]
@@ -1028,18 +1055,25 @@ def apply_fallback(
     # the traversal's cap is advisory — enforce it strictly here
     fb_hit = fr["hit"] & (fr["t"] <= distance) & need
     fpy_l = fpy - band_y0  # band-local rows
+    pid_tile = jnp.where(
+        (fpx < W) & (fpy < H) & (fpy_l >= 0) & (fpy_l < HB),
+        fpy_l * W + fpx, jnp.int32(-1),
+    )  # (NFB, 64) pixel id within one sample's frame
+    kk = jnp.arange(KS, dtype=jnp.int32)[None, :, None]
+    need3 = need.reshape(need.shape[0], KS, TILE * TILE)
     fpid = jnp.where(
-        need & (fpx < W) & (fpy < H) & (fpy_l >= 0) & (fpy_l < HB),
-        fpy_l * W + fpx, P,
-    ).reshape(-1)
+        need3 & (pid_tile[:, None, :] >= 0),
+        kk * P + pid_tile[:, None, :], PF,
+    ).reshape(-1)  # (NFB*KS*64,) into the KS-stacked flat frame
 
     def put(dst, src):
-        flat = dst.reshape((P,) + dst.shape[2:])
-        src = src.reshape((NFB * TILE * TILE,) + src.shape[2:])
+        trailing = dst.shape[3:] if KS > 1 else dst.shape[2:]
+        flat = dst.reshape((PF,) + trailing)
+        src = src.reshape((NFB * KS * TILE * TILE,) + src.shape[2:])
         padded = jnp.concatenate(
             [flat, jnp.zeros((1,) + flat.shape[1:], flat.dtype)]
         )
-        return padded.at[fpid].set(src, mode="drop")[:P].reshape(dst.shape)
+        return padded.at[fpid].set(src, mode="drop")[:PF].reshape(dst.shape)
 
     out = dict(res)
     out["hit"] = put(res["hit"], fb_hit)
