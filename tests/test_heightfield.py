@@ -272,3 +272,119 @@ def test_tile_size_invariant(world):
         for k in ("hit", "t", "normal", "voxel"):
             np.testing.assert_array_equal(np.asarray(a[k]),
                                           np.asarray(b[k]))
+
+
+def test_edited_world_hybrid_cast():
+    """hf_raycast_edited (pre-edit walk + SVO re-cast of lanes that can
+    see the edit bounds) must match a pure svo_raycast on the EDITED
+    world lane-for-lane; the re-cast set must stay small (that's the
+    point) and nonzero (else the test is vacuous)."""
+    from voxtracer.kernels.heightfield import hf_raycast_edited
+
+    space = worldgen.generate(log2_size=LOG2, verbose=False)
+    mips = build_height_mips(space.heights)  # PRE-edit pack
+    h0 = np.asarray(space.heights)
+    # dig a hole and place a white block near the terrain surface
+    cx, cz = np.unravel_index(np.argmax(h0[8:56, 8:56]), (48, 48))
+    cx, cz = int(cx) + 8, int(cz) + 8
+    top = int(h0[cx, cz])
+    assert top >= 2
+    edits = []
+    for dx in range(2):
+        for dz in range(2):
+            space.set((cx + dx, top - 1, cz + dz), None)  # dig
+            edits.append((cx + dx, top - 1, cz + dz))
+    # place a white block just above the dig site (edits cluster in a
+    # real editing session; the driver tracks ONE bounds box)
+    space.set((cx, top + 2, cz), (1.0, 1.0, 1.0))
+    edits.append((cx, top + 2, cz))
+    assert space.edited
+    dev = space.serialize()
+    table = jnp.asarray(dev.table.view(np.int32))
+    root = np.int32(dev.root)
+    lo = np.min(np.asarray(edits), axis=0).astype(np.float32) - 1.0
+    hi = np.max(np.asarray(edits), axis=0).astype(np.float32) + 2.0
+    bounds = jnp.asarray(np.stack([lo, hi]))
+
+    rng = np.random.default_rng(17)
+    B = 4096
+    start = np.stack([
+        rng.uniform(8, 56, B), rng.uniform(10, 60, B), rng.uniform(8, 56, B)
+    ], -1).astype(np.float32)
+    d = rng.normal(size=(B, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    # aim a slice of rays straight at the edits so the re-cast set is
+    # exercised for sure
+    tgt = np.array([cx + 0.5, top + 0.5, cz + 0.5], np.float32)
+    d[:256] = tgt[None] - start[:256]
+    d[:256] /= np.linalg.norm(d[:256], axis=-1, keepdims=True)
+
+    flat, offs, hh = mips
+    hyb = hf_raycast_edited(flat, offs, hh, table, root, bounds,
+                            jnp.asarray(start), jnp.asarray(d))
+    ref = svo_raycast(table, root, hh, jnp.asarray(start), jnp.asarray(d))
+
+    n_aff = int(np.asarray(hyb["from_svo"]).sum())
+    assert 0 < n_aff < B // 4, f"re-cast set {n_aff} of {B}"
+
+    mism = np.asarray(hyb["hit"]) != np.asarray(ref["hit"])
+    both = np.asarray(hyb["hit"]) & np.asarray(ref["hit"])
+    mism |= both & (np.asarray(hyb["t"]) != np.asarray(ref["t"]))
+    mism |= both & np.any(
+        np.asarray(hyb["normal"]) != np.asarray(ref["normal"]), -1)
+    mism |= both & np.any(
+        np.asarray(hyb["voxel"]) != np.asarray(ref["voxel"]), -1)
+    assert int(mism.sum()) <= 2, (
+        f"{int(mism.sum())} lanes diverge from the edited-world SVO cast"
+    )
+    # re-cast lanes must expose the SVO leaf (placed blocks shade by it)
+    aff_hit = np.asarray(hyb["from_svo"]) & np.asarray(hyb["hit"])
+    assert np.all(np.asarray(hyb["node"])[aff_hit] >= 0)
+
+
+def test_edited_world_pt_radiance():
+    """render_sample with the hybrid heightfield cast (hf + edit
+    bounds) must reproduce the pure-SVO render of the EDITED world —
+    the editing session keeps the fast engine without changing a pixel
+    (graze budget as ever)."""
+    from voxtracer.core import camera as vcam
+    from voxtracer.core.spectra import build_wl_to_rgb_lut
+    from voxtracer.kernels.integrator import render_sample
+
+    space = worldgen.generate(log2_size=LOG2, verbose=False)
+    mips = build_height_mips(space.heights)
+    h0 = np.asarray(space.heights)
+    cx, cz = np.unravel_index(np.argmax(h0[8:56, 8:56]), (48, 48))
+    cx, cz = int(cx) + 8, int(cz) + 8
+    top = int(h0[cx, cz])
+    space.set((cx, top - 1, cz), None)
+    space.set((cx, top + 1, cz), (1.0, 1.0, 1.0))  # emissive placed block
+    dev = space.serialize()
+    table = jnp.asarray(dev.table.view(np.int32))
+    root = np.int32(dev.root)
+    bounds = jnp.asarray(
+        np.stack([np.array([cx - 1, top - 2, cz - 1], np.float32),
+                  np.array([cx + 2, top + 3, cz + 2], np.float32)]))
+    lut = jnp.asarray(build_wl_to_rgb_lut(256))
+    cam = vcam.Camera(pos=(cx - 14.0, top + 9.0, cz - 10.0),
+                      yaw=0.65, pitch=-0.45)
+    sun = np.array([0.5, 0.8, 0.33], np.float32)
+    sun /= np.linalg.norm(sun)
+    seed = jnp.asarray(np.array([3, 77, 19], np.uint32))
+    flat, offs, hh = mips
+    kw = dict(max_bounces=4, fog_steps=8)
+    a = render_sample(table, root, hh, lut,
+                      np.asarray(cam.pos, np.float32), cam.basis(),
+                      jnp.asarray(sun), seed, 64, 48, **kw)
+    b = render_sample(table, root, hh, lut,
+                      np.asarray(cam.pos, np.float32), cam.basis(),
+                      jnp.asarray(sun), seed, 64, 48,
+                      hf_mips=flat, hf_offsets=offs,
+                      terrain_rgb=jnp.asarray(space.terrain_rgb,
+                                              jnp.float32),
+                      hf_edit_bounds=bounds, **kw)
+    a = np.asarray(a)
+    b = np.asarray(b)
+    bad = np.any(a != b, axis=-1)
+    assert int(bad.sum()) <= 4, f"{int(bad.sum())} pixels diverge"
+    assert b.sum() > 0

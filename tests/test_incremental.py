@@ -130,13 +130,11 @@ def test_renderer_apply_edits_matches_rebuild():
     np.testing.assert_array_equal(np.asarray(r.solid_leaf), full.solid_leaf)
     assert int(r.root) == (full.root if full.root != EMPTY else -1)
 
-    # rendered output equals a from-scratch renderer with the same seed.
-    # apply_edits drops the rasterized-primary soup (rebuild would
-    # dominate edit latency), so compare against the same engine: the
-    # raster and per-ray primaries differ by ~1 ulp of t at edge pixels,
-    # which this bit-exactness check is not about.
-    r2 = Renderer(full, 16, 12, max_bounces=2, fog_steps=4, seed=11,
-                  use_soup=False)
+    # rendered output equals a from-scratch renderer with the same seed
+    # and engines: the soup was never materialized before the edit, so
+    # apply_edits keeps rasterized primaries and the lazy extraction
+    # reads the already-edited world — identical to a fresh build.
+    r2 = Renderer(full, 16, 12, max_bounces=2, fog_steps=4, seed=11)
     from voxtracer.core import camera as vcam
 
     cam = vcam.Camera(pos=(4.0, 6.0, -3.0), yaw=0.1, pitch=-0.4)
@@ -205,3 +203,45 @@ def test_soup_patch_matches_rebuild():
         want = frame(fresh, space)
         for k in ("hit", "t", "normal", "rgb"):
             assert np.array_equal(got[k], want[k]), (p, val, k)
+
+
+def test_renderer_edit_session_keeps_hf_engine():
+    """A terrain Renderer keeps the heightfield bounce/NEE engine and
+    the rasterized primaries through a point-edit session (apply_edits
+    with edit coords): radiance must equal a from-scratch Renderer of
+    the edited world running the plain engines."""
+    from voxtracer.core import camera as vcam
+    from voxtracer.render.driver import Renderer
+    from voxtracer.world import worldgen
+
+    space = worldgen.generate(log2_size=6, verbose=False)
+    h0 = np.asarray(space.heights)
+    r = Renderer(space.serialize(), 32, 24, max_bounces=3, fog_steps=8,
+                 seed=5)
+    cx, cz = np.unravel_index(np.argmax(h0[8:56, 8:56]), (48, 48))
+    cx, cz = int(cx) + 8, int(cz) + 8
+    top = int(h0[cx, cz])
+    edits = [(cx, top - 1, cz), (cx, top + 1, cz)]
+    space.set(edits[0], None)
+    space.set(edits[1], (1.0, 1.0, 1.0))
+    r.apply_edits(space, edits=edits)
+    # the session keeps both fast engines
+    assert r.use_soup
+    assert r._get_hf()[0] is not None
+    assert r._hf_bounds() is not None
+    # and the sun maps are gated (they prove pre-edit visibility)
+    assert r._get_sun_maps(np.array([0.5, 0.8, 0.33], np.float32)) is None
+
+    r2 = Renderer(space.serialize(), 32, 24, max_bounces=3, fog_steps=8,
+                  seed=5)
+    assert r2._get_hf()[0] is None  # edited + no tracked bounds
+
+    cam = vcam.Camera(pos=(cx - 14.0, top + 9.0, cz - 10.0),
+                      yaw=0.65, pitch=-0.45)
+    sun = np.array([0.5, 0.8, 0.33])
+    r.sample(cam, sun)
+    r2.sample(cam, sun)
+    a = np.asarray(r.acc.mean())
+    b = np.asarray(r2.acc.mean())
+    bad = np.any(a != b, axis=-1)
+    assert int(bad.sum()) <= 4, f"{int(bad.sum())} pixels diverge"

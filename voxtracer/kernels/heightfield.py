@@ -545,3 +545,91 @@ def hf_raycast(flat_mips, offsets: tuple, height: int, start, d,
         for k in _HIT_KEYS:
             st[k] = full_hits[k].at[perm].set(st[k])
     return _hf_finalize(st, d_sign, batch_shape)
+
+
+def hf_raycast_edited(flat_mips, offsets: tuple, height: int, table,
+                      root, edit_bounds, start, d, distance=FAR,
+                      active=None, min_bucket: int = 0,
+                      tile_steps: int = 3):
+    """Heightfield cast for an EDITED terrain world: the fast pre-edit
+    walk plus an exact SVO re-cast for the (few) lanes whose segment
+    can see the edits.
+
+    Point edits confine every geometry difference to ``edit_bounds``
+    ((2, 3) f32 [lo, hi), already inflated by >= 1 voxel by the caller
+    — render/driver.py apply_edits). A lane's pre-edit result is valid
+    unless its ray reaches the bounds no later than that result
+    (a dig can only remove a hit inside the bounds; a placed block can
+    only add one there), so only those lanes re-cast against the
+    CURRENT node table — the rest keep the ~4x cheaper walk
+    (PERF.md). Merged results equal a pure svo_raycast on the edited
+    world lane-for-lane (tests/test_heightfield.py, the usual
+    edge-graze budget).
+
+    Returns hit/t/normal/voxel plus ``node`` (the SVO leaf for re-cast
+    lanes, -1 where the heightfield answered — placed blocks shade by
+    their own leaf color, terrain by the interned terrain color) and
+    ``from_svo`` (the re-cast mask).
+    """
+    from voxtracer.kernels.traverse import (svo_raycast,
+                                            svo_raycast_bucketed)
+
+    r1 = hf_raycast(flat_mips, offsets, height, start, d,
+                    distance=distance, active=active,
+                    min_bucket=min_bucket, tile_steps=tile_steps)
+    bshape = r1["hit"].shape
+    p = jnp.broadcast_to(jnp.asarray(start, jnp.float32),
+                         bshape + (3,)).reshape(-1, 3)
+    dd = jnp.asarray(d, jnp.float32).reshape(-1, 3)
+    lo = jnp.asarray(edit_bounds, jnp.float32)[0]
+    hi = jnp.asarray(edit_bounds, jnp.float32)[1]
+    # conservative slab entry (the caller's >=1 voxel inflation buries
+    # f32 wobble): parallel axes pass iff the origin sits in-slab
+    par = jnp.abs(dd) < EPS
+    inv = 1.0 / jnp.where(par, jnp.float32(EPS), dd)
+    ta = (lo[None] - p) * inv
+    tb = (hi[None] - p) * inv
+    # parallel axes constrain nothing along t (par_ok gates them by the
+    # origin being in-slab) — force their interval to (-inf, inf)
+    mn = jnp.where(par, -jnp.inf, jnp.minimum(ta, tb))
+    mx = jnp.where(par, jnp.inf, jnp.maximum(ta, tb))
+    t_en = jnp.max(mn, axis=-1)
+    t_ex = jnp.min(mx, axis=-1)
+    par_ok = jnp.all(
+        ~par | ((p >= lo[None]) & (p <= hi[None])), axis=-1,
+    )
+    reaches = (t_en <= t_ex) & (t_ex >= 0.0) & par_ok
+    hit1 = r1["hit"].reshape(-1)
+    t1 = r1["t"].reshape(-1)
+    affected = reaches & (~hit1 | (jnp.maximum(t_en, 0.0) <= t1 + 2.0))
+    if active is not None:
+        affected = affected & jnp.asarray(active).reshape(-1)
+
+    nb = p.shape[0]
+    # per-lane distance caps (fog-bounded segments) flatten with the rays
+    dist2 = jnp.asarray(distance, jnp.float32)
+    if dist2.ndim:
+        dist2 = jnp.broadcast_to(dist2, bshape).reshape(-1)
+    if min_bucket > 0 and nb >= 4 * min_bucket:
+        r2 = svo_raycast_bucketed(
+            table, root, height, p, dd, distance=dist2,
+            min_bucket=min_bucket, active=affected,
+        )
+    else:
+        r2 = svo_raycast(table, root, height, p, dd, distance=dist2,
+                         active=affected)
+
+    aff = affected.reshape(bshape)
+    out = dict(
+        hit=jnp.where(aff, r2["hit"].reshape(bshape), r1["hit"]),
+        t=jnp.where(aff, r2["t"].reshape(bshape), r1["t"]),
+        normal=jnp.where(aff[..., None],
+                         r2["normal"].reshape(bshape + (3,)),
+                         r1["normal"]),
+        voxel=jnp.where(aff[..., None],
+                        r2["voxel"].reshape(bshape + (3,)),
+                        r1["voxel"]),
+        node=jnp.where(aff, r2["node"].reshape(bshape), -1),
+        from_svo=aff,
+    )
+    return out

@@ -75,6 +75,7 @@ def trace_paths(
     hf_offsets: tuple | None = None,
     terrain_rgb=None,
     sun_maps=None,
+    hf_edit_bounds=None,
 ):
     """Trace one spectral path per ray; returns (state, radiance (...,3)).
 
@@ -110,8 +111,17 @@ def trace_paths(
         shadow walk (two row gathers instead of ~7+); the residue takes
         the exact cast, so radiance is bit-identical
         (tests/test_sunshadow.py, tests/test_integrator.py).
+      hf_edit_bounds: optional (2, 3) f32 [lo, hi) covering every point
+        edit since worldgen (inflated >= 1 voxel). Keeps the heightfield
+        engine on EDITED terrain: lanes whose segment can see the bounds
+        re-cast against the current node table, shading placed blocks by
+        their own leaf; the rest keep the fast pre-edit walk
+        (kernels.heightfield.hf_raycast_edited — lane-for-lane equal to
+        the pure SVO cast on the edited world).
     """
     use_hf = hf_mips is not None
+    if hf_edit_bounds is not None:
+        sun_maps = None  # the maps prove PRE-edit visibility only
 
     def svo_cast(pos_, d_, distance=FAR, active=None):
         """Bounce/NEE casts are incoherent with heavy-tailed finish times,
@@ -122,9 +132,15 @@ def trace_paths(
         for s in d_.shape[:-1]:
             nb *= int(s)
         if use_hf:
-            from voxtracer.kernels.heightfield import hf_raycast
+            from voxtracer.kernels.heightfield import (hf_raycast,
+                                                       hf_raycast_edited)
 
             mb = 1024 if (compact and nb >= 16384) else 0
+            if hf_edit_bounds is not None:
+                return hf_raycast_edited(
+                    hf_mips, hf_offsets, height, table, root,
+                    hf_edit_bounds, pos_, d_, distance=distance,
+                    active=active, min_bucket=mb)
             return hf_raycast(hf_mips, hf_offsets, height, pos_, d_,
                               distance=distance, active=active,
                               min_bucket=mb)
@@ -205,6 +221,14 @@ def trace_paths(
                     jnp.asarray(terrain_rgb, jnp.float32),
                     use_svo.shape + (3,),
                 )
+                if hf_edit_bounds is not None:
+                    # re-cast lanes shade by their SVO leaf (placed
+                    # blocks are not terrain-colored; emissive detection
+                    # reads this rgb)
+                    svo_rgb = jnp.where(
+                        (svo["from_svo"] & svo["hit"])[..., None],
+                        leaf_rgb(table, svo["node"]), svo_rgb,
+                    )
             else:
                 svo_rgb = leaf_rgb(table, svo["node"])
 
@@ -400,6 +424,7 @@ def render_sample(
     hf_offsets: tuple | None = None,
     terrain_rgb=None,
     sun_maps=None,
+    hf_edit_bounds=None,
 ):
     """One progressive sample: 1 spectral path per pixel (raytrace.wgsl:415-430).
 
@@ -524,7 +549,7 @@ def render_sample(
             max_bounces=max_bounces, fog_steps=fog_steps, primary=primary,
             bitworld=bitworld, bit_size=bit_size, hf_mips=hf_mips,
             hf_offsets=hf_offsets, terrain_rgb=terrain_rgb,
-            sun_maps=sun_maps,
+            sun_maps=sun_maps, hf_edit_bounds=hf_edit_bounds,
         )
         return radiance
 
@@ -543,7 +568,7 @@ def render_sample(
                 max_bounces=max_bounces, fog_steps=fog_steps,
                 bitworld=bitworld, bit_size=bit_size, hf_mips=hf_mips,
                 hf_offsets=hf_offsets, terrain_rgb=terrain_rgb,
-                sun_maps=sun_maps,
+                sun_maps=sun_maps, hf_edit_bounds=hf_edit_bounds,
             )
             return c
 
@@ -558,7 +583,7 @@ def render_sample(
                 max_bounces=max_bounces, fog_steps=fog_steps, primary=pr_t,
                 bitworld=bitworld, bit_size=bit_size, hf_mips=hf_mips,
                 hf_offsets=hf_offsets, terrain_rgb=terrain_rgb,
-                sun_maps=sun_maps,
+                sun_maps=sun_maps, hf_edit_bounds=hf_edit_bounds,
             )
             return c
 
@@ -580,7 +605,7 @@ def render_samples(
     fog_steps: int = 64, row_tiles: int = 1, aug=None, soup=None,
     soup_bins=None, soup_slots=None, bitworld=None, bit_size: int = 0,
     fused: bool = True, hf_mips=None, hf_offsets: tuple | None = None,
-    terrain_rgb=None, sun_maps=None,
+    terrain_rgb=None, sun_maps=None, hf_edit_bounds=None,
 ):
     """Accumulate a batch of progressive samples in one device program.
 
@@ -666,7 +691,7 @@ def render_samples(
             sun, fl(state), max_bounces=max_bounces, fog_steps=fog_steps,
             primary=primary, bitworld=bitworld, bit_size=bit_size,
             hf_mips=hf_mips, hf_offsets=hf_offsets, terrain_rgb=terrain_rgb,
-            sun_maps=sun_maps,
+            sun_maps=sun_maps, hf_edit_bounds=hf_edit_bounds,
         )
         r = radiance.reshape((k, height_px, width_px, 3))
         # serial sum, matching the scan path's accumulation order exactly
@@ -683,6 +708,7 @@ def render_samples(
             soup_bins=soup_bins, soup_slots=soup_slots, bitworld=bitworld,
             bit_size=bit_size, hf_mips=hf_mips, hf_offsets=hf_offsets,
             terrain_rgb=terrain_rgb, sun_maps=sun_maps,
+            hf_edit_bounds=hf_edit_bounds,
         )
         return acc + s, None
 

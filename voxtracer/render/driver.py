@@ -129,6 +129,7 @@ class Renderer:
                             1 << 10, 1 << 9, 1 << 9, 1 << 8, 1 << 8)
         self._near_slots = 16
         self._hf = None  # lazy heightfield engine args (terrain worlds)
+        self._edit_bounds = None  # (2,3) box covering point edits
 
     def update_space(self, device_svo):
         """Re-upload the node table after world edits (fragment.rs:274-313)."""
@@ -147,6 +148,7 @@ class Renderer:
         # edits (or a transient extraction failure) disabled them
         self.use_soup = self._use_soup_default
         self._hf = None  # re-gate the heightfield engine on the new space
+        self._edit_bounds = None  # fresh world: no edits yet
         self._sun_maps_key = self._sun_maps = None  # heights changed
         self.acc.invalidate()
 
@@ -189,9 +191,31 @@ class Renderer:
         self._dist_step = None
         from voxtracer.world.boxes import SoupPatcher
 
-        patched = False
-        if edits is not None and isinstance(self._soup, SoupPatcher):
+        if self._soup is None:
+            # soup never materialized: the lazy extraction will read the
+            # already-edited world — nothing to patch
+            patched = True
+        elif edits is not None and isinstance(self._soup, SoupPatcher):
             patched = self._soup.apply(edits, space)
+        else:
+            patched = False
+        if edits is not None and len(edits):
+            # grow the edit bounds box: the heightfield engine survives
+            # edits by re-casting only lanes that can see it
+            # (kernels/heightfield.py hf_raycast_edited); inflated by 1
+            # voxel to bury f32 slab wobble
+            e = np.asarray(edits, np.float32).reshape(-1, 3)
+            lo = e.min(axis=0) - 1.0
+            hi = e.max(axis=0) + 2.0
+            if getattr(self, "_edit_bounds", None) is not None:
+                lo = np.minimum(lo, self._edit_bounds[0])
+                hi = np.maximum(hi, self._edit_bounds[1])
+            self._edit_bounds = np.stack([lo, hi])
+        else:
+            # unknown edit locations: the pre-edit walk cannot be
+            # trusted anywhere — disable the heightfield engine
+            self._edit_bounds = None
+            self._hf = False
         # the occlusion view reads the PRE-edit heightmap (a deleted
         # voxel can reveal boxes the old horizon proof culled) and the
         # patch lands in the full arrays only — drop the view for good
@@ -206,17 +230,22 @@ class Renderer:
         self.acc.invalidate()
 
     def _get_hf(self):
-        """Heightfield max-mip engine args for UNEDITED terrain worlds
+        """Heightfield max-mip engine args for terrain worlds
         (kernels/heightfield.py): bounce/NEE casts then walk the 2-D
         column quadtree instead of the octree — ~10x fewer serialized
         gathers per incoherent cast (PERF.md), with bit-identical
-        radiance (tests/test_heightfield.py). Returns
+        radiance (tests/test_heightfield.py). Point edits no longer
+        disable it: while apply_edits tracks their bounds box, casts use
+        the hybrid hf_raycast_edited (pre-edit walk + exact re-cast of
+        lanes that can see the box). Returns
         (hf_mips, hf_offsets, terrain_rgb), all None when unavailable
-        (edited world, no heightmap, or height mismatch)."""
+        (no heightmap, untracked edits, or height mismatch)."""
         sp = getattr(self._dev, "space", None)
         heights = getattr(sp, "heights", None)
-        if (heights is None or getattr(sp, "edited", False)
-                or self._hf is False):
+        edited = getattr(sp, "edited", False)
+        if (heights is None or self._hf is False
+                or (edited and getattr(self, "_edit_bounds", None)
+                    is None)):
             self._hf = False
             return None, None, None
         if self._hf is None:
@@ -358,8 +387,14 @@ class Renderer:
             soup = self._get_soup()
             soup = soup if isinstance(soup, tuple) else None
             # heightfield bounce/NEE engine on every chip (world-fixed,
-            # so it closes over the step like the node table)
+            # so it closes over the step like the node table). Edited
+            # worlds need the per-pose hybrid cast whose bounds change
+            # per edit — the closure would go stale, so the sharded
+            # step falls back to the SVO cast there (apply_edits
+            # invalidates _dist_step either way).
             hf_flat, hf_offs, hf_rgb = self._get_hf()
+            if self._hf_bounds() is not None:
+                hf_flat = hf_offs = hf_rgb = None
             if soup is not None:
                 self.table, self.lut, soup, *hf = replicate_world(
                     mesh, self.table, self.lut, soup, hf_mips=hf_flat
@@ -408,6 +443,16 @@ class Renderer:
         lighting = jnp.sum(sun_unit * r["normal"], axis=-1) / 2.0 + 1.0
         return r["rgb"] * lighting[..., None] * r["hit"][..., None]
 
+    def _hf_bounds(self):
+        """Edit-bounds arg for the hybrid heightfield cast: the tracked
+        (2, 3) box when the world has point edits, else None (pure
+        walk)."""
+        sp = getattr(self._dev, "space", None)
+        if (getattr(sp, "edited", False)
+                and getattr(self, "_edit_bounds", None) is not None):
+            return jnp.asarray(self._edit_bounds, jnp.float32)
+        return None
+
     def _get_sun_maps(self, sun_unit):
         """Conservative sun-visibility thresholds for this (world, sun)
         (kernels/sunshadow.py): NEE lanes the maps prove lit skip the
@@ -416,6 +461,9 @@ class Renderer:
         sun — the headless day cycle steps the sun once per frame, so
         one build serves the whole frame's samples. Returns None when
         gated (low/near-vertical sun, edited world)."""
+        sp0 = getattr(self._dev, "space", None)
+        if getattr(sp0, "edited", False):
+            return None  # thresholds prove PRE-edit visibility only
         if self._hf is False or self._hf is None and (
                 self._get_hf()[0] is None):
             return None
@@ -483,6 +531,7 @@ class Renderer:
             **dict(zip(("hf_mips", "hf_offsets", "terrain_rgb"),
                        self._get_hf())),
             sun_maps=self._get_sun_maps(sun_unit),
+            hf_edit_bounds=self._hf_bounds(),
         )
         self.acc.add(sample)
 
@@ -508,6 +557,7 @@ class Renderer:
             **dict(zip(("hf_mips", "hf_offsets", "terrain_rgb"),
                        self._get_hf())),
             sun_maps=self._get_sun_maps(sun_unit),
+            hf_edit_bounds=self._hf_bounds(),
         )
         self.acc.buffer = self.acc.buffer + total
         self.acc.samples += k
