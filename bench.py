@@ -82,6 +82,8 @@ def _enable_compile_cache():
     try:
         import jax
 
+        if jax.default_backend() == "cpu":
+            return  # CPU AOT entries are machine-specific (app/cli.py)
         jax.config.update("jax_compilation_cache_dir",
                           str(__import__("pathlib").Path(__file__).parent
                               / ".jax_cache"))

@@ -245,3 +245,25 @@ def test_renderer_edit_session_keeps_hf_engine():
     b = np.asarray(r2.acc.mean())
     bad = np.any(a != b, axis=-1)
     assert int(bad.sum()) <= 4, f"{int(bad.sum())} pixels diverge"
+
+
+def test_edit_bounds_cutoff_disables_hf():
+    """Edits spread across more than a quarter of the world edge grow
+    the hybrid's re-cast box past usefulness — the Renderer then drops
+    the heightfield engine instead of re-casting most lanes."""
+    from voxtracer.render.driver import Renderer
+    from voxtracer.world import worldgen
+
+    space = worldgen.generate(log2_size=6, verbose=False)
+    h0 = np.asarray(space.heights)
+    r = Renderer(space.serialize(), 16, 12, max_bounces=2, fog_steps=4)
+    assert r._get_hf()[0] is not None
+    e1 = (5, max(1, int(h0[5, 5])), 5)
+    e2 = (60, max(1, int(h0[60, 60])), 60)
+    space.set(e1, None)
+    r.apply_edits(space, edits=[e1])
+    assert r._get_hf()[0] is not None and r._hf_bounds() is not None
+    space.set(e2, None)
+    r.apply_edits(space, edits=[e2])
+    assert r._hf_bounds() is None
+    assert r._get_hf()[0] is None  # engine off, plain SVO bounces

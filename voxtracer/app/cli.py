@@ -263,11 +263,20 @@ def main(argv=None):
 
         import jax
 
-        jax.config.update(
-            "jax_compilation_cache_dir",
-            str(pathlib.Path(__file__).resolve().parents[2] / ".jax_cache"),
-        )
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+        # Persistent compile cache for the (minutes-long) remote TPU
+        # compiles ONLY: XLA:CPU caches AOT machine code whose CPU
+        # features are baked in at compile time — loading an entry
+        # written on a different host machine is flagged "could lead to
+        # SIGILL" and has produced real segfaults in later compiles of
+        # the same process. The CPU backend recompiles fast anyway.
+        if jax.default_backend() != "cpu":
+            jax.config.update(
+                "jax_compilation_cache_dir",
+                str(pathlib.Path(__file__).resolve().parents[2]
+                    / ".jax_cache"),
+            )
+            jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 5.0)
     except Exception:
         pass
     args = build_parser().parse_args(argv)

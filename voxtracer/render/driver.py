@@ -211,6 +211,13 @@ class Renderer:
                 lo = np.minimum(lo, self._edit_bounds[0])
                 hi = np.maximum(hi, self._edit_bounds[1])
             self._edit_bounds = np.stack([lo, hi])
+            # a session that spreads edits across the world grows the
+            # box until most lanes re-cast anyway — past a quarter of
+            # the world edge the hybrid stops paying; fall back to the
+            # plain SVO engine for bounces
+            if (hi - lo).max() > (1 << self.tree_height) / 4.0:
+                self._edit_bounds = None
+                self._hf = False
         else:
             # unknown edit locations: the pre-edit walk cannot be
             # trusted anywhere — disable the heightfield engine
