@@ -25,8 +25,10 @@ def t(fn, *args, reps=5, warmup=1):
 
 
 def main():
-    jax.config.update("jax_compilation_cache_dir", ".jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    if jax.default_backend() != "cpu":  # CPU AOT entries are host-specific
+        jax.config.update("jax_compilation_cache_dir", ".jax_cache")
+        jax.config.update(
+            "jax_persistent_cache_min_compile_time_secs", 5.0)
     print("devices:", jax.devices(), file=sys.stderr)
     rng = np.random.default_rng(0)
 

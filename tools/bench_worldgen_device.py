@@ -18,8 +18,10 @@ def log(*a):
 def main():
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    if jax.default_backend() != "cpu":  # CPU AOT entries are host-specific
+        jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+        jax.config.update(
+            "jax_persistent_cache_min_compile_time_secs", 5.0)
     sys.path.insert(0, "/root/repo")
     from voxtracer.world.worldgen import heightmap
 
