@@ -22,3 +22,20 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(1234)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Release compiled executables at module boundaries.
+
+    The full suite compiles hundreds of XLA:CPU programs in one
+    process; past a cumulative threshold the compiler itself segfaults
+    on an otherwise-fine program (reproduced twice at the same late
+    test, while every subset of the suite passes — the crash follows
+    accumulated compiler state, not any particular program). Dropping
+    the jit caches between modules bounds that accumulation; modules
+    rarely share compiled shapes, so the re-compile cost is small."""
+    yield
+    import jax
+
+    jax.clear_caches()
