@@ -14,6 +14,7 @@ cache, not the kernel.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -22,6 +23,13 @@ import numpy as np
 LOG2_SIZE = 10  # 1024^3 world (BASELINE config 3)
 W, H = 1920, 1080
 NORTH_STAR_MRAYS = 120.0
+
+# BENCH_SMOKE=1: shrink every config so the WHOLE program path runs in
+# minutes on the host CPU — a pre-flight that the real TPU invocation
+# (default sizes) cannot crash on a code bug. Numbers are meaningless.
+if os.environ.get("BENCH_SMOKE") == "1":
+    LOG2_SIZE = 7
+    W, H = 256, 144
 
 
 def log(*a):
@@ -228,6 +236,8 @@ def main():
         # slots — resolution only grows the tile/resolve side, so
         # Mrays/s rises with pixel count until the box side dominates
         W4, H4 = 3840, 2160
+        if os.environ.get("BENCH_SMOKE") == "1":
+            W4, H4 = 512, 288
         ps4 = ns4 = ws4 = None
         for lo_a, sz_a, at_a, op, basis in pose_args:
             probe = raster_mod.raster_cast(
@@ -278,7 +288,8 @@ def main():
         aug = jnp.asarray(beam_mod.build_aug_table(dev.table, dev.solid_leaf))
         f_beam = jax.jit(lambda op, d: beam_mod.beam_primary_frame(
             table, aug, root, dev.height, op, d, sun_j,
-            tile=8, K=64, max_steps=512, bands=27, rounds=6,
+            tile=8, K=64, max_steps=512,
+            bands=27 if (H // 8) % 27 == 0 else H // 8, rounds=6,
         ))
         beam_args = [
             (np.asarray(c.pos, np.float32),
@@ -296,7 +307,8 @@ def main():
     try:
         o, d = vcam.generate_rays(cam, W, H)
         f_ray = jax.jit(lambda o, d: shade.svo_primary_frame(
-            table, root, dev.height, o, d, sun_j, tiles=135,
+            table, root, dev.height, o, d, sun_j,
+            tiles=135 if H % 135 == 0 else H // 8,
         ))
         dt, _ = _time_over(
             f_ray,
@@ -316,6 +328,8 @@ def main():
     # jittered raster capacities for the primaries.
     pt_mpaths = 0.0
     PTW, PTH, PTK = 853, 480, 8
+    if os.environ.get("BENCH_SMOKE") == "1":
+        PTW, PTH, PTK = 160, 96, 2
     try:
         import os as _os
 
