@@ -33,15 +33,20 @@ def main():
     root = np.int32(dev.root)
     soup = extract_boxes(dev)
     log(f"soup {len(soup)}")
-    soup_args = (jnp.asarray(soup.lo), jnp.asarray(soup.size),
-                 jnp.asarray(raster_mod.pack_box_attr(soup)))
     cams = _cams(5, 1024 / 8192.0)
     cam_args = [(np.asarray(c.pos, np.float32), c.basis()) for c in cams]
+    # production shape: per-pose occlusion-culled actives (bench.py)
+    from voxtracer.world.active import ActiveSoup
+
+    act = ActiveSoup(soup, W, H, cap="auto",
+                     heights=getattr(space, "heights", None))
+    pose_soups = [tuple(act.active(op, basis)) for op, basis in cam_args]
+    log(f"active cull: {act.n_active} of {len(soup)}")
 
     ps = ns = ws = None
-    for op, basis in cam_args:
+    for sa, (op, basis) in zip(pose_soups, cam_args):
         probe = raster_mod.raster_cast(
-            *soup_args, op, basis, dev.height, W, H, want_voxel=False,
+            *sa, op, basis, dev.height, W, H, want_voxel=False,
         )
         ps = raster_mod.fit_pair_slots(probe["n_tier"], current=ps)
         ns = raster_mod.fit_near_slots(probe["n_tier"][0], current=ns or 0)
@@ -53,9 +58,9 @@ def main():
     fit_kw = dict(pair_slots=ps, near_slots=ns, widen_tiles=ws[0],
                   widen2_tiles=ws[1], widen3_tiles=ws[2])
     need_fb = 0
-    for op, basis in cam_args:
+    for sa, (op, basis) in zip(pose_soups, cam_args):
         probe = raster_mod.raster_cast(
-            *soup_args, op, basis, dev.height, W, H, want_voxel=False,
+            *sa, op, basis, dev.height, W, H, want_voxel=False,
             fallback_tiles=64, **fit_kw,
         )
         need_fb = max(need_fb, int(probe["n_fallback"]))
@@ -65,26 +70,27 @@ def main():
     log(f"slots pair={ps} near={ns} widen={ws} fbcap={fb} "
         f"fitted_fb={need_fb} PAIRS~{len(soup) + pairs}")
 
-    def f_exact(op, basis):
+    def f_exact(lo_a, sz_a, at_a, op, basis):
         res = raster_mod.raster_cast(
-            *soup_args, op, basis, dev.height, W, H, want_voxel=False,
-            fallback_tiles=fb, **fit_kw,
+            lo_a, sz_a, at_a, op, basis, dev.height, W, H,
+            want_voxel=False, fallback_tiles=fb, **fit_kw,
         )
         return raster_mod.apply_fallback(
             res, table, root, dev.height, op, basis, W, H,
         )["t"]
 
-    dt, _ = _time_over(f_exact, cam_args)
+    pose_args = [sa + ca for sa, ca in zip(pose_soups, cam_args)]
+    dt, _ = _time_over(f_exact, pose_args)
     log(f"EXACT frame {dt * 1e3:.1f} ms -> {W * H / dt / 1e6:.2f} Mrays/s")
 
     # raster-only (no fallback program), for the stage decomposition
-    def f_raster(op, basis):
+    def f_raster(lo_a, sz_a, at_a, op, basis):
         return raster_mod.raster_cast(
-            *soup_args, op, basis, dev.height, W, H, want_voxel=False,
-            fallback_tiles=fb, **fit_kw,
+            lo_a, sz_a, at_a, op, basis, dev.height, W, H,
+            want_voxel=False, fallback_tiles=fb, **fit_kw,
         )["t"]
 
-    dt2, _ = _time_over(f_raster, cam_args)
+    dt2, _ = _time_over(f_raster, pose_args)
     log(f"raster-only {dt2 * 1e3:.1f} ms -> {W * H / dt2 / 1e6:.2f} Mrays/s")
 
 

@@ -46,6 +46,7 @@ traverse.svo_raycast).
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -58,6 +59,12 @@ from voxtracer.kernels.traverse import (EPS, FAR, leaf_rgb,
 NEAR_EPS = 1.0e-4  # camera-space z below which corners are unprojectable
 TILE = 8  # screen tile edge (pixels)
 CHUNK = 8  # candidate boxes resolved per scan step
+# Opt-in Pallas resolve fold (kernels/pallas/resolve.py): the main
+# dense resolve's carry lives in VMEM for the whole candidate loop
+# instead of round-tripping HBM per scan chunk. Bit-identical; gated
+# off until the TPU A/B lands (remote Mosaic compile risk, CLAUDE.md).
+_PALLAS_RESOLVE = os.environ.get("VOXT_PALLAS_RESOLVE", "0") == "1"
+
 
 # Emission tier arities: tier t holds boxes whose tile-span PRODUCT
 # tw*th lies in (arity[t-1], arity[t]] and emits exactly arity[t] pairs
@@ -835,7 +842,21 @@ def raster_cast(
         )
         return out
 
-    carry = resolve_scan(carry, cand, d_t)
+    use_pl_resolve = (
+        _PALLAS_RESOLVE and carry_rgb and KS == 1
+        and isinstance(distance, (int, float))
+        and cand.shape[1] <= 32
+    )
+    if use_pl_resolve:
+        from voxtracer.kernels.pallas.resolve import resolve_fold
+
+        carry = resolve_fold(
+            (carry[0], carry[1], carry[2]), cand, d_t, cand_geom,
+            cam_pos, tree_height, float(distance),
+            interpret=jax.default_backend() == "cpu",
+        )
+    else:
+        carry = resolve_scan(carry, cand, d_t)
     tb, plb = carry[0], carry[1]
     rgbb = carry[2] if carry_rgb else None
     if _stage == 6:
