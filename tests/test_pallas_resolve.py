@@ -78,3 +78,34 @@ def test_resolve_fold_jittered_and_inside(world):
     for f in ("hit", "t", "normal", "rgb"):
         np.testing.assert_array_equal(np.asarray(a[f]), np.asarray(b[f]),
                                       err_msg=f)
+
+
+def test_resolve_fold_k_batched(world):
+    """The k-batched jitter resolve (R = KS*64 rays per tile, exact
+    128-lane packing) through the Pallas fold, bit-equal to the XLA
+    scan per sample."""
+    dev, args = world
+    cam = vcam.Camera(pos=(30.0, 34.0, 12.0), yaw=0.9, pitch=-0.3)
+    op = np.asarray(cam.pos, np.float32)
+    basis = np.asarray(cam.basis(), np.float32)
+    W, H = 64, 48
+    K = 4
+    rng = np.random.default_rng(9)
+    ds = jnp.stack([
+        vcam.generate_rays(cam, W, H,
+                           jitter=jnp.asarray(rng.random((H, W, 2),
+                                                         np.float32)))[1]
+        for _ in range(K)
+    ])
+    rmod = _flagged(False)
+    try:
+        a = raster_cast(*args, op, basis, dev.height, W, H,
+                        ray_dirs=ds, want_voxel=False)
+        _flagged(True)
+        b = raster_cast(*args, op, basis, dev.height, W, H,
+                        ray_dirs=ds, want_voxel=False)
+    finally:
+        _flagged(os.environ.get("VOXT_PALLAS_RESOLVE", "0") == "1")
+    for f in ("hit", "t", "normal", "rgb"):
+        np.testing.assert_array_equal(np.asarray(a[f]), np.asarray(b[f]),
+                                      err_msg=f)

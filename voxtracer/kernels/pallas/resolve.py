@@ -95,22 +95,33 @@ def resolve_fold(carry, cand_mat, d_loc, cand_geom, cam_pos,
                  interpret: bool = False):
     """Drop-in for kernels/raster.py resolve_scan's carry_rgb form.
 
-    carry: (t (N, 64), pl (N, 64) i32, rgb (N, 64, 3)); cand_mat:
-    (N, K) i32 candidate box ids (-1 invalid); d_loc: (N, 64, 3) ray
-    dirs; cand_geom: (M, 9) packed [lo3, size3, rgb3]; distance: static
-    float. Returns the folded carry, bit-identical to the XLA scan.
+    carry: (t (N, R), pl (N, R) i32, rgb (N, R, 3)); cand_mat: (N, K)
+    i32 candidate box ids (-1 invalid); d_loc: (N, R, 3) ray dirs;
+    cand_geom: (M, 9) packed [lo3, size3, rgb3]; distance: static
+    float. R is the per-tile ray count: 64 for plain frames (lanes
+    padded to 128), or a multiple of 128 for the k-batched jitter
+    resolve (kernels/raster.py: R = KS*64 packs exactly — each tile
+    then spans R/128 sublane rows whose geometry is repeated in prep).
+    Returns the folded carry, bit-identical to the XLA scan.
     """
     t_in, pl_in, rgb_in = carry
     N, K = cand_mat.shape
+    R = t_in.shape[1]
     assert K <= MAX_UNROLL_K, "widen-round K stays on the XLA scan"
+    assert R == TILE_RAYS or R % LANES == 0
     bound = float(1 << tree_height)
     from voxtracer.kernels.traverse import EPS
 
-    G = pl.cdiv(N, ROWS)
+    rpt = 1 if R == TILE_RAYS else R // LANES  # sublane rows per tile
+    NR = N * rpt  # total sublane rows
+    G = pl.cdiv(NR, ROWS)
     NP = G * ROWS
 
     def padt(a, fill):
-        return jnp.pad(a, ((0, NP - N),) + ((0, 0),) * (a.ndim - 1),
+        """Tile-level (N, K) arrays -> per-sublane-row (NP, K)."""
+        if rpt > 1:
+            a = jnp.repeat(a, rpt, axis=0)
+        return jnp.pad(a, ((0, NP - NR),) + ((0, 0),) * (a.ndim - 1),
                        constant_values=fill)
 
     # per-ray mirrored-arithmetic precomputes (XLA, cheap, elementwise)
@@ -121,10 +132,13 @@ def resolve_fold(carry, cand_mat, d_loc, cand_geom, cam_pos,
     cp = jnp.asarray(cam_pos, jnp.float32)
     s0 = jnp.where(d < 0.0, bound - cp, cp)
 
-    def rays(a, fill=0.0):  # (N, 64) -> (NP, 128)
-        a = padt(a, fill)
-        return jnp.pad(a, ((0, 0), (0, LANES - TILE_RAYS)),
-                       constant_values=fill)
+    def rays(a, fill=0.0):  # (N, R) -> (NP, 128)
+        if rpt > 1:
+            a = a.reshape(NR, LANES)
+        else:
+            a = jnp.pad(a, ((0, 0), (0, LANES - TILE_RAYS)),
+                        constant_values=fill)
+        return jnp.pad(a, ((0, NP - NR), (0, 0)), constant_values=fill)
 
     g = cand_geom[jnp.clip(cand_mat, 0, None)]  # (N, K, 9)
     lo = g[..., 0:3]
@@ -170,6 +184,9 @@ def resolve_fold(carry, cand_mat, d_loc, cand_geom, cam_pos,
         out_shape=out_shape,
         interpret=interpret,
     )(*args)
-    sl = lambda a: a[:N, :TILE_RAYS]
+    if rpt > 1:
+        sl = lambda a: a[:NR].reshape(N, R)
+    else:
+        sl = lambda a: a[:N, :TILE_RAYS]
     return (sl(t_o), sl(p_o),
             jnp.stack([sl(r_o), sl(g_o), sl(b_o)], axis=-1))

@@ -843,7 +843,8 @@ def raster_cast(
         return out
 
     use_pl_resolve = (
-        _PALLAS_RESOLVE and carry_rgb and KS == 1
+        _PALLAS_RESOLVE and carry_rgb
+        and (KS == 1 or KS % 2 == 0)
         and isinstance(distance, (int, float))
         and cand.shape[1] <= 32
     )
