@@ -109,3 +109,29 @@ def test_resolve_fold_k_batched(world):
     for f in ("hit", "t", "normal", "rgb"):
         np.testing.assert_array_equal(np.asarray(a[f]), np.asarray(b[f]),
                                       err_msg=f)
+
+
+def test_resolve_fold_widen_rounds(world):
+    """Starved first-pass budgets force the widen rounds (K up to 32+
+    chunked) through the Pallas fold — still bit-equal to the XLA path,
+    including the fallback bookkeeping the rounds feed."""
+    dev, args = world
+    s = 64 / 8192
+    cam = vcam.Camera(pos=(800.2352 * s, 1511.8693 * s, 654.40125 * s),
+                      yaw=-5.3800497, pitch=0.21999985)
+    op = np.asarray(cam.pos, np.float32)
+    basis = np.asarray(cam.basis(), np.float32)
+    W, H = 96, 56
+    kw = dict(cand_k=8, widen_k=40, widen2_k=72, widen3_k=8,
+              want_voxel=False)
+    rmod = _flagged(False)
+    try:
+        a = raster_cast(*args, op, basis, dev.height, W, H, **kw)
+        _flagged(True)
+        b = raster_cast(*args, op, basis, dev.height, W, H, **kw)
+    finally:
+        _flagged(os.environ.get("VOXT_PALLAS_RESOLVE", "0") == "1")
+    assert int(np.asarray(a["n_widen"])[0]) > 0, "widen rounds unexercised"
+    for f in ("hit", "t", "normal", "rgb", "n_fallback", "fb_need"):
+        np.testing.assert_array_equal(np.asarray(a[f]), np.asarray(b[f]),
+                                      err_msg=f)

@@ -846,18 +846,27 @@ def raster_cast(
         _PALLAS_RESOLVE and carry_rgb
         and (KS == 1 or KS % 2 == 0)
         and isinstance(distance, (int, float))
-        and cand.shape[1] <= 32
     )
-    if use_pl_resolve:
-        from voxtracer.kernels.pallas.resolve import resolve_fold
 
-        carry = resolve_fold(
-            (carry[0], carry[1], carry[2]), cand, d_t, cand_geom,
-            cam_pos, tree_height, float(distance),
-            interpret=jax.default_backend() == "cpu",
-        )
-    else:
-        carry = resolve_scan(carry, cand, d_t)
+    def fold(carry_in, cand_mat, d_loc):
+        """Candidate fold: the XLA scan, or the VMEM-resident Pallas
+        kernel in <=32-candidate chunks (same sequential order, so the
+        chunking is invisible — kernels/pallas/resolve.py)."""
+        if not use_pl_resolve:
+            return resolve_scan(carry_in, cand_mat, d_loc)
+        from voxtracer.kernels.pallas.resolve import (MAX_UNROLL_K,
+                                                      resolve_fold)
+
+        c = carry_in
+        for j in range(0, cand_mat.shape[1], MAX_UNROLL_K):
+            c = resolve_fold(
+                (c[0], c[1], c[2]), cand_mat[:, j:j + MAX_UNROLL_K],
+                d_loc, cand_geom, cam_pos, tree_height, float(distance),
+                interpret=jax.default_backend() == "cpu",
+            )
+        return c
+
+    carry = fold(carry, cand, d_t)
     tb, plb = carry[0], carry[1]
     rgbb = carry[2] if carry_rgb else None
     if _stage == 6:
@@ -891,7 +900,7 @@ def raster_cast(
         )
         wc = (tb[wl_c], plb[wl_c]) + (
             (rgbb[wl_c],) if carry_rgb else ())
-        w_out = resolve_scan(wc, cand2, d_t[wl_c])
+        w_out = fold(wc, cand2, d_t[wl_c])
         wix = jnp.where(wvalid, wl, NTA)
         row_put = lambda dst, src: jnp.concatenate(
             [dst, jnp.zeros_like(dst[:1])]
