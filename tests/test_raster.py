@@ -352,3 +352,39 @@ def test_k_batched_jitter_resolve(terrain):
     for f in ("hit", "t", "normal", "rgb"):
         np.testing.assert_array_equal(np.asarray(b2[f])[1],
                                       np.asarray(s0[f]), err_msg=f)
+
+
+def test_fit_helpers_contract():
+    """The demand-sizing helpers' contract: capacity covers margin *
+    demand, never shrinks (sticky growth), respects floors, and the
+    quantization stays within ~10% of the marginal need — these bound
+    both silent-overflow risk and recompile churn (PERF.md)."""
+    from voxtracer.kernels.raster import (_NTIERS, fit_near_slots,
+                                          fit_pair_slots,
+                                          fit_widen_tiles)
+
+    n_tier = np.array([3] + [0, 5, 100, 3_000, 80_000, 1_000_000,
+                             17, 2, 0, 1][:_NTIERS])
+    ps = fit_pair_slots(n_tier)
+    for cap, d in zip(ps, n_tier[1:]):
+        assert cap >= int(d * 1.06), (cap, d)
+        assert cap >= 16  # floor
+        if d * 1.06 > 64:
+            assert cap <= int(d * 1.06 * 1.11) + 32, (cap, d)
+    # sticky growth: lower demand never shrinks caps
+    ps2 = fit_pair_slots(np.array([0] * (1 + _NTIERS)), current=ps)
+    assert ps2 == ps
+    bigger = n_tier.copy()
+    bigger[3] *= 8
+    ps3 = fit_pair_slots(bigger, current=ps)
+    assert all(a >= b for a, b in zip(ps3, ps))
+    assert ps3[2] >= bigger[3]
+
+    assert fit_near_slots(0) == 8
+    assert fit_near_slots(100) >= 200
+    assert fit_near_slots(0, current=64) == 64
+
+    ws = fit_widen_tiles(np.array([900, 40, 3]))
+    assert all(w >= d * 1.5 for w, d in zip(ws, (900, 40, 3)))
+    ws2 = fit_widen_tiles(np.array([0, 0, 0]), current=ws)
+    assert tuple(ws2) == tuple(ws)
