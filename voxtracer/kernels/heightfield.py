@@ -51,9 +51,12 @@ Semantics matched (traverse.svo_raycast):
   * entry-axis priority x > y > z on exact ties, entry-face normals,
     un-mirrored integer hit voxel.
 
-The engine applies to UNEDITED terrain worlds only (an edit breaks the
-heightfield invariant); the renderer gates on that and falls back to
-the SVO cast (render/driver.py).
+The walk itself applies to UNEDITED terrain (an edit breaks the
+heightfield invariant); EDITED worlds keep the engine through
+``hf_raycast_edited`` — the pre-edit walk plus an exact SVO re-cast of
+the lanes whose segment can see the tracked edit bounds — and the
+renderer falls back to the plain SVO cast only when the bounds are
+untracked or grow past usefulness (render/driver.py).
 """
 
 from __future__ import annotations

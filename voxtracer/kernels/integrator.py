@@ -98,8 +98,9 @@ def trace_paths(
         table remains the color source. ~10x fewer gathers per bounce
         cast (PERF.md).
       hf_mips/hf_offsets/terrain_rgb: optional heightfield max-mip
-        pyramid (kernels.heightfield.build_height_mips) for UNEDITED
-        terrain worlds: bounce/NEE casts then walk the 2-D quadtree
+        pyramid (kernels.heightfield.build_height_mips) for terrain
+        worlds (pre-edit; see hf_edit_bounds for edited worlds):
+        bounce/NEE casts then walk the 2-D quadtree
         (~15-40 gathers per lane vs the octree's hundreds — the whole
         cast cost is the serialized gather, PERF.md) and shade hits
         with ``terrain_rgb`` (the single interned terrain leaf color,
