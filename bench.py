@@ -362,16 +362,19 @@ def main():
         # way, render/driver.py _get_hf)
         hf_flat, hf_offs, _ = build_height_mips(space.heights)
         hf_rgb = jnp.asarray(space.terrain_rgb, jnp.float32)
-        # sun-visibility maps: provably-lit NEE lanes skip the shadow
-        # walk (bit-identical radiance; the Renderer builds these the
-        # same way per sun — kernels/sunshadow.py)
-        from voxtracer.kernels import sunshadow
+        # sun-visibility maps (VOXT_SUNMAPS=1 opt-in): measured net
+        # -6% at this sun's ~12% lit fraction — the lit-check gathers
+        # outweigh the skipped walks (q3 A/B, PERF.md). Kept available
+        # for high-sun scenes.
+        smaps = None
+        if os.environ.get("VOXT_SUNMAPS") == "1":
+            from voxtracer.kernels import sunshadow
 
-        smaps = sunshadow.build(space.heights, sun)
-        if smaps is not None:
-            smaps = dict(smaps, t_near=jnp.asarray(smaps["t_near"]),
-                         t_far=jnp.asarray(smaps["t_far"]))
-        log(f"sun maps: {'on' if smaps is not None else 'gated off'}")
+            smaps = sunshadow.build(space.heights, sun)
+            if smaps is not None:
+                smaps = dict(smaps, t_near=jnp.asarray(smaps["t_near"]),
+                             t_far=jnp.asarray(smaps["t_far"]))
+        log(f"sun maps: {'on' if smaps is not None else 'off'}")
 
         pt = jax.jit(lambda seeds, op, basis, slo, ssz, sat: render_samples(
             table, root, dev.height, lut, op, basis, sun_j, seeds,
@@ -496,15 +499,19 @@ def main():
                 fpt_near = raster_mod.fit_near_slots(b["n_tier"][0],
                                                      current=fpt_near)
             fhf_flat, fhf_offs, _ = build_height_mips(fspace.heights)
-            t0 = time.monotonic()
-            fsmaps = sunshadow.build(fspace.heights, sun)
-            if fsmaps is not None:
-                fsmaps = dict(fsmaps,
-                              t_near=jnp.asarray(fsmaps["t_near"]),
-                              t_far=jnp.asarray(fsmaps["t_far"]))
-            log(f"flagship sun maps "
-                f"{'on' if fsmaps is not None else 'gated off'} "
-                f"({time.monotonic() - t0:.1f}s)")
+            fsmaps = None
+            if os.environ.get("VOXT_SUNMAPS") == "1":
+                from voxtracer.kernels import sunshadow
+
+                t0 = time.monotonic()
+                fsmaps = sunshadow.build(fspace.heights, sun)
+                if fsmaps is not None:
+                    fsmaps = dict(fsmaps,
+                                  t_near=jnp.asarray(fsmaps["t_near"]),
+                                  t_far=jnp.asarray(fsmaps["t_far"]))
+                log(f"flagship sun maps "
+                    f"{'on' if fsmaps is not None else 'gated off'} "
+                    f"({time.monotonic() - t0:.1f}s)")
             fpt = jax.jit(lambda seeds, op, basis: render_samples(
                 ftable, froot, fdev.height, lut, op, basis, sun_j, seeds,
                 PTW, PTH, max_bounces=8, fog_steps=64, soup=fsoup_args,

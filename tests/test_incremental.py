@@ -205,11 +205,14 @@ def test_soup_patch_matches_rebuild():
             assert np.array_equal(got[k], want[k]), (p, val, k)
 
 
-def test_renderer_edit_session_keeps_hf_engine():
+def test_renderer_edit_session_keeps_hf_engine(monkeypatch):
     """A terrain Renderer keeps the heightfield bounce/NEE engine and
     the rasterized primaries through a point-edit session (apply_edits
     with edit coords): radiance must equal a from-scratch Renderer of
     the edited world running the plain engines."""
+    # opt sun maps IN so the edited-world gate below is what's tested
+    # (they default off: measured net-negative on TPU, PERF.md)
+    monkeypatch.setenv("VOXT_SUNMAPS", "1")
     from voxtracer.core import camera as vcam
     from voxtracer.render.driver import Renderer
     from voxtracer.world import worldgen

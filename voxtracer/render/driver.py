@@ -16,6 +16,7 @@ Behavioral reference:
 
 from __future__ import annotations
 
+import os
 import random
 import time
 from pathlib import Path
@@ -467,7 +468,17 @@ class Renderer:
         the heightfield engine (same unedited-terrain gate); cached per
         sun — the headless day cycle steps the sun once per frame, so
         one build serves the whole frame's samples. Returns None when
-        gated (low/near-vertical sun, edited world)."""
+        gated (low/near-vertical sun, edited world).
+
+        OPT-IN (``VOXT_SUNMAPS=1``): measured on TPU the per-lane
+        lit-check gathers cost more than the skipped walks save at the
+        bench sun's ~12% provably-lit fraction (0.941 vs 1.002
+        Mpaths/s, 853x480/1024^3 fused k=8) — and the flagship sun is
+        lower still (~9% lit). The subsystem stays bit-identical and
+        available for high-sun scenes where the lit fraction justifies
+        it (~18-28% ceiling, kernels/sunshadow.py)."""
+        if os.environ.get("VOXT_SUNMAPS") != "1":
+            return None
         sp0 = getattr(self._dev, "space", None)
         if getattr(sp0, "edited", False):
             return None  # thresholds prove PRE-edit visibility only
