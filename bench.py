@@ -58,6 +58,38 @@ def _cams(n, scale, jitter=2.0):
     return out
 
 
+def _warm_device(seconds: float = 2.0):
+    """Busy-loop the TPU with fresh-valued matmuls until ``seconds`` of
+    device activity have elapsed. After an idle/compile gap the first
+    timed window of ANY program measures ~2.3x slow (measured:
+    tools/debug_timing_warmup.py — window 0 at 107.5 ms vs windows 1-2
+    at 45.8/49.8 ms for the same program on distinct inputs; a program
+    never executed before times fast if the device is already busy), so
+    steady-state throughput needs the device clocked up first. Fresh
+    input values every iteration keep the axon execution cache out of
+    the loop."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def spin(x, s):
+        y = x + s
+        for _ in range(8):
+            y = y @ y * 1e-3 + s
+        return y.sum()
+
+    x = jnp.full((2048, 2048), 1.0e-3, jnp.float32)
+    salt = float(int.from_bytes(os.urandom(2), "little")) * 1e-6
+    t0 = time.monotonic()
+    i = 0
+    while time.monotonic() - t0 < seconds:
+        acc = jnp.float32(0.0)
+        for _ in range(4):
+            acc = acc + spin(x, jnp.float32(salt + i * 1e-7))
+            i += 1
+        float(acc)
+
+
 def _time_over(fn, arg_sets):
     """Compile on the first arg set, then time one call per arg set.
 
@@ -66,7 +98,9 @@ def _time_over(fn, arg_sets):
     path-trace sample "completing" in 0 ms). Each rep's output instead
     feeds a device-side accumulator whose value is read back on the
     host — the data dependency forces every execution while keeping
-    the dispatch pipeline full."""
+    the dispatch pipeline full. The device is clock-warmed first
+    (``_warm_device``): after compile gaps the first window measures
+    ~2.3x slow regardless of program."""
     import jax
     import jax.numpy as jnp
 
@@ -75,6 +109,7 @@ def _time_over(fn, arg_sets):
         return leaf.astype(jnp.float32).sum()
 
     float(digest(fn(*arg_sets[0])))  # compile + warm
+    _warm_device()
     t0 = time.monotonic()
     acc = jnp.float32(0.0)
     for args in arg_sets:
@@ -361,6 +396,7 @@ def main():
         # max-mip engine (the production Renderer gates this the same
         # way, render/driver.py _get_hf)
         hf_flat, hf_offs, _ = build_height_mips(space.heights)
+        hf_flat = jax.device_put(hf_flat)  # upload once, not per call
         hf_rgb = jnp.asarray(space.terrain_rgb, jnp.float32)
         # sun-visibility maps (VOXT_SUNMAPS=1 opt-in): measured net
         # -6% at this sun's ~12% lit fraction — the lit-check gathers
@@ -376,13 +412,19 @@ def main():
                              t_far=jnp.asarray(smaps["t_far"]))
         log(f"sun maps: {'on' if smaps is not None else 'off'}")
 
-        pt = jax.jit(lambda seeds, op, basis, slo, ssz, sat: render_samples(
-            table, root, dev.height, lut, op, basis, sun_j, seeds,
-            PTW, PTH, max_bounces=8, fog_steps=64,
-            soup=(slo, ssz, sat), soup_slots=(pt_slots, pt_near, pt_nt),
-            hf_mips=hf_flat, hf_offsets=hf_offs, terrain_rgb=hf_rgb,
-            sun_maps=smaps,
-        ))
+        # render_samples is already jitted; an OUTER jax.jit(lambda ...)
+        # would close over table/hf_mips and bake them into the HLO as
+        # constants — at flagship scale that overflows the axon remote
+        # compiler's request-body limit (HTTP 413). Plain closure: the
+        # arrays are passed as jit ARGUMENTS at call time.
+        def pt(seeds, op, basis, slo, ssz, sat):
+            return render_samples(
+                table, root, dev.height, lut, op, basis, sun_j, seeds,
+                PTW, PTH, max_bounces=8, fog_steps=64,
+                soup=(slo, ssz, sat), soup_slots=(pt_slots, pt_near, pt_nt),
+                hf_mips=hf_flat, hf_offsets=hf_offs, terrain_rgb=hf_rgb,
+                sun_maps=smaps,
+            )
         pt_args = [
             (jnp.asarray(np.frombuffer(_os.urandom(12 * PTK), np.uint32
                                        ).copy().reshape(PTK, 3)),
@@ -499,6 +541,7 @@ def main():
                 fpt_near = raster_mod.fit_near_slots(b["n_tier"][0],
                                                      current=fpt_near)
             fhf_flat, fhf_offs, _ = build_height_mips(fspace.heights)
+            fhf_flat = jax.device_put(fhf_flat)  # one ~270 MB upload
             fsmaps = None
             if os.environ.get("VOXT_SUNMAPS") == "1":
                 from voxtracer.kernels import sunshadow
@@ -512,13 +555,22 @@ def main():
                 log(f"flagship sun maps "
                     f"{'on' if fsmaps is not None else 'gated off'} "
                     f"({time.monotonic() - t0:.1f}s)")
-            fpt = jax.jit(lambda seeds, op, basis: render_samples(
-                ftable, froot, fdev.height, lut, op, basis, sun_j, seeds,
-                PTW, PTH, max_bounces=8, fog_steps=64, soup=fsoup_args,
-                soup_slots=(fpt_slots, fpt_near, pt_nt),
-                hf_mips=fhf_flat, hf_offsets=fhf_offs, terrain_rgb=hf_rgb,
-                sun_maps=fsmaps,
-            ))
+            # no outer jit: render_samples is jitted, and closing over
+            # the 6.7M-box soup + 8192^2 hf mips bakes ~600 MB of
+            # constants into the HLO — the axon remote compile request
+            # then fails with HTTP 413 (measured). Passing them as call
+            # arguments keeps the program body small.
+            def fpt(seeds, op, basis):
+                return render_samples(
+                    ftable, froot, fdev.height, lut, op, basis, sun_j,
+                    seeds, PTW, PTH, max_bounces=8, fog_steps=64,
+                    soup=fsoup_args,
+                    soup_slots=(fpt_slots, fpt_near, pt_nt),
+                    hf_mips=fhf_flat, hf_offsets=fhf_offs,
+                    terrain_rgb=jnp.asarray(fspace.terrain_rgb,
+                                            jnp.float32),
+                    sun_maps=fsmaps,
+                )
             fpt_args = [
                 (jnp.asarray(np.frombuffer(
                     _os.urandom(12 * FK), np.uint32).copy().reshape(FK, 3)),
