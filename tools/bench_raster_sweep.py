@@ -51,7 +51,7 @@ def main():
     log(f"active cull: max {n_act} of {len(soup)} -> cap {acap}")
     pose_args = [s + c for s, c in zip(pose_soups, cam_args)]
 
-    for ck in (16, 12, 8):
+    for ck in (16, 12, 10, 20):
         ps = ns = ws = None
         for lo_a, sz_a, at_a, op, basis in pose_args:
             probe = raster_mod.raster_cast(

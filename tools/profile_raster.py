@@ -111,7 +111,7 @@ def main():
     def f_bins(lo_a, sz_a, at_a, op, basis):
         return raster_mod.raster_bins(
             lo_a, sz_a, op, basis, dev.height, W, H,
-        )["cand"]
+        )["cand_rows"]
 
     dt, _ = _time_over(f_bins, pose_args)
     log(f"raster_bins (pose half): {dt * 1e3:7.1f} ms")

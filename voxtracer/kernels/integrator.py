@@ -667,6 +667,7 @@ def render_samples(
                     cam_basis, height, width_px, height_px,
                     near_slots=slots_kw.get("near_slots", 64),
                     pair_slots=slots_kw.get("pair_slots"), jittered=True,
+                    box_attr=soup[2],
                 )
 
             # ONE k-batched resolve: the per-tile candidate row gathers

@@ -90,22 +90,25 @@ def _resolve_kernel(K: int, bound: float, distance: float,
     b_ref[:] = rgb_b[2]
 
 
-def resolve_fold(carry, cand_mat, d_loc, cand_geom, cam_pos,
+def resolve_fold(carry, glo_c, ghi_c, rgb_c, plb_c, d_loc, cam_pos,
                  tree_height: int, distance: float,
                  interpret: bool = False):
     """Drop-in for kernels/raster.py resolve_scan's carry_rgb form.
 
-    carry: (t (N, R), pl (N, R) i32, rgb (N, R, 3)); cand_mat: (N, K)
-    i32 candidate box ids (-1 invalid); d_loc: (N, R, 3) ray dirs;
-    cand_geom: (M, 9) packed [lo3, size3, rgb3]; distance: static
-    float. R is the per-tile ray count: 64 for plain frames (lanes
-    padded to 128), or a multiple of 128 for the k-batched jitter
-    resolve (kernels/raster.py: R = KS*64 packs exactly — each tile
-    then spans R/128 sublane rows whose geometry is repeated in prep).
+    carry: (t (N, R), pl (N, R) i32, rgb (N, R, 3)); glo_c/ghi_c/rgb_c:
+    (N, K, 3) candidate box corners/albedo decoded from the sorted pair
+    records (kernels/raster.py _decode — the caller already holds them
+    positionally, no gather here); plb_c: (N, K) i32 owner << 2, or -4
+    for invalid rows (masked by the kernel's plk >= 0 test); d_loc:
+    (N, R, 3) ray dirs; distance: static float. R is the per-tile ray
+    count: 64 for plain frames (lanes padded to 128), or a multiple of
+    128 for the k-batched jitter resolve (kernels/raster.py: R = KS*64
+    packs exactly — each tile then spans R/128 sublane rows whose
+    geometry is repeated in prep).
     Returns the folded carry, bit-identical to the XLA scan.
     """
     t_in, pl_in, rgb_in = carry
-    N, K = cand_mat.shape
+    N, K = plb_c.shape
     R = t_in.shape[1]
     assert K <= MAX_UNROLL_K, "widen-round K stays on the XLA scan"
     assert R == TILE_RAYS or R % LANES == 0
@@ -140,11 +143,10 @@ def resolve_fold(carry, cand_mat, d_loc, cand_geom, cam_pos,
                         constant_values=fill)
         return jnp.pad(a, ((0, NP - NR), (0, 0)), constant_values=fill)
 
-    g = cand_geom[jnp.clip(cand_mat, 0, None)]  # (N, K, 9)
-    lo = g[..., 0:3]
-    hi = lo + g[..., 3:6]
-    rgb = g[..., 6:9]
-    plb = jnp.where(cand_mat >= 0, cand_mat << 2, jnp.int32(-4))
+    lo = jnp.asarray(glo_c, jnp.float32)
+    hi = jnp.asarray(ghi_c, jnp.float32)
+    rgb = jnp.asarray(rgb_c, jnp.float32)
+    plb = plb_c
 
     args = []
     for ax in range(3):

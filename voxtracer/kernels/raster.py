@@ -220,6 +220,7 @@ def _pose_bins(
     box_lo, box_size, cam_pos, basis, tree_height: int,
     width_px: int, height_px: int, cand_k: int, near_slots: int,
     pair_slots: tuple, jittered: bool, _stage: int = 0,
+    box_attr=None,
 ):
     """The pose-only half of the rasterizer: project, tier, emit, sort,
     bin. Depends on the camera POSE but not on the per-sample ray
@@ -227,10 +228,12 @@ def _pose_bins(
     (kernels.raster.raster_bins) and resolve each sample against the
     cached bins — at flagship scale the bins are most of the frame.
 
-    Returns a dict of device arrays: ``skey``/``sowner`` (the pair
-    arrays sorted by one packed u32 key — tile in the high bits, dmin
-    quantized into the low ``dmin_bits``), ``seg_start`` (per-tile
-    segment starts), ``cand`` (NT, K) nearest candidates, ``drop_dmin``
+    Returns a dict of device arrays: ``skey`` (the packed u32 sort key —
+    tile in the high bits, dmin quantized into the low ``dmin_bits``),
+    ``spairs`` (PAIRS, 8) sorted pair records [key, owner, packed
+    geometry x3, rgb bitcast x3], ``seg_start`` (per-tile
+    segment starts), ``cand_rows`` (NT, K, 8) nearest candidate
+    records (positional — no id re-gather needed), ``drop_dmin``
     (per-tile nearest dropped lower bound), ``near_idx``/``near_valid``
     (dense pre-pass slots), and the ``n_pair``/``n_near``/``n_tier``
     demand counters."""
@@ -398,24 +401,50 @@ def _pose_bins(
     # division runs as floor((k + 0.5) * (1/tw)) in f32: exact for
     # k < 1024, tw <= 1024 (margin 0.5/tw ~ 4.9e-4 > the ~1.2e-4 f32
     # rounding), and far cheaper than vector integer division.
-    tier_list = []  # (tile, owner, dmin) triples
+    # Every pair CARRIES its box's geometry + albedo through the sort
+    # (packed 16-bit coordinate fields + bitcast rgb), so the resolve
+    # and widen rounds read candidates POSITIONALLY — one row fetch per
+    # candidate replaces the old id fetch + cand_geom[id] re-gather
+    # (row gathers are the frame's serialized cost, ~13 ns/row
+    # regardless of width, PERF.md; the double gather was ~11 ms of the
+    # 1080p frame and most of the flagship widen rounds). Coordinates
+    # and extents are whole numbers < 2^16 (world edge <= 2^13), so the
+    # 16-bit fields decode bit-exactly.
+    q0 = box_lo[:, 0] | (box_lo[:, 1] << 16)
+    q1 = box_lo[:, 2] | (box_size[:, 0] << 16)
+    q2 = box_size[:, 1] | (box_size[:, 2] << 16)
+    if box_attr is None:
+        # bins built without albedo: geometry-only callers (want_voxel
+        # casts gather winner attributes per pixel at the end anyway);
+        # shading-only resolves (carry_rgb) need bins built WITH attr
+        rgb_bits = jnp.zeros((M, 3), jnp.int32)
+    else:
+        rgb_bits = jax.lax.bitcast_convert_type(
+            jnp.asarray(box_attr, jnp.float32)[:, 1:4], jnp.int32)
+
+    tier_list = []  # (tile, owner, dmin, q0, q1, q2, r, g, b) tuples
 
     one = usable & (prod <= 1)
     tier_list.append((
         jnp.where(one, ty0 * TW + tx0, NT),
         midx,
         jnp.where(one, dmin_b, jnp.inf),
+        q0, q1, q2,
+        rgb_bits[:, 0], rgb_bits[:, 1], rgb_bits[:, 2],
     ))
 
     packed_span = jnp.stack([
         tx0, tx1, ty0, ty1,
         jax.lax.bitcast_convert_type(dmin_b, jnp.int32),
-    ], axis=1)  # (M, 5)
+        q0, q1, q2,
+        rgb_bits[:, 0], rgb_bits[:, 1], rgb_bits[:, 2],
+    ], axis=1)  # (M, 11)
     for k, (slots, arity) in enumerate(zip(pair_slots, PAIR_ARITIES), 1):
         idx, valid = tier_slots(k, slots)
-        rows = packed_span[idx]  # (S, 5) one row gather per slot
+        rows = packed_span[idx]  # (S, 11) one row gather per slot
         etx0, etx1, ety0, ety1 = (rows[:, i] for i in range(4))
         edmin = jax.lax.bitcast_convert_type(rows[:, 4], jnp.float32)
+        egeom = tuple(rows[:, 5 + i] for i in range(6))
         tw_e = etx1 - etx0 + 1
         th_e = ety1 - ety0 + 1
         inv_tw = 1.0 / tw_e.astype(jnp.float32)
@@ -430,7 +459,7 @@ def _pose_bins(
                     jnp.where(pv, (ety0 + iy) * TW + etx0 + ix, NT),
                     idx,
                     jnp.where(pv, edmin, jnp.inf),
-                ))
+                ) + egeom)
             continue
         kk = jnp.arange(arity, dtype=jnp.int32)
         iy = jnp.floor(
@@ -445,11 +474,16 @@ def _pose_bins(
             jnp.where(pv, pty * TW + ptx, NT).reshape(S * arity),
             jnp.broadcast_to(idx[:, None], (S, arity)).reshape(-1),
             jnp.where(pv, edmin[:, None], jnp.inf).reshape(-1),
+        ) + tuple(
+            jnp.broadcast_to(c[:, None], (S, arity)).reshape(-1)
+            for c in egeom
         ))
 
-    ptile = jnp.concatenate([t for t, _, _ in tier_list])
-    powner = jnp.concatenate([o for _, o, _ in tier_list])
-    pdmin = jnp.concatenate([d for _, _, d in tier_list]).astype(jnp.float32)
+    ptile = jnp.concatenate([t[0] for t in tier_list])
+    powner = jnp.concatenate([t[1] for t in tier_list])
+    pdmin = jnp.concatenate([t[2] for t in tier_list]).astype(jnp.float32)
+    pgeom = [jnp.concatenate([t[3 + i] for t in tier_list])
+             for i in range(6)]
     PAIRS = ptile.shape[0]
     n_pair = jnp.sum((ptile < NT).astype(jnp.int32))
     if _stage == 3:
@@ -486,15 +520,20 @@ def _pose_bins(
         | qd.astype(jnp.uint32), jnp.int32,
     )
     assert NT < (1 << (NTB - 1)), "tile id would set the sign bit"
-    skey, sowner = jax.lax.sort((key, powner), num_keys=1)
+    # ONE stable sort carries the full candidate record (owner + packed
+    # geometry + rgb) alongside the key: equal keys keep emission order,
+    # so the candidate sequence per tile is identical to a 2-operand
+    # sort — only the resolve's read pattern changes (positional rows
+    # instead of id + cand_geom[id] gathers).
+    sorted_cols = jax.lax.sort(
+        (key, powner) + tuple(pgeom), num_keys=1)
+    skey = sorted_cols[0]
     stile = jax.lax.shift_right_logical(skey, DB)
-    spacked = jnp.stack([skey, sowner], axis=1)  # (PAIRS, 2) row gathers
+    spairs = jnp.stack(sorted_cols, axis=1)  # (PAIRS, 8) row fetches
     tix = jnp.arange(NT, dtype=jnp.int32)
     seg_start = jnp.searchsorted(
         skey, jnp.left_shift(tix, DB)).astype(jnp.int32)
-    g = _seg_rows(spacked, seg_start, K)  # (NT, K, 2)
-    gtile = jax.lax.shift_right_logical(g[..., 0], DB)
-    cand = jnp.where(gtile == tix[:, None], g[..., 1], -1)
+    cand_rows = _seg_rows(spairs, seg_start, K)  # (NT, K, 8)
     # nearest dropped candidate per tile (inf = nothing dropped): the
     # conservative dequantized bound of the entry at rank K.
     posk = jnp.minimum(seg_start + K, PAIRS - 1)
@@ -503,8 +542,8 @@ def _pose_bins(
     drop_dmin = jnp.where(stile[posk] == tix, deq(skey[posk]),
                           jnp.float32(jnp.inf))
     return dict(
-        skey=skey, sowner=sowner, seg_start=seg_start, dmin_bits=DB,
-        cand=cand, drop_dmin=drop_dmin, near_idx=near_idx,
+        skey=skey, spairs=spairs, seg_start=seg_start, dmin_bits=DB,
+        cand_rows=cand_rows, drop_dmin=drop_dmin, near_idx=near_idx,
         near_valid=near_valid, n_pair=n_pair, n_near=n_near,
         n_tier=n_tier,
     )
@@ -518,16 +557,20 @@ def raster_bins(
     box_lo, box_size, cam_pos, cam_basis, tree_height: int,
     width_px: int, height_px: int, cand_k: int = 16, near_slots: int = 64,
     pair_slots: tuple | None = None,
-    jittered: bool = False, _stage: int = 0,
+    jittered: bool = False, _stage: int = 0, box_attr=None,
 ):
     """Pose-only raster state (see _pose_bins) as its own jit: compute
     once per camera pose, then pass to ``raster_cast(..., bins=...)``
     for every progressive sample at that pose. ``jittered`` must be True
-    when the samples will supply sub-pixel-jittered ``ray_dirs``."""
+    when the samples will supply sub-pixel-jittered ``ray_dirs``.
+    ``box_attr`` bakes per-box albedo into the candidate records —
+    REQUIRED when the bins will serve shading-only casts
+    (want_voxel=False), whose resolve carries RGB positionally."""
     return _pose_bins(
         box_lo, box_size, cam_pos, cam_basis, tree_height, width_px,
         height_px, cand_k, near_slots,
         _default_pair_slots(pair_slots, jittered), jittered, _stage,
+        box_attr=box_attr,
     )
 
 
@@ -675,17 +718,17 @@ def raster_cast(
         bins = _pose_bins(
             box_lo, box_size, cam_pos, basis, tree_height, W, H,
             cand_k, near_slots, pair_slots, ray_dirs is not None, _stage,
+            box_attr=box_attr,
         )
         if 1 <= _stage <= 4:
             return bins
     skey, DB = bins["skey"], bins["dmin_bits"]
-    sowner, seg_start = bins["sowner"], bins["seg_start"]
-    cand, drop_dmin = bins["cand"], bins["drop_dmin"]
+    spairs, seg_start = bins["spairs"], bins["seg_start"]
+    cand_rows, drop_dmin = bins["cand_rows"], bins["drop_dmin"]
     near_idx, near_valid = bins["near_idx"], bins["near_valid"]
     n_pair, n_near, n_tier = bins["n_pair"], bins["n_near"], bins["n_tier"]
-    K = cand.shape[1]
+    K = cand_rows.shape[1]
     PAIRS = skey.shape[0]
-    spacked = jnp.stack([skey, sowner], axis=1)
     # dequantized conservative lower bound for a dropped candidate's
     # dmin (matches _pose_bins' packing: one quantum of slack)
     diag = float(3.0 ** 0.5) * float(1 << tree_height)
@@ -714,7 +757,7 @@ def raster_cast(
         band_y0 = jnp.asarray(band_row0, jnp.int32)
         t0 = (band_y0 // TILE) * TW
         sl = lambda a: jax.lax.dynamic_slice_in_dim(a, t0, NTA, 0)
-        cand = sl(cand)
+        cand_rows = sl(cand_rows)
         drop_dmin = sl(drop_dmin)
         seg_start = sl(seg_start)
     tix = t0 + jnp.arange(NTA, dtype=jnp.int32)
@@ -762,15 +805,34 @@ def raster_cast(
     # traffic per scan step. want_voxel=True keeps the original
     # gather-at-end program (node/voxel outputs need the full row).
     carry_rgb = not want_voxel
+    # per-box packed rows for the tiny dense near pre-pass (gathers
+    # near_slots rows — negligible; the main resolve and widen rounds
+    # read candidates POSITIONALLY from the sorted pair records instead)
     if carry_rgb:
         cand_geom = jnp.concatenate(
             [lo_f, size_f, box_attr[:, 1:4]], axis=1)  # (M, 9)
     else:
         cand_geom = jnp.concatenate([lo_f, size_f], axis=1)  # (M, 6)
 
-    def fold_chunk(c, g, t, axis, ck_pl, valid3):
+    def _decode(rows):
+        """Sorted-pair records (..., 8) -> (lo, hi, rgb (..., 3) f32,
+        pl (...,) i32 = owner << 2). Bit-exact: coordinates/extents are
+        whole numbers < 2^16 in 16-bit fields; rgb is an f32 bitcast
+        roundtrip (matches _pose_bins' packing)."""
+        mask = jnp.int32(0xFFFF)
+        srl = lambda a: jax.lax.shift_right_logical(a, 16)
+        q0, q1, q2 = rows[..., 2], rows[..., 3], rows[..., 4]
+        lo = jnp.stack(
+            [q0 & mask, srl(q0), q1 & mask], axis=-1).astype(jnp.float32)
+        size = jnp.stack(
+            [srl(q1), q2 & mask, srl(q2)], axis=-1).astype(jnp.float32)
+        rgb = jax.lax.bitcast_convert_type(rows[..., 5:8], jnp.float32)
+        return lo, lo + size, rgb, rows[..., 1] << 2
+
+    def fold_chunk(c, rgb, t, axis, ck_pl, valid3):
         """Shared best-hit fold: merge a (N, CHUNK, 64) slab-test result
-        into the carry (t, pl[, rgb])."""
+        into the carry (t, pl[, rgb]). ``rgb``: (N, CHUNK, 3) candidate
+        albedo (only read when carry_rgb)."""
         bt, bpl = c[0], c[1]
         t = jnp.where(valid3, t, jnp.float32(jnp.inf))
         k_best = jnp.argmin(t, axis=1)
@@ -782,7 +844,7 @@ def raster_cast(
         out = [jnp.where(better, t_k, bt), jnp.where(better, pl_k, bpl)]
         if carry_rgb:
             rgb_k = jnp.sum(
-                jnp.where(onehot[..., None], g[..., 6:9][:, :, None, :],
+                jnp.where(onehot[..., None], rgb[:, :, None, :],
                           0.0), axis=1)  # (N, 64, 3)
             out.append(jnp.where(better[..., None], rgb_k, c[2]))
         return tuple(out)
@@ -796,8 +858,9 @@ def raster_cast(
         t, axis, hit = _mirrored_slab(
             glo, ghi, cam_pos, d_t[:, None, :, :], tree_height, distance,
         )  # (NTA, CHUNK, 64)
+        rgb = g[None, :, 6:9] if carry_rgb else None
         return fold_chunk(
-            carry, g[None], t, axis, (idx[None, :, None] << 2),
+            carry, rgb, t, axis, (idx[None, :, None] << 2),
             valid[None, :, None] & hit,
         ), None
 
@@ -817,28 +880,32 @@ def raster_cast(
         return dict(near_t=carry[0], near_pl=carry[1])
 
     # ---- dense per-tile resolve (chunked scan, CHUNK boxes/step) --------
-    def resolve_scan(carry_in, cand_mat, d_loc):
-        """Fold cand_mat (N, Kx) candidate boxes into the (N, 64) best-hit
-        carry, CHUNK boxes per scan step (keeps per-step HBM traffic to
-        one read of d_loc + one carry round-trip)."""
+    def resolve_scan(carry_in, rows_mat, valid_mat, d_loc):
+        """Fold rows_mat (N, Kx, 8) positional candidate records into
+        the (N, 64) best-hit carry, CHUNK boxes per scan step (keeps
+        per-step HBM traffic to one read of d_loc + one carry
+        round-trip). valid_mat masks rows whose record belongs to
+        another tile (segment over-read) — their geometry is real but
+        not this tile's candidate."""
 
-        def step(c, ck):
-            g = cand_geom[jnp.clip(ck, 0, None)]  # (N, CHUNK, Gw)
-            glo = g[..., 0:3][:, :, None, :]
-            ghi = glo + g[..., 3:6][:, :, None, :]
+        def step(c, xs):
+            rows, vld = xs  # (N, CHUNK, 8), (N, CHUNK)
+            glo, ghi, rgb, plc = _decode(rows)
             t, axis, hit = _mirrored_slab(
-                glo, ghi, cam_pos, d_loc[:, None, :, :], tree_height,
-                distance,
+                glo[:, :, None, :], ghi[:, :, None, :], cam_pos,
+                d_loc[:, None, :, :], tree_height, distance,
             )  # (N, CHUNK, 64)
             return fold_chunk(
-                c, g, t, axis, (ck[:, :, None] << 2),
-                (ck >= 0)[:, :, None] & hit,
+                c, rgb, t, axis, plc[:, :, None],
+                vld[:, :, None] & hit,
             ), None
 
-        N, Kx = cand_mat.shape
+        N, Kx = valid_mat.shape
         out, _ = jax.lax.scan(
             step, carry_in,
-            cand_mat.reshape(N, Kx // CHUNK, CHUNK).transpose(1, 0, 2),
+            (rows_mat.reshape(N, Kx // CHUNK, CHUNK, 8)
+             .transpose(1, 0, 2, 3),
+             valid_mat.reshape(N, Kx // CHUNK, CHUNK).transpose(1, 0, 2)),
         )
         return out
 
@@ -848,25 +915,30 @@ def raster_cast(
         and isinstance(distance, (int, float))
     )
 
-    def fold(carry_in, cand_mat, d_loc):
+    def fold(carry_in, rows_mat, valid_mat, d_loc):
         """Candidate fold: the XLA scan, or the VMEM-resident Pallas
         kernel in <=32-candidate chunks (same sequential order, so the
         chunking is invisible — kernels/pallas/resolve.py)."""
         if not use_pl_resolve:
-            return resolve_scan(carry_in, cand_mat, d_loc)
+            return resolve_scan(carry_in, rows_mat, valid_mat, d_loc)
         from voxtracer.kernels.pallas.resolve import (MAX_UNROLL_K,
                                                       resolve_fold)
 
         c = carry_in
-        for j in range(0, cand_mat.shape[1], MAX_UNROLL_K):
+        for j in range(0, valid_mat.shape[1], MAX_UNROLL_K):
+            glo, ghi, rgb, plc = _decode(rows_mat[:, j:j + MAX_UNROLL_K])
+            plm = jnp.where(valid_mat[:, j:j + MAX_UNROLL_K], plc,
+                            jnp.int32(-4))
             c = resolve_fold(
-                (c[0], c[1], c[2]), cand_mat[:, j:j + MAX_UNROLL_K],
-                d_loc, cand_geom, cam_pos, tree_height, float(distance),
+                (c[0], c[1], c[2]), glo, ghi, rgb, plm,
+                d_loc, cam_pos, tree_height, float(distance),
                 interpret=jax.default_backend() == "cpu",
             )
         return c
 
-    carry = fold(carry, cand, d_t)
+    cand_valid = jax.lax.shift_right_logical(
+        cand_rows[..., 0], DB) == tix[:, None]
+    carry = fold(carry, cand_rows, cand_valid, d_t)
     tb, plb = carry[0], carry[1]
     rgbb = carry[2] if carry_rgb else None
     if _stage == 6:
@@ -892,15 +964,13 @@ def raster_cast(
         wvalid = wl < NTA
         wl_c = jnp.where(wvalid, wl, 0)
         wg = t0 + wl_c  # global tile id (pair-array comparisons)
-        g2 = _seg_rows(spacked, seg_start[wl_c] + consumed[wl_c],
-                       k_extra)  # (NWr, k_extra, 2)
+        g2 = _seg_rows(spairs, seg_start[wl_c] + consumed[wl_c],
+                       k_extra)  # (NWr, k_extra, 8)
         g2tile = jax.lax.shift_right_logical(g2[..., 0], DB)
-        cand2 = jnp.where(
-            wvalid[:, None] & (g2tile == wg[:, None]), g2[..., 1], -1
-        )
+        valid2 = wvalid[:, None] & (g2tile == wg[:, None])
         wc = (tb[wl_c], plb[wl_c]) + (
             (rgbb[wl_c],) if carry_rgb else ())
-        w_out = fold(wc, cand2, d_t[wl_c])
+        w_out = fold(wc, g2, valid2, d_t[wl_c])
         wix = jnp.where(wvalid, wl, NTA)
         row_put = lambda dst, src: jnp.concatenate(
             [dst, jnp.zeros_like(dst[:1])]

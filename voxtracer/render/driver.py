@@ -353,6 +353,7 @@ class Renderer:
                 cam.basis(), self.tree_height, self.width, self.height,
                 pair_slots=self._pair_slots,
                 near_slots=self._near_slots, jittered=True,
+                box_attr=soup[2],
             )
             self._bins_key = key
         return self._bins
