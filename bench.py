@@ -431,7 +431,19 @@ def main():
              np.asarray(c.pos, np.float32), c.basis()) + s
             for c, s in zip(cams[:3], pt_soups)
         ]
-        dt, out = _time_over(pt, pt_args)
+        # the fused PT program's remote compile takes ~8 min and the
+        # axon compile service occasionally drops the connection mid-
+        # response ("response body closed before all bytes were read",
+        # measured transient: the same program compiled clean on retry)
+        for attempt in (0, 1):
+            try:
+                dt, out = _time_over(pt, pt_args)
+                break
+            except Exception as e:
+                if attempt:
+                    raise
+                log("PT timing failed once, retrying:",
+                    type(e).__name__, str(e)[:150])
         pt_mpaths = PTW * PTH * PTK / dt / 1e6
         log(f"path-traced {PTK}-sample batch {PTW}x{PTH}: "
             f"{dt * 1e3:.0f} ms -> {pt_mpaths:.3f} Mpaths/s")
@@ -475,30 +487,43 @@ def main():
                 f"overflowed={act.overflowed})")
             flagship["active_boxes"] = int(act.n_active)
             flagship["soup_boxes"] = len(fsoup)
+            # both flagship poses ride pose-0's active set (jitter=1.0
+            # keeps them inside the cull's validity volume); the
+            # ActiveSoup itself holds the FULL 53M-box soup plus cull
+            # scratch on device (~3 GB) — free it before the render
+            # programs allocate their pair sorts (round-3 OOM)
+            del act
 
-            fps = fns = fws = None
+            # fit pair/near from counters-only stage-2 probes: a full
+            # raster_cast probe at the worst-case default slots would
+            # allocate a ~12M-pair 8-operand sort at this scale —
+            # RESOURCE_EXHAUSTED on top of the resident flagship buffers
+            fps = None
+            fns = 0
+            for op, basis in fcam_args:
+                b = raster_mod.raster_bins(
+                    fsoup_args[0], fsoup_args[1], op, basis,
+                    fdev.height, W, H, _stage=2,
+                )
+                fps = raster_mod.fit_pair_slots(
+                    np.asarray(b["n_tier"]), current=fps)
+                fns = raster_mod.fit_near_slots(
+                    int(np.asarray(b["n_tier"])[0]), current=fns)
+            # one full probe at fitted slots for widen/fallback demand
+            fws = None
+            ffb = 0
             for op, basis in fcam_args:
                 probe = raster_mod.raster_cast(
                     *fsoup_args, op, basis, fdev.height, W, H,
-                    want_voxel=False,
+                    want_voxel=False, pair_slots=fps, near_slots=fns,
                 )
-                fps = raster_mod.fit_pair_slots(probe["n_tier"],
-                                                current=fps)
-                fns = raster_mod.fit_near_slots(probe["n_tier"][0],
-                                                current=fns or 0)
                 fws = raster_mod.fit_widen_tiles(probe["n_widen"],
                                                  current=fws)
-            ffb = 0
+                ffb = max(ffb, int(probe["n_fallback"]))
             fcap = 64
             ffit_kw = dict(pair_slots=fps, near_slots=fns,
                            widen_tiles=fws[0], widen2_tiles=fws[1],
                            widen3_tiles=fws[2])
-            for op, basis in fcam_args:
-                probe = raster_mod.raster_cast(
-                    *fsoup_args, op, basis, fdev.height, W, H,
-                    want_voxel=False, fallback_tiles=fcap, **ffit_kw,
-                )
-                ffb = max(ffb, int(probe["n_fallback"]))
             log(f"flagship probed slots: pair={fps} near={fns} "
                 f"widen={fws} fallback={ffb}->cap {fcap}")
 
