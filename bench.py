@@ -527,6 +527,14 @@ def main():
             log(f"flagship probed slots: pair={fps} near={fns} "
                 f"widen={fws} fallback={ffb}->cap {fcap}")
 
+            # heightfield mips: the fallback + PT bounce/NEE engine on
+            # this unedited terrain world (built once, ~270 MB upload)
+            from voxtracer.kernels.heightfield import build_height_mips
+
+            fhf_flat, fhf_offs, _ = build_height_mips(fspace.heights)
+            fhf_flat = jax.device_put(fhf_flat)
+            ftrgb = jnp.asarray(fspace.terrain_rgb, jnp.float32)
+
             if ffb == 0:
                 def f_flag(op, basis):
                     return raster_mod.raster_cast(
@@ -534,15 +542,21 @@ def main():
                         want_voxel=False, fallback_tiles=fcap, **ffit_kw,
                     )["t"]
             else:
-                fcap = max(64, 1 << (2 * ffb + 16 - 1).bit_length())
+                # demand is pose-exact; 1.15x absorbs rep pose jitter
+                fcap = max(64, 1 << (int(ffb * 1.15) + 64 - 1).bit_length())
 
                 def f_flag(op, basis):
                     res = raster_mod.raster_cast(
                         *fsoup_args, op, basis, fdev.height, W, H,
                         want_voxel=False, fallback_tiles=fcap, **ffit_kw,
                     )
-                    return raster_mod.apply_fallback(
-                        res, ftable, froot, fdev.height, op, basis, W, H,
+                    # unedited terrain -> heightfield fallback (the SVO
+                    # fallback at 14k-tile demand both dominates the
+                    # frame and RESOURCE_EXHAUSTs on top of the resident
+                    # flagship buffers)
+                    return raster_mod.apply_fallback_hf(
+                        res, fhf_flat, fhf_offs, fdev.height, op, basis,
+                        W, H, ftrgb,
                     )["t"]
 
             dt, _ = _time_over(f_flag, fcam_args)
@@ -565,8 +579,7 @@ def main():
                                                       current=fpt_slots)
                 fpt_near = raster_mod.fit_near_slots(b["n_tier"][0],
                                                      current=fpt_near)
-            fhf_flat, fhf_offs, _ = build_height_mips(fspace.heights)
-            fhf_flat = jax.device_put(fhf_flat)  # one ~270 MB upload
+            # fhf_flat/fhf_offs built above for the raster fallback
             fsmaps = None
             if os.environ.get("VOXT_SUNMAPS") == "1":
                 from voxtracer.kernels import sunshadow

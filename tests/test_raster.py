@@ -388,3 +388,39 @@ def test_fit_helpers_contract():
     assert all(w >= d * 1.5 for w, d in zip(ws, (900, 40, 3)))
     ws2 = fit_widen_tiles(np.array([0, 0, 0]), current=ws)
     assert tuple(ws2) == tuple(ws)
+
+
+def test_apply_fallback_hf_parity(terrain):
+    """The heightfield fallback engine (apply_fallback_hf) must equal
+    the SVO fallback on an unedited terrain world — this is the flagship
+    exact-frame path, where ~14k grazing horizon tiles make the per-ray
+    SVO fallback the dominant frame cost (PERF.md). Budgets are starved
+    so the fallback engages over real incomplete tiles."""
+    from voxtracer.kernels.heightfield import build_height_mips
+    from voxtracer.kernels.raster import apply_fallback, apply_fallback_hf
+    from voxtracer.world.boxes import terrain_leaf_id
+
+    dev, args = _soup_args(terrain)
+    table = jnp.asarray(dev.table.view(np.int32))
+    root = np.int32(dev.root)
+    s = 64 / 8192
+    cam = vcam.Camera(pos=(800.2352 * s, 1511.8693 * s, 654.40125 * s),
+                      yaw=-5.3800497, pitch=0.21999985)
+    op = np.asarray(cam.pos, np.float32)
+    basis = np.asarray(cam.basis(), np.float32)
+    W, H = 96, 56
+    res = raster_cast(*args, op, basis, dev.height, W, H, near_slots=64,
+                      cand_k=8, widen_k=8, widen2_k=8, widen3_k=8)
+    assert int(res["n_fallback"]) > 0  # starved budgets engage it
+
+    a = apply_fallback(res, table, root, dev.height, op, basis, W, H)
+    flat, offs, hh = build_height_mips(terrain.heights)
+    assert hh == dev.height
+    b = apply_fallback_hf(
+        res, flat, offs, dev.height, op, basis, W, H,
+        terrain_rgb=jnp.asarray(terrain.terrain_rgb, jnp.float32),
+        terrain_node=terrain_leaf_id(dev),
+    )
+    for f in ("hit", "t", "normal", "node", "rgb", "voxel"):
+        np.testing.assert_array_equal(np.asarray(a[f]), np.asarray(b[f]),
+                                      err_msg=f)

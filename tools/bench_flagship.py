@@ -119,14 +119,25 @@ def main():
         fcap = max(64, 1 << (int(ffb * 1.15) + 64 - 1).bit_length()
                    ) if ffb else 64
 
+        from voxtracer.kernels.heightfield import build_height_mips
+
+        hf_flat0, hf_offs0, _ = build_height_mips(heights)
+        hf_flat0 = jax.device_put(hf_flat0)
+        trgb = jnp.asarray(terrain_rgb, jnp.float32)
+        use_svo_fb = "--svo-fallback" in sys.argv
+
         def f_flag(op, basis):
             res = raster_mod.raster_cast(
                 *fsoup_args, op, basis, dev.height, W, H,
                 want_voxel=False, fallback_tiles=fcap, **fit_kw,
             )
-            if ffb:
+            if ffb and use_svo_fb:
                 res = raster_mod.apply_fallback(
                     res, table, root, dev.height, op, basis, W, H)
+            elif ffb:
+                res = raster_mod.apply_fallback_hf(
+                    res, hf_flat0, hf_offs0, dev.height, op, basis, W, H,
+                    trgb)
             return res["t"]
 
         dt, _ = _time_over(f_flag, fcam_args)

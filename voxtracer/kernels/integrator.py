@@ -488,6 +488,15 @@ def render_sample(
                 wt = soup_slots[3]  # fit_widen_tiles caps, one per round
                 slots_kw.update(widen_tiles=wt[0], widen2_tiles=wt[1],
                                 widen3_tiles=wt[2])
+        # unedited terrain world: the incomplete-tile fallback rides the
+        # heightfield engine like the bounce/NEE casts already do (same
+        # exactness contract; ~4x cheaper than the SVO traversal and far
+        # less lane state — the flagship's 14k grazing horizon tiles made
+        # the SVO fallback the dominant primary cost, PERF.md)
+        if hf_mips is not None and terrain_rgb is not None \
+                and hf_edit_bounds is None:
+            slots_kw.update(hf_mips=hf_mips, hf_offsets=hf_offsets,
+                            terrain_rgb=terrain_rgb)
         if rows == height_px:
             pr = raster_mod.raster_cast_exact(
                 soup[0], soup[1], soup[2],
@@ -657,6 +666,11 @@ def render_samples(
                 slots_kw = dict(pair_slots=soup_slots[0],
                                 near_slots=soup_slots[1],
                                 fallback_tiles=soup_slots[2])
+            if hf_mips is not None and terrain_rgb is not None \
+                    and hf_edit_bounds is None:
+                # unedited terrain: heightfield fallback (render_sample)
+                slots_kw.update(hf_mips=hf_mips, hf_offsets=hf_offsets,
+                                terrain_rgb=terrain_rgb)
 
             if soup_bins is None:
                 # one pose-only binning shared by all k samples (the

@@ -1103,30 +1103,23 @@ def raster_cast(
     )
 
 
-@partial(jax.jit, static_argnames=("tree_height", "width_px", "height_px"))
-def apply_fallback(
-    res, table, root, tree_height: int, cam_pos, cam_basis,
-    width_px: int, height_px: int, distance=FAR, ray_dirs=None,
-    band_row0=0,
-):
-    """Exact per-ray re-resolve of the tiles raster_cast flagged as not
-    provably complete, merged into its result. Its own jit so the
-    traversal's while_loop never inflates the raster program's compile.
-    For banded results pass the same ``band_row0`` (fb_tiles are global
-    tile ids; ``res``/``ray_dirs`` are band-shaped).
-    """
-    W, H = width_px, height_px
+def _fb_expand(res, basis, W: int, H: int, band_y0, ray_dirs):
+    """Expand raster_cast's incomplete-tile list into per-ray directions
+    plus the scatter that merges re-cast results back into the frame.
+
+    Returns ``(fd, need, put)``: ``fd`` (NFB, KS*64, 3) ray directions in
+    raster_cast's per-tile layout r = sample * 64 + intile, ``need`` the
+    re-cast mask (provably-complete rays of a flagged tile keep their
+    raster result), and ``put(dst, src)`` scattering needed lanes into the
+    band-shaped frame arrays. Shared by the SVO and heightfield fallback
+    engines."""
     KS = res["hit"].shape[0] if res["hit"].ndim == 3 else 1
     HB = res["hit"].shape[-2]  # band rows (== H when full-frame)
     P = W * HB
     PF = KS * P
     TW = -(-W // TILE)
-    band_y0 = jnp.asarray(band_row0, jnp.int32)
     fb_tiles = res["fb_tiles"]
-    fb_valid = res["fb_valid"]
     NFB = fb_tiles.shape[0]
-    cam_pos = jnp.asarray(cam_pos, jnp.float32)
-    basis = jnp.asarray(cam_basis, jnp.float32)
 
     fty = fb_tiles // TW
     ftx = fb_tiles - fty * TW
@@ -1144,17 +1137,8 @@ def apply_fallback(
         fd = rd[
             :, jnp.clip(fpy - band_y0, 0, HB - 1), jnp.minimum(fpx, W - 1)
         ].transpose(1, 0, 2, 3)  # (NFB, KS, 64, 3)
-    # match raster_cast's per-tile ray layout r = sample * 64 + intile
     fd = fd.reshape(fd.shape[0], -1, 3)  # (NFB, KS*64, 3)
-    # only the rays raster_cast proved incomplete re-cast (fb_need);
-    # provably-complete rays of the same tile keep their raster result
     need = res["fb_need"]
-    fr = svo_raycast_bucketed(
-        table, root, tree_height, cam_pos, fd, distance=distance,
-        active=need, min_bucket=2048,
-    )
-    # the traversal's cap is advisory — enforce it strictly here
-    fb_hit = fr["hit"] & (fr["t"] <= distance) & need
     fpy_l = fpy - band_y0  # band-local rows
     pid_tile = jnp.where(
         (fpx < W) & (fpy < H) & (fpy_l >= 0) & (fpy_l < HB),
@@ -1176,6 +1160,33 @@ def apply_fallback(
         )
         return padded.at[fpid].set(src, mode="drop")[:PF].reshape(dst.shape)
 
+    return fd, need, put
+
+
+@partial(jax.jit, static_argnames=("tree_height", "width_px", "height_px"))
+def apply_fallback(
+    res, table, root, tree_height: int, cam_pos, cam_basis,
+    width_px: int, height_px: int, distance=FAR, ray_dirs=None,
+    band_row0=0,
+):
+    """Exact per-ray re-resolve of the tiles raster_cast flagged as not
+    provably complete, merged into its result. Its own jit so the
+    traversal's while_loop never inflates the raster program's compile.
+    For banded results pass the same ``band_row0`` (fb_tiles are global
+    tile ids; ``res``/``ray_dirs`` are band-shaped).
+    """
+    W, H = width_px, height_px
+    band_y0 = jnp.asarray(band_row0, jnp.int32)
+    cam_pos = jnp.asarray(cam_pos, jnp.float32)
+    basis = jnp.asarray(cam_basis, jnp.float32)
+    fd, need, put = _fb_expand(res, basis, W, H, band_y0, ray_dirs)
+    fr = svo_raycast_bucketed(
+        table, root, tree_height, cam_pos, fd, distance=distance,
+        active=need, min_bucket=2048,
+    )
+    # the traversal's cap is advisory — enforce it strictly here
+    fb_hit = fr["hit"] & (fr["t"] <= distance) & need
+
     out = dict(res)
     out["hit"] = put(res["hit"], fb_hit)
     out["t"] = put(res["t"], jnp.where(fb_hit, fr["t"], 0.0))
@@ -1187,20 +1198,69 @@ def apply_fallback(
     return out
 
 
+@partial(jax.jit, static_argnames=("tree_height", "width_px", "height_px",
+                                   "hf_offsets"))
+def apply_fallback_hf(
+    res, hf_mips, hf_offsets: tuple, tree_height: int, cam_pos, cam_basis,
+    width_px: int, height_px: int, terrain_rgb, terrain_node=-1,
+    distance=FAR, ray_dirs=None, band_row0=0,
+):
+    """``apply_fallback`` riding the heightfield max-mip engine instead
+    of the SVO traversal — exact on UNEDITED terrain worlds, where
+    hf_raycast matches svo_raycast lane-for-lane (tests/test_heightfield)
+    and every hit shades with the single interned terrain leaf color.
+
+    The per-ray SVO fallback dominates the flagship exact frame (~14k
+    grazing horizon tiles -> ~900k lanes at the bucketed traversal's
+    ~1 us/lane; the hf walk casts the same lanes ~4x cheaper and carries
+    ~10x less state, which also removes the RESOURCE_EXHAUSTED the SVO
+    program hit on top of the resident flagship buffers). ``terrain_node``
+    is the leaf id reported for hf hits (shading-only callers leave the
+    -1 default; parity callers pass the world's interned terrain leaf).
+    """
+    from voxtracer.kernels.heightfield import hf_raycast
+
+    W, H = width_px, height_px
+    band_y0 = jnp.asarray(band_row0, jnp.int32)
+    cam_pos = jnp.asarray(cam_pos, jnp.float32)
+    basis = jnp.asarray(cam_basis, jnp.float32)
+    fd, need, put = _fb_expand(res, basis, W, H, band_y0, ray_dirs)
+    fr = hf_raycast(hf_mips, hf_offsets, tree_height, cam_pos, fd,
+                    distance=distance, active=need, min_bucket=2048)
+    fb_hit = fr["hit"] & (fr["t"] <= distance) & need
+    trgb = jnp.broadcast_to(
+        jnp.asarray(terrain_rgb, jnp.float32), fr["normal"].shape)
+    node = jnp.where(fb_hit, jnp.asarray(terrain_node, jnp.int32), -1)
+
+    out = dict(res)
+    out["hit"] = put(res["hit"], fb_hit)
+    out["t"] = put(res["t"], jnp.where(fb_hit, fr["t"], 0.0))
+    out["normal"] = put(res["normal"], fr["normal"] * fb_hit[..., None])
+    out["node"] = put(res["node"], node)
+    out["rgb"] = put(res["rgb"], trgb * fb_hit[..., None])
+    out["voxel"] = put(res["voxel"], fr["voxel"] * fb_hit[..., None])
+    return out
+
+
 def raster_cast_exact(
     box_lo, box_size, box_attr, cam_pos, cam_basis, tree_height: int,
     width_px: int, height_px: int, table=None, root=None, distance=FAR,
-    ray_dirs=None, bins=None, **kw,
+    ray_dirs=None, bins=None, hf_mips=None, hf_offsets=None,
+    terrain_rgb=None, terrain_node=-1, **kw,
 ):
     """raster_cast + exact per-ray fallback on incomplete tiles (two
     device programs; pixel-parity with svo_raycast when the node table is
-    supplied)."""
+    supplied). When ``hf_mips``/``hf_offsets``/``terrain_rgb`` are given
+    (an UNEDITED terrain world) the fallback rides the ~4x cheaper
+    heightfield engine instead of the SVO traversal
+    (tests/test_raster.py::test_apply_fallback_hf_parity)."""
     res = raster_cast(
         box_lo, box_size, box_attr, cam_pos, cam_basis, tree_height,
         width_px, height_px, distance=distance, ray_dirs=ray_dirs,
         bins=bins, **kw,
     )
-    if table is not None and root is not None:
+    use_hf = hf_mips is not None and terrain_rgb is not None
+    if use_hf or (table is not None and root is not None):
         nfb = res["n_fallback"]
         # outside a trace, skip the fallback program when no tile needs
         # it (the no-op program still costs a traversal dispatch). NOTE:
@@ -1209,11 +1269,19 @@ def raster_cast_exact(
         # probe n_fallback once and then call raster_cast directly when
         # their scene never needs the fallback (see bench.py).
         if isinstance(nfb, jax.core.Tracer) or int(nfb) > 0:
-            res = apply_fallback(
-                res, table, root, tree_height, cam_pos, cam_basis,
-                width_px, height_px, distance=distance, ray_dirs=ray_dirs,
-                band_row0=kw.get("band_row0", 0),
-            )
+            if use_hf:
+                res = apply_fallback_hf(
+                    res, hf_mips, tuple(hf_offsets), tree_height, cam_pos,
+                    cam_basis, width_px, height_px, terrain_rgb,
+                    terrain_node=terrain_node, distance=distance,
+                    ray_dirs=ray_dirs, band_row0=kw.get("band_row0", 0),
+                )
+            else:
+                res = apply_fallback(
+                    res, table, root, tree_height, cam_pos, cam_basis,
+                    width_px, height_px, distance=distance,
+                    ray_dirs=ray_dirs, band_row0=kw.get("band_row0", 0),
+                )
     return res
 
 
