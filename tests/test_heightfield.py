@@ -25,16 +25,16 @@ def world():
     table = jnp.asarray(dev.table.view(np.int32))
     root = np.int32(dev.root)
     mips = build_height_mips(space.heights)
-    return table, root, dev.height, mips
+    return table, root, dev.height, mips, np.asarray(space.heights)
 
 
 def _svo(world, start, d, **kw):
-    table, root, h, _ = world
+    table, root, h = world[:3]
     return svo_raycast(table, root, h, start, d, **kw)
 
 
 def _hf(world, start, d, **kw):
-    _, _, h, (flat, offs, hh) = world
+    h, (flat, offs, hh) = world[2], world[3]
     assert hh == h
     return hf_raycast(flat, offs, h, start, d, **kw)
 
@@ -117,7 +117,7 @@ def test_surface_bounce_rays(world):
 def test_inside_solid_rays(world):
     """skip_t0 semantics: rays starting strictly inside terrain hit at
     the next unit-plane crossing (or walk out exactly like the SVO)."""
-    _, _, h, (flat, offs, _) = world
+    h, (flat, offs, _) = world[2], world[3]
     rng = np.random.default_rng(17)
     n = 1 << LOG2
     # un-tile the level-0 rows (build_height_mips packs TSxTS blocks;
@@ -219,7 +219,7 @@ def test_trace_paths_hf_engine_bit_identical(world):
     from voxtracer.core.spectra import build_wl_to_rgb_lut
     from voxtracer.kernels.integrator import trace_paths
 
-    table, root, h, (flat, offs, _) = world
+    table, root, h, (flat, offs, _) = world[:4]
     rng = np.random.default_rng(41)
     n = 1 << LOG2
     B = 2048
@@ -254,7 +254,7 @@ def test_tile_size_invariant(world):
     packs (and different tile_steps) yield bit-identical casts — every
     emitted t is an integer-valued f32 times a power of two, the same
     float at every granularity (heightfield.py module doc)."""
-    table, root, h, _ = world
+    table, root, h = world[:3]
     space = worldgen.generate(log2_size=LOG2, verbose=False)
     rng = np.random.default_rng(29)
     n = 1 << LOG2
@@ -388,3 +388,43 @@ def test_edited_world_pt_radiance():
     bad = np.any(a != b, axis=-1)
     assert int(bad.sum()) <= 4, f"{int(bad.sum())} pixels diverge"
     assert b.sum() > 0
+
+
+def test_t_min_resume_exact(world):
+    """hf_raycast(t_min=x) must equal the full walk whenever x is
+    strictly below the first surface crossing (the _hf_init contract —
+    the raster fallback passes drop_cur minus a 2-voxel slack,
+    kernels/raster.apply_fallback_hf). Resumed at a random in-air
+    fraction of each lane's own full-walk hit t (and anywhere along the
+    first world-diagonal for misses), every hit/t/normal/voxel must be
+    bit-identical."""
+    rng = np.random.default_rng(29)
+    n = 1 << LOG2
+    B = 4096
+    start = rng.uniform(-n, 2 * n, (B, 3)).astype(np.float32)
+    target = rng.uniform(0, n, (B, 3)).astype(np.float32)
+    d = target - start
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    full = _hf(world, jnp.asarray(start), jnp.asarray(d))
+    hit = np.asarray(full["hit"])
+    t_full = np.asarray(full["t"])
+    assert int(hit.sum()) > B // 4
+    frac = rng.uniform(0.0, 1.0, B).astype(np.float32)
+    # the contract requires air on [entry, t_min]: origins inside solid
+    # (below their column height) are in solid at EVERY t_min > 0 —
+    # resume those at 0 (the raster fallback can never produce them:
+    # its rays come from the camera, and a camera inside solid has no
+    # incomplete tiles beyond its t=0 hit)
+    heights = world[4].astype(np.float32)  # exact column heights [x, z]
+    xz = np.floor(start).astype(np.int64)
+    inb = np.all((xz >= 0) & (xz < n), axis=1)
+    colh = np.where(inb, heights[np.clip(xz[:, 0], 0, n - 1),
+                                 np.clip(xz[:, 2], 0, n - 1)], 0.0)
+    air0 = ~inb | (start[:, 1] >= colh)
+    # misses resume anywhere in the first half of the world diagonal;
+    # their result must stay a miss
+    t_min = np.where(hit, frac * t_full, frac * n).astype(np.float32)
+    t_min = np.where(air0, t_min, 0.0).astype(np.float32)
+    res = _hf(world, jnp.asarray(start), jnp.asarray(d),
+              t_min=jnp.asarray(t_min))
+    _assert_match(full, res, budget=0)

@@ -146,13 +146,23 @@ def _row_select(row, ii):
 
 
 def _hf_init(tiles, offsets, height: int, start, d, distance,
-             skip_t0: bool, active):
+             skip_t0: bool, active, t_min=None):
     """Per-lane setup in the traversal's exact mirrored arithmetic
     (traverse._svo_cast_init), plus closed-form resolution of rays
     starting inside solid (module doc: the only place t == 0 hits can
     arise, so the walk body stays one-gather-per-iteration), plus the
     strict-midplane descent chain from the root to the coarsest even
-    walk level (the root cell itself has no parent row to gather)."""
+    walk level (the root cell itself has no parent row to gather).
+
+    ``t_min`` (optional, per-ray): resume the walk at parameter
+    ``max(t0, t_min)`` instead of the world-entry t. The CALLER must
+    guarantee the ray is in AIR on [entry, t_min] — i.e. t_min is
+    strictly below the first surface crossing (the raster fallback's
+    ``drop_cur`` minus slack satisfies this: a needy ray's true winner
+    is provably >= drop_cur, kernels/raster.py). The root descent's
+    strict ``tb < t`` picks then place the lane in the cell containing
+    the ray at t_min with the walk's own boundary tie-breaks, so the
+    resumed walk records bit-identical hits to the full walk."""
     batch_shape = d.shape[:-1]
     B = int(math.prod(batch_shape)) if batch_shape else 1
     start = jnp.broadcast_to(start, d.shape).reshape(B, 3).astype(jnp.float32)
@@ -175,6 +185,12 @@ def _hf_init(tiles, offsets, height: int, start, d, distance,
     ed_y = ~ed_x & (enter[:, 1] == t0)
     ed_z = ~ed_x & ~ed_y & (enter[:, 2] == t0)
     axis0 = jnp.where(ed_x, 0, jnp.where(ed_y, 1, jnp.where(ed_z, 2, 3)))
+
+    if t_min is not None:
+        tm = jnp.broadcast_to(
+            jnp.asarray(t_min, jnp.float32), batch_shape
+        ).reshape(B)
+        t0 = jnp.maximum(t0, tm)
 
     # the ray leaves the world cube (y included) at tend — no hit at or
     # beyond it (the traversal pops past the root there)
@@ -486,7 +502,7 @@ _HIT_KEYS = ("hit", "hit_t", "hit_axis", "hit_voxel")
                                    "min_bucket", "tile_steps"))
 def hf_raycast(flat_mips, offsets: tuple, height: int, start, d,
                distance=FAR, skip_t0: bool = True, active=None,
-               min_bucket: int = 0, tile_steps: int = 3):
+               min_bucket: int = 0, tile_steps: int = 3, t_min=None):
     """Cast rays against the heightfield terrain (module doc).
 
     flat_mips/offsets/height: build_height_mips output (the tiled
@@ -497,9 +513,17 @@ def hf_raycast(flat_mips, offsets: tuple, height: int, start, d,
     batches). tile_steps: unrolled mini-DDA steps per gather. Returns
     dict hit/t/normal/voxel — no ``node`` (terrain worlds have a
     single interned leaf; callers shade with the terrain color).
+
+    ``t_min`` (optional, per-ray broadcastable): resume the walk at
+    ``max(world_entry_t, t_min)``; the caller must guarantee the ray is
+    in air up to and including t_min (see _hf_init). Skips the entire
+    [entry, t_min) prefix of the walk — the raster fallback's lever for
+    grazing horizon rays whose proven-complete prefix is most of the
+    frame depth.
     """
     state, consts, d_sign, batch_shape = _hf_init(
-        flat_mips, offsets, height, start, d, distance, skip_t0, active
+        flat_mips, offsets, height, start, d, distance, skip_t0, active,
+        t_min=t_min,
     )
     B = state["t"].shape[0]
 

@@ -1005,6 +1005,10 @@ def raster_cast(
     # provably complete — only the rest re-cast (at grazing horizon
     # tiles that is a small fraction of the 64 rays)
     fb_need = fb_valid[:, None] & (tb[fb_local] >= drop_cur[fb_local][:, None])
+    # per-tile resume depth for the fallback engines: any dropped box's
+    # hit is provably >= drop_cur, so the re-cast may start its walk
+    # just below it (apply_fallback_hf) instead of at the camera
+    fb_tmin = jnp.where(fb_valid, drop_cur[fb_local], jnp.float32(0.0))
 
     # ---- reassemble dense frame (band rows when band_rows is set) -------
     PF = KS * P  # flattened pixels across the KS jitter samples
@@ -1100,6 +1104,7 @@ def raster_cast(
         fb_tiles=fb_tiles,
         fb_valid=fb_valid,
         fb_need=fb_need,
+        fb_tmin=fb_tmin,
     )
 
 
@@ -1225,8 +1230,16 @@ def apply_fallback_hf(
     cam_pos = jnp.asarray(cam_pos, jnp.float32)
     basis = jnp.asarray(cam_basis, jnp.float32)
     fd, need, put = _fb_expand(res, basis, W, H, band_y0, ray_dirs)
+    # resume each tile's re-cast just below its nearest dropped dmin:
+    # a needy ray's true winner is provably >= drop_cur (raster_cast
+    # fb_tmin), so the [camera, drop_cur) prefix of the walk — most of
+    # the frame depth for grazing horizon tiles — is skipped. The 2.0
+    # slack keeps the start strictly in air so hit axes at the exact
+    # bound stay well-defined (_hf_init contract).
+    t_min = jnp.maximum(res["fb_tmin"][:, None] - 2.0, 0.0)
     fr = hf_raycast(hf_mips, hf_offsets, tree_height, cam_pos, fd,
-                    distance=distance, active=need, min_bucket=2048)
+                    distance=distance, active=need, min_bucket=2048,
+                    t_min=t_min)
     fb_hit = fr["hit"] & (fr["t"] <= distance) & need
     trgb = jnp.broadcast_to(
         jnp.asarray(terrain_rgb, jnp.float32), fr["normal"].shape)
