@@ -144,6 +144,20 @@ def main():
         log(f"flagship exact 1080p {dt * 1e3:.0f} ms -> "
             f"{W * H / dt / 1e6:.2f} Mrays/s")
 
+        if "--split" in sys.argv and ffb:
+            # raster-only (not exact: fallback tiles unresolved) — the
+            # delta vs f_flag is the fallback program's true cost
+            def f_raster_only(op, basis):
+                return raster_mod.raster_cast(
+                    *fsoup_args, op, basis, dev.height, W, H,
+                    want_voxel=False, fallback_tiles=fcap, **fit_kw,
+                )["t"]
+
+            dtr, _ = _time_over(f_raster_only, fcam_args)
+            log(f"  raster-only {dtr * 1e3:.0f} ms; fallback share "
+                f"{(dt - dtr) * 1e3:.0f} ms "
+                f"({(dt - dtr) / dt * 100:.0f}%)")
+
     if "--skip-pt" not in sys.argv:
         import os
 
@@ -154,31 +168,37 @@ def main():
         lut = jnp.asarray(build_wl_to_rgb_lut())
         sun = np.asarray([0.8, 10.2743, 3.7])
         sun_j = jnp.asarray((sun / np.linalg.norm(sun)).astype(np.float32))
-        pt_slots = None
-        pt_near = 0
-        for op, basis in fcam_args:
-            b = raster_mod.raster_bins(
-                fsoup_args[0], fsoup_args[1], op, basis, dev.height,
-                PTW, PTH, jittered=True, _stage=2,
-            )
-            pt_slots = raster_mod.fit_pair_slots(
-                np.asarray(b["n_tier"]), current=pt_slots)
-            pt_near = raster_mod.fit_near_slots(
-                int(np.asarray(b["n_tier"])[0]), current=pt_near)
-        pt_nt = (-(-PTW // 8)) * (-(-PTH // 8))
-        log(f"PT fitted: pair={pt_slots} near={pt_near}")
+        no_soup = "--no-soup" in sys.argv
+        soup_kw = {}
+        if not no_soup:
+            pt_slots = None
+            pt_near = 0
+            for op, basis in fcam_args:
+                b = raster_mod.raster_bins(
+                    fsoup_args[0], fsoup_args[1], op, basis, dev.height,
+                    PTW, PTH, jittered=True, _stage=2,
+                )
+                pt_slots = raster_mod.fit_pair_slots(
+                    np.asarray(b["n_tier"]), current=pt_slots)
+                pt_near = raster_mod.fit_near_slots(
+                    int(np.asarray(b["n_tier"])[0]), current=pt_near)
+            pt_nt = (-(-PTW // 8)) * (-(-PTH // 8))
+            log(f"PT fitted: pair={pt_slots} near={pt_near}")
+            soup_kw = dict(soup=fsoup_args,
+                           soup_slots=(pt_slots, pt_near, pt_nt))
         t0 = time.monotonic()
         hf_flat, hf_offs, _ = build_height_mips(heights)
         hf_flat = jax.device_put(hf_flat)
-        log(f"hf mips {time.monotonic() - t0:.1f}s")
+        log(f"hf mips {time.monotonic() - t0:.1f}s"
+            + (" (NO soup: hf primaries in trace_paths)" if no_soup else ""))
 
         def fpt(seeds, op, basis):
             return render_samples(
                 table, root, dev.height, lut, op, basis, sun_j, seeds,
                 PTW, PTH, max_bounces=8, fog_steps=64,
-                soup=fsoup_args, soup_slots=(pt_slots, pt_near, pt_nt),
                 hf_mips=hf_flat, hf_offsets=hf_offs,
                 terrain_rgb=jnp.asarray(terrain_rgb, jnp.float32),
+                **soup_kw,
             )
 
         fpt_args = [

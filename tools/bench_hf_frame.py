@@ -1,0 +1,86 @@
+"""Measure a FULL-FRAME heightfield cast as the flagship primary engine.
+
+Hypothesis (round 3): at 8192^3 the exact raster frame is box-count-bound
+(1183 ms raster program + 303 ms hf fallback for ~878k horizon rays,
+tools/bench_flagship.py --split). The hf fallback resolves worst-case
+grazing rays at ~0.35 us/ray WITH t_min resume; a full 1080p frame is
+2.07M mostly-easy rays, so a straight hf_raycast over the whole frame may
+beat the entire raster pipeline on unedited terrain — and it needs no
+soup, no cull, no bins (skips the ~30 s flagship active-set build too).
+
+Usage: python tools/bench_hf_frame.py [--buckets 2048,4096,8192]
+                                      [--steps 3] [--res WxH]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import numpy as np
+
+W, H = 1920, 1080
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    global W, H
+    import jax
+    import jax.numpy as jnp
+
+    if jax.default_backend() != "cpu":
+        jax.config.update("jax_compilation_cache_dir",
+                          "/root/repo/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    sys.path.insert(0, "/root/repo")
+    from bench import _cams, _time_over
+    from tools.flagship_cache import load
+    from voxtracer.core import camera as vcam
+    from voxtracer.kernels.heightfield import build_height_mips, hf_raycast
+
+    if "--res" in sys.argv:
+        W, H = map(int, sys.argv[sys.argv.index("--res") + 1].split("x"))
+    buckets = [4096]
+    if "--buckets" in sys.argv:
+        buckets = [int(x) for x in
+                   sys.argv[sys.argv.index("--buckets") + 1].split(",")]
+    steps = [3]
+    if "--steps" in sys.argv:
+        steps = [int(x) for x in
+                 sys.argv[sys.argv.index("--steps") + 1].split(",")]
+
+    t0 = time.monotonic()
+    dev, soup, heights, terrain_rgb = load()
+    log(f"cache load {time.monotonic() - t0:.1f}s")
+    del soup  # not needed: the whole point
+
+    t0 = time.monotonic()
+    hf_flat, hf_offs, height = build_height_mips(heights)
+    hf_flat = jax.device_put(hf_flat)
+    jax.block_until_ready(hf_flat)
+    log(f"hf mips {time.monotonic() - t0:.1f}s (height={height})")
+
+    fcams = _cams(2, 1.0, jitter=1.0)
+    cam_args = [
+        (jax.device_put(vcam.generate_rays(c, W, H)[0]),
+         jax.device_put(vcam.generate_rays(c, W, H)[1]))
+        for c in fcams
+    ]
+
+    for ts in steps:
+        for mb in buckets:
+            def f(o, d, _mb=mb, _ts=ts):
+                return hf_raycast(hf_flat, hf_offs, height,
+                                  o.reshape(-1, 3), d.reshape(-1, 3),
+                                  min_bucket=_mb, tile_steps=_ts)["t"]
+
+            dt, _ = _time_over(f, cam_args)
+            log(f"hf full-frame {W}x{H} ts={ts} mb={mb}: "
+                f"{dt * 1e3:.0f} ms -> {W * H / dt / 1e6:.2f} Mrays/s")
+
+
+if __name__ == "__main__":
+    main()
