@@ -119,6 +119,88 @@ def _time_over(fn, arg_sets):
     return (time.monotonic() - t0) / len(arg_sets), out
 
 
+def _flagship_soup_frame(flagship, fdev, fspace, fcam_args, fhf_flat,
+                         fhf_offs, ftrgb):
+    """A/B reference: the raster+fallback exact flagship frame over the
+    occlusion-culled active set (the pre-round-3-final production path;
+    now BENCH_FLAGSHIP_SOUP=1 opt-in — the full-frame heightfield cast
+    measured faster AND skips this function's ~5 min of soup/cull
+    setup). Probe discipline per tools/bench_flagship.py: stage-2
+    counter probes fit pair/near; one fitted probe measures
+    widen/fallback demand."""
+    import jax
+    import jax.numpy as jnp
+    from voxtracer.kernels import raster as raster_mod
+    from voxtracer.world.active import ActiveSoup
+    from voxtracer.world.boxes import extract_boxes
+
+    t0 = time.monotonic()
+    fsoup = extract_boxes(fdev)
+    log(f"flagship soup {len(fsoup)} boxes in {time.monotonic() - t0:.1f}s")
+    t0 = time.monotonic()
+    act = ActiveSoup(fsoup, W, H, cap="auto",
+                     heights=getattr(fspace, "heights", None))
+    fsoup_args = act.active(*fcam_args[0])
+    jax.block_until_ready(fsoup_args[0])
+    log(f"flagship active set: {act.n_active} of {len(fsoup)} boxes "
+        f"(cull {time.monotonic() - t0:.1f}s, overflowed={act.overflowed})")
+    flagship["active_boxes"] = int(act.n_active)
+    flagship["soup_boxes"] = len(fsoup)
+    # the ActiveSoup holds the FULL 53M-box soup plus cull scratch on
+    # device (~3 GB) — free it before the render programs allocate
+    # their pair sorts (round-3 OOM)
+    del act
+
+    fps = None
+    fns = 0
+    for op, basis in fcam_args:
+        b = raster_mod.raster_bins(
+            fsoup_args[0], fsoup_args[1], op, basis, fdev.height,
+            W, H, _stage=2,
+        )
+        fps = raster_mod.fit_pair_slots(np.asarray(b["n_tier"]),
+                                        current=fps)
+        fns = raster_mod.fit_near_slots(int(np.asarray(b["n_tier"])[0]),
+                                        current=fns)
+    fws = None
+    ffb = 0
+    for op, basis in fcam_args:
+        probe = raster_mod.raster_cast(
+            *fsoup_args, op, basis, fdev.height, W, H,
+            want_voxel=False, pair_slots=fps, near_slots=fns,
+        )
+        fws = raster_mod.fit_widen_tiles(probe["n_widen"], current=fws)
+        ffb = max(ffb, int(probe["n_fallback"]))
+    ffit_kw = dict(pair_slots=fps, near_slots=fns, widen_tiles=fws[0],
+                   widen2_tiles=fws[1], widen3_tiles=fws[2])
+    # demand is pose-exact; 1.15x absorbs rep pose jitter
+    fcap = max(64, 1 << (int(ffb * 1.15) + 64 - 1).bit_length()
+               ) if ffb else 64
+    log(f"flagship probed slots: pair={fps} near={fns} widen={fws} "
+        f"fallback={ffb}->cap {fcap}")
+
+    def f_soup(op, basis):
+        res = raster_mod.raster_cast(
+            *fsoup_args, op, basis, fdev.height, W, H,
+            want_voxel=False, fallback_tiles=fcap, **ffit_kw,
+        )
+        if ffb:
+            # unedited terrain -> heightfield fallback (the SVO
+            # fallback at 14k-tile demand both dominates the frame and
+            # RESOURCE_EXHAUSTs on top of the resident flagship buffers)
+            res = raster_mod.apply_fallback_hf(
+                res, fhf_flat, fhf_offs, fdev.height, op, basis, W, H,
+                ftrgb,
+            )
+        return res["t"]
+
+    dt, _ = _time_over(f_soup, fcam_args)
+    flagship["soup_1080p_ms"] = round(dt * 1e3, 1)
+    flagship["soup_1080p_mrays"] = round(W * H / dt / 1e6, 2)
+    log(f"flagship exact 1080p SOUP frame {dt * 1e3:.0f} ms -> "
+        f"{flagship['soup_1080p_mrays']:.2f} Mrays/s")
+
+
 def _enable_compile_cache():
     """Persistent XLA compilation cache — first compiles of the big
     render programs take minutes over the axon remote compiler."""
@@ -457,129 +539,53 @@ def main():
 
         if _os.environ.get("BENCH_FLAGSHIP", "1") != "0":
             t0 = time.monotonic()
-            fspace = worldgen.generate(log2_size=13, verbose=False)
+            flog2 = 8 if _os.environ.get("BENCH_SMOKE") == "1" else 13
+            fspace = worldgen.generate(log2_size=flog2, verbose=False)
             fdev = fspace.serialize()
             ftable = jnp.asarray(fdev.table.view(np.int32))
             froot = np.int32(fdev.root)
             log(f"flagship worldgen {time.monotonic() - t0:.1f}s, "
                 f"{fspace.num_nodes()} nodes")
-            t0 = time.monotonic()
-            fsoup = extract_boxes(fdev)
-            log(f"flagship soup {len(fsoup)} boxes "
-                f"in {time.monotonic() - t0:.1f}s")
             fcams = _cams(2, 1.0, jitter=1.0)
             fcam_args = [(np.asarray(c.pos, np.float32), c.basis())
                          for c in fcams]
 
-            # production path: ActiveSoup with the heightfield horizon
-            # occlusion cull (world/occlusion.py). The bench poses all
-            # sit inside one cull's validity volume, so the cull builds
-            # once (pose-change-rate cost, logged separately).
-            from voxtracer.world.active import ActiveSoup
+            # production path at flagship scale (Renderer.HF_FRAME_SIZE):
+            # the heightfield engine serves EVERYTHING — no soup
+            # extraction (~25 s), no occlusion cull (~4 min), no pose
+            # bins. Measured faster than the raster pipeline over the
+            # 6.8M-box culled active set at this scale: exact 1080p
+            # frame 1019 vs 1430 ms, PT 634 vs 690 ms/sample (PERF.md
+            # round 3; the soup path stays available under
+            # BENCH_FLAGSHIP_SOUP=1 for A/B).
+            from voxtracer.kernels.heightfield import (build_height_mips,
+                                                       hf_frame_cast)
 
             t0 = time.monotonic()
-            act = ActiveSoup(fsoup, W, H, cap="auto",
-                             heights=getattr(fspace, "heights", None))
-            fsoup_args = act.active(*fcam_args[0])
-            jax.block_until_ready(fsoup_args[0])
-            log(f"flagship active set: {act.n_active} of {len(fsoup)} "
-                f"boxes (cull {time.monotonic() - t0:.1f}s, "
-                f"overflowed={act.overflowed})")
-            flagship["active_boxes"] = int(act.n_active)
-            flagship["soup_boxes"] = len(fsoup)
-            # both flagship poses ride pose-0's active set (jitter=1.0
-            # keeps them inside the cull's validity volume); the
-            # ActiveSoup itself holds the FULL 53M-box soup plus cull
-            # scratch on device (~3 GB) — free it before the render
-            # programs allocate their pair sorts (round-3 OOM)
-            del act
-
-            # fit pair/near from counters-only stage-2 probes: a full
-            # raster_cast probe at the worst-case default slots would
-            # allocate a ~12M-pair 8-operand sort at this scale —
-            # RESOURCE_EXHAUSTED on top of the resident flagship buffers
-            fps = None
-            fns = 0
-            for op, basis in fcam_args:
-                b = raster_mod.raster_bins(
-                    fsoup_args[0], fsoup_args[1], op, basis,
-                    fdev.height, W, H, _stage=2,
-                )
-                fps = raster_mod.fit_pair_slots(
-                    np.asarray(b["n_tier"]), current=fps)
-                fns = raster_mod.fit_near_slots(
-                    int(np.asarray(b["n_tier"])[0]), current=fns)
-            # one full probe at fitted slots for widen/fallback demand
-            fws = None
-            ffb = 0
-            for op, basis in fcam_args:
-                probe = raster_mod.raster_cast(
-                    *fsoup_args, op, basis, fdev.height, W, H,
-                    want_voxel=False, pair_slots=fps, near_slots=fns,
-                )
-                fws = raster_mod.fit_widen_tiles(probe["n_widen"],
-                                                 current=fws)
-                ffb = max(ffb, int(probe["n_fallback"]))
-            fcap = 64
-            ffit_kw = dict(pair_slots=fps, near_slots=fns,
-                           widen_tiles=fws[0], widen2_tiles=fws[1],
-                           widen3_tiles=fws[2])
-            log(f"flagship probed slots: pair={fps} near={fns} "
-                f"widen={fws} fallback={ffb}->cap {fcap}")
-
-            # heightfield mips: the fallback + PT bounce/NEE engine on
-            # this unedited terrain world (built once, ~270 MB upload)
-            from voxtracer.kernels.heightfield import build_height_mips
-
             fhf_flat, fhf_offs, _ = build_height_mips(fspace.heights)
             fhf_flat = jax.device_put(fhf_flat)
             ftrgb = jnp.asarray(fspace.terrain_rgb, jnp.float32)
+            log(f"flagship hf mips {time.monotonic() - t0:.1f}s")
+            flagship["frame_engine"] = "heightfield"
 
-            if ffb == 0:
-                def f_flag(op, basis):
-                    return raster_mod.raster_cast(
-                        *fsoup_args, op, basis, fdev.height, W, H,
-                        want_voxel=False, fallback_tiles=fcap, **ffit_kw,
-                    )["t"]
-            else:
-                # demand is pose-exact; 1.15x absorbs rep pose jitter
-                fcap = max(64, 1 << (int(ffb * 1.15) + 64 - 1).bit_length())
-
-                def f_flag(op, basis):
-                    res = raster_mod.raster_cast(
-                        *fsoup_args, op, basis, fdev.height, W, H,
-                        want_voxel=False, fallback_tiles=fcap, **ffit_kw,
-                    )
-                    # unedited terrain -> heightfield fallback (the SVO
-                    # fallback at 14k-tile demand both dominates the
-                    # frame and RESOURCE_EXHAUSTs on top of the resident
-                    # flagship buffers)
-                    return raster_mod.apply_fallback_hf(
-                        res, fhf_flat, fhf_offs, fdev.height, op, basis,
-                        W, H, ftrgb,
-                    )["t"]
+            def f_flag(op, basis):
+                return hf_frame_cast(
+                    fhf_flat, fhf_offs, fdev.height, op, basis, W, H,
+                    ftrgb,
+                )["t"]
 
             dt, _ = _time_over(f_flag, fcam_args)
-            flagship["raster_1080p_ms"] = round(dt * 1e3, 1)
-            flagship["raster_1080p_mrays"] = round(W * H / dt / 1e6, 2)
+            flagship["frame_1080p_ms"] = round(dt * 1e3, 1)
+            flagship["frame_1080p_mrays"] = round(W * H / dt / 1e6, 2)
             log(f"flagship exact 1080p frame {dt * 1e3:.0f} ms -> "
-                f"{flagship['raster_1080p_mrays']:.2f} Mrays/s")
+                f"{flagship['frame_1080p_mrays']:.2f} Mrays/s")
 
-            # flagship fused PT batch
+            if _os.environ.get("BENCH_FLAGSHIP_SOUP") == "1":
+                _flagship_soup_frame(flagship, fdev, fspace, fcam_args,
+                                     fhf_flat, fhf_offs, ftrgb)
+
+            # flagship fused PT batch: hf primaries (soup=None)
             FK = 2
-            fpt_slots = None
-            fpt_near = 0
-            for c in fcams:
-                b = raster_mod.raster_bins(
-                    fsoup_args[0], fsoup_args[1],
-                    np.asarray(c.pos, np.float32), c.basis(), fdev.height,
-                    PTW, PTH, jittered=True, _stage=2,
-                )
-                fpt_slots = raster_mod.fit_pair_slots(b["n_tier"],
-                                                      current=fpt_slots)
-                fpt_near = raster_mod.fit_near_slots(b["n_tier"][0],
-                                                     current=fpt_near)
-            # fhf_flat/fhf_offs built above for the raster fallback
             fsmaps = None
             if os.environ.get("VOXT_SUNMAPS") == "1":
                 from voxtracer.kernels import sunshadow
@@ -602,12 +608,8 @@ def main():
                 return render_samples(
                     ftable, froot, fdev.height, lut, op, basis, sun_j,
                     seeds, PTW, PTH, max_bounces=8, fog_steps=64,
-                    soup=fsoup_args,
-                    soup_slots=(fpt_slots, fpt_near, pt_nt),
                     hf_mips=fhf_flat, hf_offsets=fhf_offs,
-                    terrain_rgb=jnp.asarray(fspace.terrain_rgb,
-                                            jnp.float32),
-                    sun_maps=fsmaps,
+                    terrain_rgb=ftrgb, sun_maps=fsmaps,
                 )
             fpt_args = [
                 (jnp.asarray(np.frombuffer(

@@ -428,3 +428,88 @@ def test_t_min_resume_exact(world):
     res = _hf(world, jnp.asarray(start), jnp.asarray(d),
               t_min=jnp.asarray(t_min))
     _assert_match(full, res, budget=0)
+
+
+def test_frame_cast_parity(world):
+    """hf_frame_cast (the flagship exact-frame engine) is pixel-exact
+    vs the canonical traversal over a generic camera frame, and fills
+    the raster_cast_exact result contract: node/rgb from the terrain
+    leaf on hits, zeroed misses."""
+    from voxtracer.core import camera as vcam
+    from voxtracer.kernels.heightfield import hf_frame_cast
+
+    table, root, h, (flat, offs, _), heights = world
+    W, H = 48, 32
+    n = 1 << LOG2
+    cam = vcam.Camera(
+        pos=(0.62 * n, float(heights.max()) + 5.0, 0.35 * n),
+        yaw=2.2, pitch=-0.3,
+    )
+    op = np.asarray(cam.pos, np.float32)
+    fr = hf_frame_cast(flat, offs, h, op, cam.basis(), W, H,
+                       terrain_rgb=(0.3, 0.62, 0.24), terrain_node=77)
+    _, d = vcam.generate_rays(cam, W, H)
+    rr = svo_raycast(table, root, h, jnp.asarray(op), d)
+    _assert_match(rr, fr, budget=0)
+    hit = np.asarray(fr["hit"])
+    assert hit.any() and not hit.all()
+    node = np.asarray(fr["node"])
+    assert (node[hit] == 77).all() and (node[~hit] == -1).all()
+    rgb = np.asarray(fr["rgb"])
+    assert np.allclose(rgb[hit], (0.3, 0.62, 0.24))
+    assert (rgb[~hit] == 0).all() and (np.asarray(fr["t"])[~hit] == 0).all()
+    # explicit ray_dirs (the jittered-PT entry point) are honored
+    fr2 = hf_frame_cast(flat, offs, h, op, cam.basis(), W, H,
+                        terrain_rgb=(0.3, 0.62, 0.24), ray_dirs=d)
+    assert (np.asarray(fr2["t"]) == np.asarray(fr["t"])).all()
+
+
+def test_renderer_hf_only_mode(world):
+    """Flagship-scale policy (HF_FRAME_SIZE shrunk to this world): the
+    Renderer builds NO soup, serves exact hf previews, accumulates PT
+    samples, and keeps working through a tracked point edit."""
+    from voxtracer.core import camera as vcam
+    from voxtracer.render.driver import Renderer
+    from voxtracer.world import worldgen
+
+    space = worldgen.generate(log2_size=LOG2, verbose=False)
+    heights = np.asarray(space.heights)
+    r = Renderer(space.serialize(), 32, 24, max_bounces=2, fog_steps=4,
+                 seed=3)
+    r.HF_FRAME_SIZE = 1 << LOG2  # this world qualifies as flagship-scale
+    n = 1 << LOG2
+    cam = vcam.Camera(
+        pos=(0.62 * n, float(heights.max()) + 5.0, 0.35 * n),
+        yaw=2.2, pitch=-0.3,
+    )
+    sun = np.asarray([0.8, 10.2743, 3.7])
+    assert r._hf_only() and r._get_soup(cam) is None and r._soup is None
+    img = r.preview_frame(cam, sun)
+    assert img is not None
+
+    # preview parity: shaded svo primaries over the same rays
+    table, root, h = world[:3]
+    _, d = vcam.generate_rays(cam, 32, 24)
+    rr = svo_raycast(table, root, h, jnp.asarray(np.asarray(
+        cam.pos, np.float32)), d)
+    su = jnp.asarray((sun / np.linalg.norm(sun)).astype(np.float32))
+    lighting = jnp.sum(su * rr["normal"], axis=-1) / 2.0 + 1.0
+    from voxtracer.kernels.traverse import leaf_rgb
+
+    ref = (leaf_rgb(table, rr["node"]) * lighting[..., None]
+           * rr["hit"][..., None])
+    assert np.allclose(np.asarray(img), np.asarray(ref), atol=1e-6)
+
+    r.sample(cam, sun)
+    assert r.acc.samples == 1 and float(np.abs(r.acc.mean()).sum()) > 0
+
+    # a tracked point edit keeps hf-only mode (hybrid edited cast)
+    hx, hz = 20, 14
+    top = int(heights[hx, hz])
+    space.set((hx, top, hz), (0.9, 0.1, 0.1))
+    r.apply_edits(space, edits=[(hx, top, hz)])
+    assert r._hf_only() and r._get_soup(cam) is None
+    img2 = r.preview_frame(cam, sun)
+    assert img2 is not None
+    r.sample(cam, sun)  # the edit invalidated the accumulator
+    assert r.acc.samples == 1

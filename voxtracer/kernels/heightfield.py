@@ -660,3 +660,60 @@ def hf_raycast_edited(flat_mips, offsets: tuple, height: int, table,
         from_svo=aff,
     )
     return out
+
+
+def hf_frame_cast(flat_mips, offsets: tuple, height: int, cam_pos,
+                  cam_basis, width_px: int, height_px: int, terrain_rgb,
+                  terrain_node=-1, ray_dirs=None, distance=FAR,
+                  min_bucket: int = 4096, tile_steps: int = 3):
+    """Full-frame primary visibility on UNEDITED terrain: one
+    ``hf_raycast`` over every pixel's camera ray, returning the
+    ``raster_cast_exact`` result dict (hit/t/normal/node/rgb/voxel,
+    each (H, W[, 3]); misses zeroed, node -1).
+
+    At flagship scale (8192^3) this IS the production exact-frame
+    engine: 1019 ms at 1080p vs 1430 ms for the raster+fallback
+    pipeline over the 6.8M-box culled active set (PERF.md round 3) —
+    and it needs no soup extraction, no occlusion cull, and no pose
+    bins, so the first frame arrives ~5 minutes sooner. The raster
+    remains the primary engine at mid scale (1024^3: 47 ms vs the hf
+    walk's per-ray gather cost) and on edited worlds (an edit breaks
+    the heightfield invariant; render/driver.py routes those to the
+    soup/SVO engines).
+
+    Exactness: hf_raycast matches svo_raycast lane-for-lane on terrain
+    worlds (tests/test_heightfield.py), so the frame is pixel-exact vs
+    the canonical traversal — same guarantee the raster pipeline's
+    provable-completeness fallback provides (reference frame loop
+    fragment.rs:389-412 renders the same primaries on the GPU raster
+    pass).
+
+    ``ray_dirs``: optional precomputed (H, W, 3) directions (e.g.
+    jittered PT primaries); default is pixel centers. ``terrain_node``:
+    leaf id reported for hits (parity callers pass the world's interned
+    terrain leaf; shading-only callers keep -1).
+    """
+    from voxtracer.core import camera as vcam
+
+    W, H = width_px, height_px
+    basis = jnp.asarray(cam_basis, jnp.float32)
+    if ray_dirs is None:
+        py, px = vcam.pixel_grid(W, H)
+        ld = vcam.pixel_ndc(px, py, W, H)
+        ray_dirs = vcam.ray_directions(basis, ld)
+    d = jnp.asarray(ray_dirs, jnp.float32).reshape(-1, 3)
+    r = hf_raycast(flat_mips, offsets, height,
+                   jnp.asarray(cam_pos, jnp.float32), d,
+                   distance=distance, min_bucket=min_bucket,
+                   tile_steps=tile_steps)
+    hit = r["hit"].reshape(H, W)
+    trgb = jnp.broadcast_to(jnp.asarray(terrain_rgb, jnp.float32),
+                            (H, W, 3))
+    return dict(
+        hit=hit,
+        t=r["t"].reshape(H, W),
+        normal=r["normal"].reshape(H, W, 3),
+        node=jnp.where(hit, jnp.asarray(terrain_node, jnp.int32), -1),
+        rgb=trgb * hit[..., None],
+        voxel=r["voxel"].reshape(H, W, 3),
+    )

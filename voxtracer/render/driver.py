@@ -271,6 +271,29 @@ class Renderer:
     ACTIVE_THRESHOLD = 4_000_000  # boxes; above this, ActiveSoup only
     OCCL_THRESHOLD = 1 << 17  # boxes; above this, unedited terrain also
     # gets a per-pose occlusion-culled view alongside the patcher
+    HF_FRAME_SIZE = 4096  # world side; at/above this, terrain worlds
+    # skip the soup entirely — the heightfield engine serves primaries
+    # (hf-only mode)
+
+    def _hf_only(self):
+        """Flagship-scale terrain rides the heightfield engine for
+        EVERYTHING — primaries included — and never builds a soup.
+
+        Measured (PERF.md round 3, 8192^3): the full-frame hf cast
+        serves the exact 1080p frame in 1019 ms vs 1430 ms for the
+        raster pipeline over the 6.8M-box culled active set, and PT
+        with hf primaries runs 634 vs 690 ms/sample — while skipping
+        soup extraction (~25 s) and the per-pose occlusion cull
+        (~4 min). The raster stays the primary engine below
+        HF_FRAME_SIZE (1024^3: 47 ms frames). Edited worlds keep
+        hf-only mode while their edit bounds are tracked (the hybrid
+        hf_raycast_edited stays exact); untracked edits fall back to
+        the soup/SVO engines via _get_hf's gate."""
+        sp = getattr(self._dev, "space", None)
+        heights = getattr(sp, "heights", None)
+        if heights is None or max(heights.shape) < self.HF_FRAME_SIZE:
+            return False
+        return self._get_hf()[0] is not None
 
     def _get_soup(self, cam=None):
         """Device box-soup arrays for rasterized primaries (lazy). Big
@@ -281,7 +304,7 @@ class Renderer:
         at 1024^3) until the first edit — an edit both invalidates the
         heightmap the occlusion proof reads and is patched into the
         full arrays only, so the view is dropped, not patched."""
-        if not self.use_soup:
+        if not self.use_soup or self._hf_only():
             return None
         from voxtracer.world.boxes import SoupPatcher
 
@@ -434,15 +457,15 @@ class Renderer:
         NOT per-ray resolved (preview only; the path-traced accumulation
         stays exact). Returns (H, W, 3) linear radiance, or None when
         rasterized primaries are unavailable."""
-        soup = self._get_soup(cam)
-        if soup is None:
-            return None
-        bins = self._get_soup_bins(cam, soup)
-        from voxtracer.kernels.raster import raster_cast
-
         sun = np.asarray(sun, np.float64)
         sun_unit = jnp.asarray(
             (sun / np.linalg.norm(sun)).astype(np.float32))
+        soup = self._get_soup(cam)
+        if soup is None:
+            return self._hf_preview(cam, sun_unit)
+        bins = self._get_soup_bins(cam, soup)
+        from voxtracer.kernels.raster import raster_cast
+
         r = raster_cast(
             soup[0], soup[1], soup[2], np.asarray(cam.pos, np.float32),
             cam.basis(), self.tree_height, self.width, self.height,
@@ -451,6 +474,43 @@ class Renderer:
         )
         lighting = jnp.sum(sun_unit * r["normal"], axis=-1) / 2.0 + 1.0
         return r["rgb"] * lighting[..., None] * r["hit"][..., None]
+
+    def _hf_preview(self, cam: vcam.Camera, sun_unit):
+        """preview_frame on the heightfield engine (hf-only mode, or any
+        terrain world whose soup is unavailable): exact primaries — the
+        pure walk on unedited terrain, the hybrid edited cast while the
+        edit bounds are tracked — shaded with the same software.rs
+        formula as the raster preview."""
+        hf_flat, hf_offs, hf_rgb = self._get_hf()
+        if hf_flat is None:
+            return None
+        from voxtracer.kernels.heightfield import (hf_frame_cast,
+                                                   hf_raycast_edited)
+
+        op = np.asarray(cam.pos, np.float32)
+        bounds = self._hf_bounds()
+        if bounds is None:
+            r = hf_frame_cast(hf_flat, hf_offs, self.tree_height, op,
+                              cam.basis(), self.width, self.height,
+                              hf_rgb)
+            rgb = r["rgb"]
+        else:
+            from voxtracer.kernels.traverse import leaf_rgb
+
+            _, d = vcam.generate_rays(cam, self.width, self.height)
+            r = hf_raycast_edited(
+                hf_flat, hf_offs, self.tree_height, self.table,
+                self.root, bounds, jnp.asarray(op), d, min_bucket=4096,
+            )
+            # placed blocks shade by their own leaf color; terrain by
+            # the interned terrain color
+            rgb = jnp.where(
+                (r["node"] >= 0)[..., None],
+                leaf_rgb(self.table, jnp.maximum(r["node"], 0)),
+                jnp.broadcast_to(hf_rgb, r["normal"].shape),
+            ) * r["hit"][..., None]
+        lighting = jnp.sum(sun_unit * r["normal"], axis=-1) / 2.0 + 1.0
+        return rgb * lighting[..., None] * r["hit"][..., None]
 
     def _hf_bounds(self):
         """Edit-bounds arg for the hybrid heightfield cast: the tracked
