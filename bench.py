@@ -555,7 +555,7 @@ def main():
             # extraction (~25 s), no occlusion cull (~4 min), no pose
             # bins. Measured faster than the raster pipeline over the
             # 6.8M-box culled active set at this scale: exact 1080p
-            # frame 1019 vs 1430 ms, PT 634 vs 690 ms/sample (PERF.md
+            # frame 964 vs 1430 ms (tile_steps=6), PT 634 vs 690 ms/sample (PERF.md
             # round 3; the soup path stays available under
             # BENCH_FLAGSHIP_SOUP=1 for A/B).
             from voxtracer.kernels.heightfield import (build_height_mips,

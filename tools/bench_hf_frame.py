@@ -51,17 +51,15 @@ def main():
     if "--steps" in sys.argv:
         steps = [int(x) for x in
                  sys.argv[sys.argv.index("--steps") + 1].split(",")]
+    tls = [3]
+    if "--tl" in sys.argv:
+        tls = [int(x) for x in
+               sys.argv[sys.argv.index("--tl") + 1].split(",")]
 
     t0 = time.monotonic()
     dev, soup, heights, terrain_rgb = load()
     log(f"cache load {time.monotonic() - t0:.1f}s")
     del soup  # not needed: the whole point
-
-    t0 = time.monotonic()
-    hf_flat, hf_offs, height = build_height_mips(heights)
-    hf_flat = jax.device_put(hf_flat)
-    jax.block_until_ready(hf_flat)
-    log(f"hf mips {time.monotonic() - t0:.1f}s (height={height})")
 
     fcams = _cams(2, 1.0, jitter=1.0)
     cam_args = [
@@ -70,16 +68,23 @@ def main():
         for c in fcams
     ]
 
-    for ts in steps:
-        for mb in buckets:
-            def f(o, d, _mb=mb, _ts=ts):
-                return hf_raycast(hf_flat, hf_offs, height,
-                                  o.reshape(-1, 3), d.reshape(-1, 3),
-                                  min_bucket=_mb, tile_steps=_ts)["t"]
+    for tl in tls:
+        t0 = time.monotonic()
+        hf_flat, hf_offs, height = build_height_mips(heights, tile_log=tl)
+        hf_flat = jax.device_put(hf_flat)
+        jax.block_until_ready(hf_flat)
+        log(f"hf mips tl={tl} {time.monotonic() - t0:.1f}s "
+            f"(height={height})")
+        for ts in steps:
+            for mb in buckets:
+                def f(o, d, _mb=mb, _ts=ts):
+                    return hf_raycast(hf_flat, hf_offs, height,
+                                      o.reshape(-1, 3), d.reshape(-1, 3),
+                                      min_bucket=_mb, tile_steps=_ts)["t"]
 
-            dt, _ = _time_over(f, cam_args)
-            log(f"hf full-frame {W}x{H} ts={ts} mb={mb}: "
-                f"{dt * 1e3:.0f} ms -> {W * H / dt / 1e6:.2f} Mrays/s")
+                dt, _ = _time_over(f, cam_args)
+                log(f"hf full-frame {W}x{H} tl={tl} ts={ts} mb={mb}: "
+                    f"{dt * 1e3:.0f} ms -> {W * H / dt / 1e6:.2f} Mrays/s")
 
 
 if __name__ == "__main__":

@@ -665,14 +665,16 @@ def hf_raycast_edited(flat_mips, offsets: tuple, height: int, table,
 def hf_frame_cast(flat_mips, offsets: tuple, height: int, cam_pos,
                   cam_basis, width_px: int, height_px: int, terrain_rgb,
                   terrain_node=-1, ray_dirs=None, distance=FAR,
-                  min_bucket: int = 4096, tile_steps: int = 3):
+                  min_bucket: int = 4096, tile_steps: int = 6):
     """Full-frame primary visibility on UNEDITED terrain: one
     ``hf_raycast`` over every pixel's camera ray, returning the
     ``raster_cast_exact`` result dict (hit/t/normal/node/rgb/voxel,
     each (H, W[, 3]); misses zeroed, node -1).
 
     At flagship scale (8192^3) this IS the production exact-frame
-    engine: 1019 ms at 1080p vs 1430 ms for the raster+fallback
+    engine: 964 ms at 1080p (tile_steps=6, the measured frame optimum
+    — 3/6/9/12 gave 1031/964/1004/1141 ms; bounce casts keep the
+    hf_raycast default 3) vs 1430 ms for the raster+fallback
     pipeline over the 6.8M-box culled active set (PERF.md round 3) —
     and it needs no soup extraction, no occlusion cull, and no pose
     bins, so the first frame arrives ~5 minutes sooner. The raster
