@@ -665,7 +665,8 @@ def hf_raycast_edited(flat_mips, offsets: tuple, height: int, table,
 def hf_frame_cast(flat_mips, offsets: tuple, height: int, cam_pos,
                   cam_basis, width_px: int, height_px: int, terrain_rgb,
                   terrain_node=-1, ray_dirs=None, distance=FAR,
-                  min_bucket: int = 4096, tile_steps: int = 6):
+                  min_bucket: int = 4096, tile_steps: int = 6,
+                  cone=None):
     """Full-frame primary visibility on UNEDITED terrain: one
     ``hf_raycast`` over every pixel's camera ray, returning the
     ``raster_cast_exact`` result dict (hit/t/normal/node/rgb/voxel,
@@ -694,6 +695,15 @@ def hf_frame_cast(flat_mips, offsets: tuple, height: int, cam_pos,
     jittered PT primaries); default is pixel centers. ``terrain_node``:
     leaf id reported for hits (parity callers pass the world's interned
     terrain leaf; shading-only callers keep -1).
+
+    ``cone``: optional (flat, offsets, min_level) from
+    conemarch.build_cone_mips — per-8x8-pixel-tile cone-march prefixes
+    (certified-air t_min resume) amortize the coherent part of the
+    walk across each tile's 64 rays. BIT-IDENTICAL output (the t_min
+    contract re-enters the walk's own arithmetic; the certificate
+    covers jittered ``ray_dirs`` too — the bundles carry a half-pixel
+    pad). Only valid on UNEDITED terrain whose heightmap built both
+    pyramids.
     """
     from voxtracer.core import camera as vcam
 
@@ -704,10 +714,22 @@ def hf_frame_cast(flat_mips, offsets: tuple, height: int, cam_pos,
         ld = vcam.pixel_ndc(px, py, W, H)
         ray_dirs = vcam.ray_directions(basis, ld)
     d = jnp.asarray(ray_dirs, jnp.float32).reshape(-1, 3)
+    t_min = None
+    if cone is not None:
+        from voxtracer.kernels.conemarch import (cone_prefix,
+                                                 frame_tile_bundles)
+
+        dc, sig, nmin = frame_tile_bundles(basis, W, H, tile=8)
+        S = cone_prefix(cone[0], cone[1], cone[2], height,
+                        jnp.asarray(cam_pos, jnp.float32), dc, sig)
+        ty, tx = -(-H // 8), -(-W // 8)
+        tm = (S * nmin).reshape(ty, tx)
+        tm = jnp.repeat(jnp.repeat(tm, 8, axis=0), 8, axis=1)
+        t_min = tm[:H, :W].reshape(-1)
     r = hf_raycast(flat_mips, offsets, height,
                    jnp.asarray(cam_pos, jnp.float32), d,
                    distance=distance, min_bucket=min_bucket,
-                   tile_steps=tile_steps)
+                   tile_steps=tile_steps, t_min=t_min)
     hit = r["hit"].reshape(H, W)
     trgb = jnp.broadcast_to(jnp.asarray(terrain_rgb, jnp.float32),
                             (H, W, 3))
