@@ -9,7 +9,12 @@ beat the entire raster pipeline on unedited terrain — and it needs no
 soup, no cull, no bins (skips the ~30 s flagship active-set build too).
 
 Usage: python tools/bench_hf_frame.py [--buckets 2048,4096,8192]
-                                      [--steps 3] [--res WxH]
+                                      [--steps 3] [--res WxH] [--cone]
+
+--cone additionally times the cone-march-prefixed frame
+(kernels/conemarch.py): per-8x8-tile certified-air prefixes seed the
+per-pixel t_min resume. The timed function INCLUDES the cone march
+(it is per-pose work, like the cast itself).
 """
 
 from __future__ import annotations
@@ -68,6 +73,33 @@ def main():
         for c in fcams
     ]
 
+    cone = None
+    if "--cone" in sys.argv:
+        from voxtracer.kernels.conemarch import (build_cone_mips,
+                                                 frame_tile_bundles)
+
+        ctile = 8
+        if "--tile" in sys.argv:
+            ctile = int(sys.argv[sys.argv.index("--tile") + 1])
+        citers = 192
+        if "--iters" in sys.argv:
+            citers = int(sys.argv[sys.argv.index("--iters") + 1])
+        t0 = time.monotonic()
+        cone = build_cone_mips(heights)
+        cone = (jax.device_put(cone[0]), cone[1], cone[2])
+        jax.block_until_ready(cone[0])
+        log(f"cone mips {time.monotonic() - t0:.1f}s "
+            f"({cone[0].size * 4 / 1e6:.1f} MB) tile={ctile} "
+            f"iters={citers}")
+        cone_args = []
+        for c, (o, d) in zip(fcams, cam_args):
+            dc, sig, nmin = frame_tile_bundles(
+                np.asarray(c.basis(), np.float32), W, H, tile=ctile)
+            cone_args.append((
+                jax.device_put(jnp.asarray(c.pos, jnp.float32)),
+                d, jax.device_put(dc), jax.device_put(sig),
+                jax.device_put(nmin)))
+
     for tl in tls:
         t0 = time.monotonic()
         hf_flat, hf_offs, height = build_height_mips(heights, tile_log=tl)
@@ -85,6 +117,56 @@ def main():
                 dt, _ = _time_over(f, cam_args)
                 log(f"hf full-frame {W}x{H} tl={tl} ts={ts} mb={mb}: "
                     f"{dt * 1e3:.0f} ms -> {W * H / dt / 1e6:.2f} Mrays/s")
+
+                if cone is not None:
+                    from voxtracer.kernels.conemarch import cone_prefix
+
+                    ty, tx = -(-H // ctile), -(-W // ctile)
+
+                    def fc(o, d, dc, sig, nmin, _mb=mb, _ts=ts):
+                        S = cone_prefix(cone[0], cone[1], cone[2],
+                                        height, o, dc, sig,
+                                        max_iters=citers)
+                        tm = (S * nmin).reshape(ty, tx)
+                        tm = jnp.repeat(jnp.repeat(tm, ctile, 0),
+                                        ctile, 1)
+                        tm = tm[:H, :W].reshape(-1)
+                        return hf_raycast(hf_flat, hf_offs, height, o,
+                                          d.reshape(-1, 3),
+                                          min_bucket=_mb, tile_steps=_ts,
+                                          t_min=tm)["t"]
+
+                    dt, _ = _time_over(fc, cone_args)
+                    log(f"hf+cone    {W}x{H} tl={tl} ts={ts} mb={mb} "
+                        f"tile={ctile} it={citers}: {dt * 1e3:.0f} ms -> "
+                        f"{W * H / dt / 1e6:.2f} Mrays/s")
+
+                    if "--quality" in sys.argv:
+                        # certificate quality: mean fraction of the true
+                        # hit t covered by the resumed t_min, split by
+                        # ground/sky lanes
+                        o, d, dc, sig, nmin = cone_args[0]
+                        S = cone_prefix(cone[0], cone[1], cone[2],
+                                        height, o, dc, sig,
+                                        max_iters=citers)
+                        tm = (S * nmin).reshape(ty, tx)
+                        tm = jnp.repeat(jnp.repeat(tm, ctile, 0),
+                                        ctile, 1)[:H, :W].reshape(-1)
+                        r = hf_raycast(hf_flat, hf_offs, height, o,
+                                       d.reshape(-1, 3), min_bucket=mb,
+                                       tile_steps=ts)
+                        hit = np.asarray(r["hit"])
+                        t = np.asarray(r["t"])
+                        tmn = np.asarray(tm)
+                        g = hit
+                        frac = np.where(t > 0, tmn / np.maximum(t, 1e-9),
+                                        0.0)
+                        log(f"  quality: ground lanes {g.mean():.2%}, "
+                            f"mean covered frac (ground) "
+                            f"{frac[g].mean():.3f}, median "
+                            f"{np.median(frac[g]):.3f}; sky t_min "
+                            f"mean {tmn[~g].mean():.0f} "
+                            f"(world diag {1.73 * 2**height:.0f})")
 
 
 if __name__ == "__main__":
