@@ -566,12 +566,21 @@ def main():
             fhf_flat = jax.device_put(fhf_flat)
             ftrgb = jnp.asarray(fspace.terrain_rgb, jnp.float32)
             log(f"flagship hf mips {time.monotonic() - t0:.1f}s")
-            flagship["frame_engine"] = "heightfield"
+            flagship["frame_engine"] = "heightfield+cone"
+
+            # cone-march tile prefixes (kernels/conemarch.py): measured
+            # 963 -> ~905 ms at 1080p with tile_steps=3 (PERF.md)
+            t0 = time.monotonic()
+            from voxtracer.kernels.conemarch import build_cone_mips
+
+            fcone = build_cone_mips(fspace.heights)
+            fcone = (jax.device_put(fcone[0]), fcone[1], fcone[2])
+            log(f"flagship cone mips {time.monotonic() - t0:.1f}s")
 
             def f_flag(op, basis):
                 return hf_frame_cast(
                     fhf_flat, fhf_offs, fdev.height, op, basis, W, H,
-                    ftrgb,
+                    ftrgb, cone=fcone, tile_steps=3,
                 )["t"]
 
             dt, _ = _time_over(f_flag, fcam_args)

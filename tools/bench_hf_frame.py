@@ -10,11 +10,17 @@ soup, no cull, no bins (skips the ~30 s flagship active-set build too).
 
 Usage: python tools/bench_hf_frame.py [--buckets 2048,4096,8192]
                                       [--steps 3] [--res WxH] [--cone]
+                                      [--sky]
 
 --cone additionally times the cone-march-prefixed frame
 (kernels/conemarch.py): per-8x8-tile certified-air prefixes seed the
 per-pixel t_min resume. The timed function INCLUDES the cone march
 (it is per-pose work, like the cast itself).
+
+--sky additionally times skyline-certified frames (kernels/skyline.py:
+per-pose horizon table retires provably-sky tiles instantly), alone
+and — with --cone — composed with the cone prefix. The timed function
+INCLUDES the per-pose host skyline build (the pyramid is per-world).
 """
 
 from __future__ import annotations
@@ -100,6 +106,20 @@ def main():
                 d, jax.device_put(dc), jax.device_put(sig),
                 jax.device_put(nmin)))
 
+    sky_mips = None
+    if "--sky" in sys.argv:
+        from voxtracer.kernels.skyline import build_sky_mips
+
+        t0 = time.monotonic()
+        sky_mips = build_sky_mips(heights)
+        log(f"sky mips {time.monotonic() - t0:.1f}s")
+        sky_args = [
+            (jax.device_put(jnp.asarray(c.pos, jnp.float32)),
+             np.asarray(c.pos, np.float32),
+             np.asarray(c.basis(), np.float32), d)
+            for c, (o, d) in zip(fcams, cam_args)
+        ]
+
     for tl in tls:
         t0 = time.monotonic()
         hf_flat, hf_offs, height = build_height_mips(heights, tile_log=tl)
@@ -117,6 +137,60 @@ def main():
                 dt, _ = _time_over(f, cam_args)
                 log(f"hf full-frame {W}x{H} tl={tl} ts={ts} mb={mb}: "
                     f"{dt * 1e3:.0f} ms -> {W * H / dt / 1e6:.2f} Mrays/s")
+
+                if sky_mips is not None:
+                    from voxtracer.kernels.skyline import (build_skyline,
+                                                           tile_sky)
+
+                    ty8, tx8 = -(-H // 8), -(-W // 8)
+
+                    def fsky(o, onp, bnp, d, _mb=mb, _ts=ts,
+                             _cone=None, _ca=None):
+                        sky = build_skyline(sky_mips, onp)
+                        mask = tile_sky(sky, bnp, W, H)
+                        tmt = jnp.where(jnp.asarray(mask),
+                                        jnp.float32(1e30), jnp.float32(0))
+                        if _cone is not None:
+                            dc, sig, nmin = _ca
+                            S = cone_prefix(_cone[0], _cone[1], _cone[2],
+                                            height, o, dc, sig,
+                                            max_iters=citers)
+                            tmt = jnp.maximum(tmt, S * nmin)
+                        tm = jnp.repeat(jnp.repeat(
+                            tmt.reshape(ty8, tx8), 8, 0), 8, 1)
+                        tm = tm[:H, :W].reshape(-1)
+                        return hf_raycast(hf_flat, hf_offs, height, o,
+                                          d.reshape(-1, 3),
+                                          min_bucket=_mb, tile_steps=_ts,
+                                          t_min=tm)["t"]
+
+                    dt, _ = _time_over(fsky, sky_args)
+                    log(f"hf+sky     {W}x{H} tl={tl} ts={ts} mb={mb}: "
+                        f"{dt * 1e3:.0f} ms -> "
+                        f"{W * H / dt / 1e6:.2f} Mrays/s")
+                    onp0 = sky_args[0][1]
+                    m0 = tile_sky(build_skyline(sky_mips, onp0),
+                                  sky_args[0][2], W, H)
+                    log(f"  sky tiles certified: {m0.mean():.1%}")
+
+                    if cone is not None:
+                        from voxtracer.kernels.conemarch import \
+                            cone_prefix
+                        cs_args = [
+                            sa + (cone,
+                                  (ca[2], ca[3], ca[4]))
+                            for sa, ca in zip(sky_args, cone_args)
+                        ]
+
+                        def fcs(o, onp, bnp, d, _cone, _ca,
+                                _mb=mb, _ts=ts):
+                            return fsky(o, onp, bnp, d, _mb=_mb,
+                                        _ts=_ts, _cone=_cone, _ca=_ca)
+
+                        dt, _ = _time_over(fcs, cs_args)
+                        log(f"hf+cone+sky {W}x{H} tl={tl} ts={ts} "
+                            f"mb={mb}: {dt * 1e3:.0f} ms -> "
+                            f"{W * H / dt / 1e6:.2f} Mrays/s")
 
                 if cone is not None:
                     from voxtracer.kernels.conemarch import cone_prefix

@@ -66,6 +66,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from voxtracer.core.lanes import take_lanes
 from voxtracer.core.vecmath import hmax, hmin
@@ -666,7 +667,7 @@ def hf_frame_cast(flat_mips, offsets: tuple, height: int, cam_pos,
                   cam_basis, width_px: int, height_px: int, terrain_rgb,
                   terrain_node=-1, ray_dirs=None, distance=FAR,
                   min_bucket: int = 4096, tile_steps: int = 6,
-                  cone=None):
+                  cone=None, sky=None):
     """Full-frame primary visibility on UNEDITED terrain: one
     ``hf_raycast`` over every pixel's camera ray, returning the
     ``raster_cast_exact`` result dict (hit/t/normal/node/rgb/voxel,
@@ -704,6 +705,17 @@ def hf_frame_cast(flat_mips, offsets: tuple, height: int, cam_pos,
     covers jittered ``ray_dirs`` too — the bundles carry a half-pixel
     pad). Only valid on UNEDITED terrain whose heightmap built both
     pyramids.
+
+    ``sky``: optional skyline.build_skyline dict FOR THIS POSE's
+    ``cam_pos`` — per-8x8-tile horizon certificates retire provably
+    all-sky bundles before their first gather, by resuming them past
+    the world exit. BIT-IDENTICAL output (a certified lane's result is
+    the miss the walk would have produced; kernels/skyline.py).
+    Composes with ``cone``; same unedited-terrain validity. Measured
+    NEUTRAL on the flagship frame (PERF.md round 3: the bucketed tiled
+    walk already retires dead lanes nearly for free — the frame's cost
+    is the alive grazing-ground tail), so production paths pass only
+    ``cone``; ``sky`` stays for lane-count-sensitive callers.
     """
     from voxtracer.core import camera as vcam
 
@@ -715,6 +727,7 @@ def hf_frame_cast(flat_mips, offsets: tuple, height: int, cam_pos,
         ray_dirs = vcam.ray_directions(basis, ld)
     d = jnp.asarray(ray_dirs, jnp.float32).reshape(-1, 3)
     t_min = None
+    ty, tx = -(-H // 8), -(-W // 8)
     if cone is not None:
         from voxtracer.kernels.conemarch import (cone_prefix,
                                                  frame_tile_bundles)
@@ -722,8 +735,18 @@ def hf_frame_cast(flat_mips, offsets: tuple, height: int, cam_pos,
         dc, sig, nmin = frame_tile_bundles(basis, W, H, tile=8)
         S = cone_prefix(cone[0], cone[1], cone[2], height,
                         jnp.asarray(cam_pos, jnp.float32), dc, sig)
-        ty, tx = -(-H // 8), -(-W // 8)
-        tm = (S * nmin).reshape(ty, tx)
+        tm_tile = S * nmin
+    if sky is not None:
+        from voxtracer.kernels.skyline import tile_sky
+
+        mask = tile_sky(sky, np.asarray(cam_basis, np.float32), W, H,
+                        tile=8)
+        sky_tm = jnp.where(jnp.asarray(mask), jnp.float32(1e30),
+                           jnp.float32(0.0))
+        tm_tile = jnp.maximum(tm_tile, sky_tm) if cone is not None \
+            else sky_tm
+    if cone is not None or sky is not None:
+        tm = tm_tile.reshape(ty, tx)
         tm = jnp.repeat(jnp.repeat(tm, 8, axis=0), 8, axis=1)
         t_min = tm[:H, :W].reshape(-1)
     r = hf_raycast(flat_mips, offsets, height,

@@ -1,0 +1,329 @@
+"""Per-pose horizon certificates: retire sky rays without walking.
+
+The flagship full-frame heightfield cast spends ~45% of its time on SKY
+lanes (a perfect per-pixel t_min floors the 8192^3 1080p frame at 594 of
+1031 ms, and 21% of its pixels never hit; PERF.md round 3): a
+near-horizon sky ray grazes the terrain's coarse mip maxima for
+thousands of voxels before anything lets it ascend, and nothing ever
+retires it early. The cone march (kernels/conemarch.py) cannot fix
+this — its dilated cell maxima block the same corridor (measured: sky
+tiles certify to a mean t of 399 of a 14k-voxel diagonal).
+
+This module exploits the one fact the per-step structures cannot see:
+for rays from a SHARED origin over a heightfield, "hits nothing" is a
+closed-form test. A ray at azimuth ``a`` with elevation slope
+``tan = d_y / |d_xz|`` clears the column at horizontal distance ``d``
+and height ``h`` iff ``o_y + d * tan > h`` at every point of the
+column's footprint, i.e. iff ``tan`` exceeds the column's slope
+``(h - o_y) / d`` (endpoint-monotone in ``d``). So
+
+    ``tan > max over columns in azimuth(a) of slope  ==>  the ray
+    misses every terrain column`` — the classic skyline/horizon test,
+
+and the max-slope-per-azimuth table is a per-POSE, per-WORLD structure
+a few thousand entries wide. The reference has no analogue (its GPU
+walks every sky ray to the world box; raytrace.wgsl:68-180); on TPU
+the table turns ~15-20% of the frame's lanes into instant misses for
+a host-side tile mask (zero device cost, ~45 ms/pose on one core).
+
+MEASURED OUTCOME (TPU, flagship 8192^3 1080p, PERF.md round 3): frame
+time is NEUTRAL (1035 -> 1055 ms alone, 907 -> 899 ms composed with
+the cone prefix, 15.4% of tiles certified) — the bucketed tiled walk
+already retires dead lanes nearly for free, and the frame's cost is
+the alive grazing-ground tail the certificate cannot touch. The
+subsystem stays available (sound, tested, cheap) for callers whose
+walks are lane-count-bound rather than tail-bound.
+
+Conservatism (any under-certification only costs speed):
+
+* column tops: a column of height ``h`` occupies voxels ``vy < h``, so
+  its solid top is ``ceil(h)`` (fractional h fills the voxel it ends
+  in); ``build_sky_mips`` ceils the base level before the max pyramid.
+  ``NUM_MARGIN`` (0.5 voxel) is added on top of every cell max — far
+  more than the walk's f32 trajectory wobble (|y| <= 3e4 with ~1e-7
+  relative ops => ~0.01 voxel).
+* cell bounds: a level-L cell scores ``(h_top - o_y) / d_min`` when
+  ``h_top >= o_y`` (nearest footprint point maximizes the slope) and
+  ``(h_top - o_y) / d_max`` otherwise (farthest point maximizes a
+  negative slope); both dominate every column in the cell for the
+  binding endpoint of the pass-over test (module doc above).
+* azimuth: a cell's bound is max-scattered into every azimuth bin its
+  xz box subtends (corner azimuths — support lines from the origin to
+  a convex box touch corners), padded one bin each side; a cell whose
+  box contains the origin raises ALL bins. The per-azimuth scatter is
+  center-bin + per-width-class wraparound max-dilation (log-doubling
+  shifts), so a class's dilation always covers its widest member.
+* ladder: level L serves cells with ``d_min in [ratio * 2^L, ...)``
+  and a parent nearer than ``ratio * 2^(L+1)`` — every column's
+  cell chain has a maximal such level (d_min shrinks as L grows, the
+  threshold grows), so coverage is gapless; duplicates are harmless
+  maxima. The ratio bounds every used cell's angular width to
+  ~sqrt(2)/ratio radians, which bounds the scatter dilation and the
+  bound's tightness (the slope inflation from d_min vs the true
+  column distance is <= ~1/ratio).
+
+The tile test (``tile_sky``) certifies whole 8x8-pixel bundles on the
+HOST in f64 — corner direction boxes exactly bound every interior and
+sub-pixel-jittered f32 device ray (affine in ndc; matmuls are pinned
+to HIGHEST precision) up to 1 ulp, buried by ``REL_MARGIN`` on the
+tan test and the one-bin azimuth pad. hf_frame_cast folds the mask
+into the walk's ``t_min`` resume past the world exit, which kills the
+lane before its first gather; output is BIT-IDENTICAL to the
+uncertified frame because a certified lane's walk result is already
+miss/t=0 (tests/test_skyline.py: frame equality + a brute-force
+soundness fuzz attacking the certificate on adversarial terrain).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+NUM_MARGIN = 0.5    # voxels added over every cell max (walk f32 wobble)
+REL_MARGIN = 1e-5   # relative tan slack (f32 direction/test rounding)
+ABS_MARGIN = 1e-6   # absolute tan slack
+
+
+def build_sky_mips(heights):
+    """Max pyramid over CEILED column heights, coarse enough for the
+    skyline ladder. Returns a tuple of (n/2^L, n/2^L) f32 arrays,
+    level 0 first (= ceil(heights)). Built once per world (host numpy;
+    ~0.4 s at 8192^2) and reused by every per-pose build_skyline."""
+    h = np.ceil(np.asarray(heights, np.float32))
+    n = h.shape[0]
+    assert h.shape == (n, n) and (n & (n - 1)) == 0
+    levels = [h]
+    while levels[-1].shape[0] > 1:
+        m = levels[-1].shape[0] // 2
+        levels.append(
+            levels[-1].reshape(m, 2, m, 2).max(axis=(1, 3)))
+    return tuple(levels)
+
+
+def _cell_az_spread(ox, oz, x0, x1, z0, z1):
+    """Center azimuth and half-spread (radians) of the xz boxes
+    [x0,x1]x[z0,z1] seen from (ox, oz); boxes containing the origin
+    get half-spread pi (callers treat >= pi as all-bins)."""
+    cx = 0.5 * (x0 + x1) - ox
+    cz = 0.5 * (z0 + z1) - oz
+    ac = np.arctan2(cz, cx)
+    hw = np.zeros_like(ac)
+    for gx, gz in ((x0, z0), (x0, z1), (x1, z0), (x1, z1)):
+        d = np.arctan2(gz - oz, gx - ox) - ac
+        d = (d + np.pi) % (2.0 * np.pi) - np.pi
+        hw = np.maximum(hw, np.abs(d))
+    inside = (x0 <= ox) & (ox <= x1) & (z0 <= oz) & (oz <= z1)
+    return ac, np.where(inside, np.pi, hw)
+
+
+def _dilate_max(b, w):
+    """Wraparound sliding max of half-width w over the last axis, by
+    log-doubling shifts (max is idempotent: overlap is harmless)."""
+    out = b
+    s = 1
+    done = 0
+    while done < w:
+        step = min(s, w - done)
+        out = np.maximum(out,
+                         np.maximum(np.roll(out, step, -1),
+                                    np.roll(out, -step, -1)))
+        done += step
+        s = min(2 * s, w - done) if w - done > 0 else s
+    return out
+
+
+def build_skyline(sky_mips, origin, bins: int = 4096, ratio: int = 16,
+                  dil: int = 16):
+    """Conservative per-azimuth max terrain slope from ``origin``.
+
+    sky_mips: build_sky_mips output. Returns a dict:
+      ``B``     (bins,) f32 — upper bound on (h_top - o_y)/d over every
+                terrain column whose azimuth falls in the bin (each
+                cell padded one bin); a ray with tan strictly above
+                ``B[bin(az)]`` (plus REL/ABS_MARGIN) misses all terrain.
+      ``B_dil`` (bins,) f32 — ``B`` max-dilated by ``dil`` bins for
+                interval consumers (tile_sky gathers one center bin
+                for any interval of half-width <= dil).
+      ``B_max`` f32 scalar — global max (fallback for wide intervals).
+    Host f64 math throughout; ~10 ms per pose at flagship scale."""
+    o = np.asarray(origin, np.float64)
+    ox, oy, oz = float(o[0]), float(o[1]), float(o[2])
+    n = sky_mips[0].shape[0]
+    top = len(sky_mips) - 1
+    bin_w = 2.0 * np.pi / bins
+    # per-width-class center-bin scatter targets (class c covers cells
+    # with ceil(half-spread in bins) + 1 <= 2^c); widest class = all bins
+    n_cls = max(1, int(math.ceil(math.log2(max(bins, 2)))))
+    cls_b = np.full((n_cls, bins), -np.inf)
+    b_all = -np.inf  # bounds that cover every bin
+
+    for L in range(top + 1):
+        c = float(1 << L)
+        a_lo = ratio * c if L > 0 else 0.0
+        a_hi = ratio * c * 2.0
+        dim = n >> L
+        # window: cells whose PARENT could be nearer than a_hi; the top
+        # level has no parent gate, so it must never clip (soundness
+        # for origins far outside the grid)
+        ext = int(math.ceil(a_hi / c)) + 4
+        if L == top:
+            ext = max(ext, dim + abs(int(ox / c)) + abs(int(oz / c)))
+        ci0 = max(int(ox / c) - ext, 0)
+        ci1 = min(int(ox / c) + ext + 1, dim)
+        cj0 = max(int(oz / c) - ext, 0)
+        cj1 = min(int(oz / c) + ext + 1, dim)
+        if ci0 >= ci1 or cj0 >= cj1:
+            continue
+        ii = np.arange(ci0, ci1, dtype=np.float64)
+        jj = np.arange(cj0, cj1, dtype=np.float64)
+        x0 = (ii * c)[:, None] + np.zeros((1, jj.size))
+        z0 = (jj * c)[None, :] + np.zeros((ii.size, 1))
+        x1, z1 = x0 + c, z0 + c
+
+        def box_d(bx0, bx1, bz0, bz1):
+            dx = np.maximum(np.maximum(bx0 - ox, ox - bx1), 0.0)
+            dz = np.maximum(np.maximum(bz0 - oz, oz - bz1), 0.0)
+            dmin = np.hypot(dx, dz)
+            fx = np.maximum(np.abs(bx0 - ox), np.abs(bx1 - ox))
+            fz = np.maximum(np.abs(bz0 - oz), np.abs(bz1 - oz))
+            return dmin, np.hypot(fx, fz)
+
+        d_min, d_max = box_d(x0, x1, z0, z1)
+        # ladder membership: this level serves the annulus, the parent
+        # is too near for the next (gapless by chain maximality)
+        if L < top:
+            pc = 2.0 * c
+            px0 = np.floor(x0 / pc) * pc
+            pz0 = np.floor(z0 / pc) * pc
+            pd_min, _ = box_d(px0, px0 + pc, pz0, pz0 + pc)
+            sel = (d_min >= a_lo) & (pd_min < a_hi)
+        else:
+            sel = d_min >= a_lo
+        if not np.any(sel):
+            continue
+
+        hm = sky_mips[L][ci0:ci1, cj0:cj1].astype(np.float64)
+        num = hm + NUM_MARGIN - oy
+        # positive numerators divide by the TRUE d_min: a touching or
+        # origin-containing cell above the origin must block its bins
+        # outright (num/0 -> +inf; inf never certifies — the tan test
+        # is strict). Negative numerators divide by d_max (>= diag/2).
+        with np.errstate(divide="ignore", invalid="ignore"):
+            bound = np.where(
+                num >= 0.0,
+                num / d_min,
+                num / np.maximum(d_max, 1e-12),
+            )
+        bound = np.where(np.isnan(bound), np.inf, bound)
+        ac, hw = _cell_az_spread(ox, oz, x0, x1, z0, z1)
+        bound, ac, hw = bound[sel], ac[sel], hw[sel]
+
+        wide = hw >= np.pi * (1.0 - 1e-12)
+        if np.any(wide):
+            b_all = max(b_all, float(bound[wide].max()))
+        rest = ~wide
+        if np.any(rest):
+            wb = np.ceil(hw[rest] / bin_w).astype(np.int64) + 1
+            cls = np.ceil(np.log2(np.maximum(wb, 1))).astype(np.int64)
+            cls = np.minimum(cls, n_cls - 1)
+            cb = np.floor((ac[rest] % (2.0 * np.pi)) / bin_w)
+            cb = cb.astype(np.int64) % bins
+            np.maximum.at(cls_b, (cls, cb), bound[rest])
+
+    B = np.full((bins,), b_all)
+    for cidx in range(n_cls):
+        if np.all(np.isneginf(cls_b[cidx])):
+            continue
+        B = np.maximum(B, _dilate_max(cls_b[cidx], min(1 << cidx,
+                                                       bins // 2)))
+    # bins no cell subtends (off-grid azimuths) certify every ray; +inf
+    # bins (terrain touching/above the origin) certify none
+    B = np.where(np.isneginf(B), np.float64(-3e38), B)
+    return dict(
+        B=B.astype(np.float32),
+        B_dil=_dilate_max(B, dil).astype(np.float32),
+        B_max=np.float32(B.max()),
+        bins=bins,
+        dil=dil,
+    )
+
+
+def _dir_boxes(cam_basis, width_px: int, height_px: int, tile: int):
+    """Per-tile component boxes (lo, hi) of the UNNORMALIZED jitter-
+    padded directions, host f64 (the f32 device dirs are 1-ulp
+    roundings of points inside these boxes; REL_MARGIN covers it)."""
+    W, H = width_px, height_px
+    tx = -(-W // tile)
+    ty = -(-H // tile)
+    x0 = (np.arange(tx) * tile).astype(np.float64)
+    x1 = np.minimum(x0 + tile - 1, W - 1)
+    y0 = (np.arange(ty) * tile).astype(np.float64)
+    y1 = np.minimum(y0 + tile - 1, H - 1)
+    pad = 0.5 + 1e-4
+    lx0 = (2.0 * (x0 - pad + 0.5) - W) / H
+    lx1 = (2.0 * (x1 + pad + 0.5) - W) / H
+    ly0 = (2.0 * (y0 - pad + 0.5) - H) / H
+    ly1 = (2.0 * (y1 + pad + 0.5) - H) / H
+    cx = np.stack([np.broadcast_to(a[None, :], (ty, tx))
+                   for a in (lx0, lx1, lx0, lx1)], -1)
+    cy = np.stack([np.broadcast_to(a[:, None], (ty, tx))
+                   for a in (ly0, ly0, ly1, ly1)], -1)
+    d_cam = np.stack([cx, -cy, np.ones_like(cx)], -1)
+    basis = np.asarray(cam_basis, np.float64)
+    dirs = d_cam.reshape(-1, 4, 3) @ basis.T
+    return dirs.min(axis=1), dirs.max(axis=1)
+
+
+def tile_sky(sky, cam_basis, width_px: int, height_px: int,
+             tile: int = 8):
+    """(T,) bool host mask: tiles whose EVERY ray (any sub-pixel
+    jitter) provably misses all terrain. Row-major 8x8 tile order
+    matching conemarch.frame_tile_bundles / the frame casts."""
+    lo, hi = _dir_boxes(cam_basis, width_px, height_px, tile)
+    # bundle tan lower bound: min dy over the box, against the worst
+    # |dxz| for the numerator's sign
+    dy_lo = lo[:, 1]
+    xz_hi = np.hypot(np.maximum(np.abs(lo[:, 0]), np.abs(hi[:, 0])),
+                     np.maximum(np.abs(lo[:, 2]), np.abs(hi[:, 2])))
+    nx = np.maximum(np.maximum(lo[:, 0], -hi[:, 0]), 0.0)
+    nz = np.maximum(np.maximum(lo[:, 2], -hi[:, 2]), 0.0)
+    xz_lo = np.hypot(nx, nz)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        tan_min = np.where(
+            dy_lo >= 0.0,
+            dy_lo / np.maximum(xz_hi, 1e-300),
+            dy_lo / np.maximum(xz_lo, 1e-300),
+        )
+    tan_adj = tan_min - (REL_MARGIN * np.abs(tan_min) + ABS_MARGIN)
+
+    bins = int(sky["bins"])
+    bin_w = 2.0 * np.pi / bins
+    ac, hw = _cell_az_spread(
+        0.0, 0.0, lo[:, 0], hi[:, 0], lo[:, 2], hi[:, 2])
+    wb = np.ceil(hw / bin_w).astype(np.int64) + 2
+    cb = (np.floor((ac % (2.0 * np.pi)) / bin_w).astype(np.int64)
+          % bins)
+    B = np.where((hw < np.pi) & (wb <= int(sky["dil"])),
+                 sky["B_dil"][cb].astype(np.float64),
+                 np.float64(sky["B_max"]))
+    return tan_adj > B
+
+
+def rays_sky(sky, dirs):
+    """(B,) bool host mask for individual NORMALIZED (or any-scale)
+    directions from the skyline's origin: ray provably misses all
+    terrain. Exact-azimuth variant of tile_sky (tests; per-ray
+    consumers pay one B gather per lane on device instead)."""
+    d = np.asarray(dirs, np.float64).reshape(-1, 3)
+    bins = int(sky["bins"])
+    az = np.arctan2(d[:, 2], d[:, 0]) % (2.0 * np.pi)
+    cb = np.floor(az / (2.0 * np.pi / bins)).astype(np.int64) % bins
+    xz = np.hypot(d[:, 0], d[:, 2])
+    with np.errstate(divide="ignore", invalid="ignore"):
+        tan = np.where(xz > 0.0, d[:, 1] / np.maximum(xz, 1e-300),
+                       np.where(d[:, 1] >= 0, np.inf, -np.inf))
+        tan_adj = np.where(
+            np.isinf(tan), tan,
+            tan - (REL_MARGIN * np.abs(tan) + ABS_MARGIN))
+    return tan_adj > sky["B"][cb].astype(np.float64)

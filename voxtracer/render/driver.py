@@ -130,6 +130,7 @@ class Renderer:
                             1 << 10, 1 << 9, 1 << 9, 1 << 8, 1 << 8)
         self._near_slots = 16
         self._hf = None  # lazy heightfield engine args (terrain worlds)
+        self._cone = None  # lazy cone-march pyramid (hf-only frames)
         self._edit_bounds = None  # (2,3) box covering point edits
 
     def update_space(self, device_svo):
@@ -149,6 +150,7 @@ class Renderer:
         # edits (or a transient extraction failure) disabled them
         self.use_soup = self._use_soup_default
         self._hf = None  # re-gate the heightfield engine on the new space
+        self._cone = None
         self._edit_bounds = None  # fresh world: no edits yet
         self._sun_maps_key = self._sun_maps = None  # heights changed
         self.acc.invalidate()
@@ -294,6 +296,26 @@ class Renderer:
         if heights is None or max(heights.shape) < self.HF_FRAME_SIZE:
             return False
         return self._get_hf()[0] is not None
+
+    def _get_cone(self):
+        """Cone-march pyramid for hf-only full frames (lazy, per world;
+        kernels/conemarch.py). Certified-air tile prefixes cut the
+        flagship exact 1080p frame ~6% (963 -> ~905 ms measured with
+        tile_steps=3; PERF.md round 3) for a one-time ~8 s host build.
+        Only built at hf-frame scale on unedited terrain (the pyramid
+        reads pre-edit heights; the hybrid edited cast path does not
+        consume it)."""
+        if self._cone is None and self._hf_only() \
+                and self._hf_bounds() is None:
+            from voxtracer.kernels.conemarch import build_cone_mips
+
+            heights = getattr(getattr(self._dev, "space", None),
+                              "heights", None)
+            import jax
+
+            c = build_cone_mips(np.asarray(heights))
+            self._cone = (jax.device_put(c[0]), c[1], c[2])
+        return self._cone if isinstance(self._cone, tuple) else None
 
     def _get_soup(self, cam=None):
         """Device box-soup arrays for rasterized primaries (lazy). Big
@@ -490,9 +512,11 @@ class Renderer:
         op = np.asarray(cam.pos, np.float32)
         bounds = self._hf_bounds()
         if bounds is None:
+            cone = self._get_cone()
             r = hf_frame_cast(hf_flat, hf_offs, self.tree_height, op,
                               cam.basis(), self.width, self.height,
-                              hf_rgb)
+                              hf_rgb, cone=cone,
+                              tile_steps=3 if cone is not None else 6)
             rgb = r["rgb"]
         else:
             from voxtracer.kernels.traverse import leaf_rgb
