@@ -99,6 +99,29 @@ def test_interactive_live_progressive(tmp_path, monkeypatch):
     assert any("fps" in line for line in logs)
 
 
+def test_interactive_idle_cadence(tmp_path, monkeypatch):
+    """Idle ticks accumulate PT samples AND refresh the preview on the
+    time cadence (VERDICT r3 #8): with preview_interval=0 every idle
+    tick presents the freshest accumulation, regardless of the
+    sample-count cadence (spp)."""
+    from voxtracer.app.interactive import run_interactive
+
+    monkeypatch.chdir(tmp_path)
+    args = build_parser().parse_args(
+        ["interact", "--log2-size", "5", "--width", "24", "--height", "16",
+         "--spp", "1000", "--max-bounces", "2", "--fog-steps", "4"]
+    )
+    script = iter([None, None, None, None, "q"])
+    logs = []
+    run_interactive(args, input_fn=lambda _: next(script),
+                    log=lambda *a: logs.append(" ".join(map(str, a))),
+                    preview_interval=0.0)
+    counts = [int(line.split()[0][1:]) for line in logs if "samples" in line]
+    # 1 startup sample + 4 idle ticks, each presented despite spp=1000
+    assert counts == [1, 2, 3, 4, 5]
+    assert (tmp_path / "preview.png").exists()
+
+
 def test_interactive_fast_preview(tmp_path, monkeypatch):
     """A camera/edit command writes an immediate shaded raster preview
     BEFORE the next path-traced sample (sub-second edit-to-preview on

@@ -84,6 +84,32 @@ def test_tile_sharded_equals_full_frame():
     assert np.array_equal(out, full)
 
 
+def test_tile_sharded_remainder_band_equals_full_frame():
+    """H % n != 0: each chip renders ceil(H/n) rows; the padded output
+    crops back to a frame bit-identical to the unsharded render."""
+    mesh = make_mesh(8)
+    table, root, height = _world()
+    table_r, lut_r = replicate_world(mesh, table, LUT)
+    cam = _cam()
+    sun = jnp.asarray([0.3, 0.9, 0.3], jnp.float32)
+    sun = sun / jnp.linalg.norm(sun)
+    seed = jnp.asarray(np.array([9, 8, 7], np.uint32))
+    H_odd = 13
+    step = tile_sharded_step(mesh, table_r, root, height, lut_r, W, H_odd,
+                             **KW)
+    assert step.out_rows == 16
+    out = np.asarray(
+        step(seed, np.asarray(cam.pos, np.float32), cam.basis(), sun)
+    )
+    assert out.shape == (16, W, 3)
+    full = np.asarray(
+        render_sample(table, root, height, LUT,
+                      np.asarray(cam.pos, np.float32), cam.basis(), sun, seed,
+                      W, H_odd, **KW)
+    )
+    assert np.array_equal(out[:H_odd], full)
+
+
 def test_graft_entry_dryrun():
     import __graft_entry__ as g
 

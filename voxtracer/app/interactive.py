@@ -26,9 +26,20 @@ cast the reference does CPU-side (software::raycast, main.rs:273).
 
 With ``input_fn`` given (tests), the session is scripted instead of
 live: commands are consumed back-to-back with one progressive sample
-after each."""
+after each; an ``input_fn`` returning None simulates an idle tick (no
+input pending), exercising the live loop's continuous accumulation.
+
+Idle cadence (main.rs:164-208 presents a sample every frame): while no
+input is pending the loop keeps accumulating path-traced samples, and
+the preview PNG refreshes on a TIME cadence (``preview_interval``,
+default 100 ms) as well as the sample-count one — when samples are
+slower than the interval every sample is presented immediately, when
+they are faster the writes coalesce, so the session always shows the
+freshest accumulation the sample rate allows."""
 
 from __future__ import annotations
+
+import time
 
 import numpy as np
 
@@ -52,7 +63,8 @@ def _stdin_poller():
     return poll
 
 
-def run_interactive(args, input_fn=None, log=print):
+def run_interactive(args, input_fn=None, log=print,
+                    preview_interval: float = 0.1):
     import jax.numpy as jnp
 
     from voxtracer.app.cli import _build_world, _camera
@@ -78,6 +90,8 @@ def run_interactive(args, input_fn=None, log=print):
     poll = None if scripted else _stdin_poller()
     timer = FrameTimer()
 
+    last_write = [0.0]  # monotonic time of the last preview write
+
     def sample_once():
         c = vcam.Camera(pos=tuple(pos), yaw=yaw, pitch=pitch)
         renderer.sample(c, sun)
@@ -85,8 +99,17 @@ def run_interactive(args, input_fn=None, log=print):
 
     def write_preview():
         renderer.save_png(preview)
+        last_write[0] = time.monotonic()
         log(f"[{renderer.acc.samples} samples | {timer.fps:.1f} fps] "
             f"-> {preview}")
+
+    def idle_tick():
+        """One live-loop tick with no input pending: accumulate a PT
+        sample, refresh the preview on the time cadence (module doc)."""
+        sample_once()
+        if (renderer.acc.samples % refresh_every == 0
+                or time.monotonic() - last_write[0] >= preview_interval):
+            write_preview()
 
     def fast_preview():
         """Immediate shaded raster frame after a camera/world change —
@@ -132,15 +155,16 @@ def run_interactive(args, input_fn=None, log=print):
                 line = input_fn("> ")
             except (EOFError, StopIteration):
                 return
+            if line is None:  # scripted idle tick (module doc)
+                idle_tick()
+                continue
         else:
             try:
                 line = poll()
             except EOFError:
                 return
             if line is None:
-                sample_once()
-                if renderer.acc.samples % refresh_every == 0:
-                    write_preview()
+                idle_tick()
                 continue
 
         line = line.strip()

@@ -129,6 +129,20 @@ class Renderer:
         self._pair_slots = (1 << 17, 1 << 16, 1 << 14, 1 << 12, 1 << 11,
                             1 << 10, 1 << 9, 1 << 9, 1 << 8, 1 << 8)
         self._near_slots = 16
+        # adaptive probe discipline (VERDICT r3 weak #6): the per-pose
+        # stage-2 demand probe is a host sync that serializes dispatch in
+        # exactly the fly-through case the north star times. Once the
+        # sticky capacities stop growing for PROBE_STABLE_N consecutive
+        # poses, the probe is skipped; each probe-free pose instead
+        # enqueues its bins' own demand counters (a device scalar) for a
+        # DEFERRED lag-1 readback — by the time the next pose (or next
+        # sample) drains the queue the program is long done, so the check
+        # costs no pipeline stall. A detected overflow can never be
+        # silent: slots regrow from the recorded demand, the bins cache
+        # drops, and the tainted accumulation is invalidated.
+        self._probe_stable = 0
+        self._pending_checks = []  # [(n_tier device scalar, slots, near)]
+        self.overflow_events = 0
         self._hf = None  # lazy heightfield engine args (terrain worlds)
         self._cone = None  # lazy cone-march pyramid (hf-only frames)
         self._edit_bounds = None  # (2,3) box covering point edits
@@ -151,6 +165,7 @@ class Renderer:
         self.use_soup = self._use_soup_default
         self._hf = None  # re-gate the heightfield engine on the new space
         self._cone = None
+        self._probe_stable = 0  # new world: demand profile changed
         self._edit_bounds = None  # fresh world: no edits yet
         self._sun_maps_key = self._sun_maps = None  # heights changed
         self.acc.invalidate()
@@ -237,6 +252,7 @@ class Renderer:
             self._soup = None
             self.use_soup = False
         self._bins = self._bins_key = None
+        self._probe_stable = 0  # edits shift the demand profile
         self.acc.invalidate()
 
     def _get_hf(self):
@@ -392,7 +408,15 @@ class Renderer:
         if self._bins_key != key:
             from voxtracer.kernels.raster import raster_bins
 
-            self._probe_slots(cam, soup)  # demand is pose-exact
+            self._drain_overflow_checks(block=False)
+            if self._probe_stable < self.PROBE_STABLE_N:
+                before = (self._pair_slots, self._near_slots)
+                self._probe_slots(cam, soup)  # demand is pose-exact
+                self._probe_stable = (
+                    self._probe_stable + 1
+                    if (self._pair_slots, self._near_slots) == before
+                    else 0
+                )
             self._bins = raster_bins(
                 soup[0], soup[1], np.asarray(cam.pos, np.float32),
                 cam.basis(), self.tree_height, self.width, self.height,
@@ -400,8 +424,50 @@ class Renderer:
                 near_slots=self._near_slots, jittered=True,
                 box_attr=soup[2],
             )
+            if self._probe_stable >= self.PROBE_STABLE_N:
+                # probe-free pose: its demand rides the bins program
+                # itself; checked lag-1 (see __init__ comment)
+                self._pending_checks.append(
+                    (self._bins["n_tier"], self._pair_slots,
+                     self._near_slots))
             self._bins_key = key
         return self._bins
+
+    PROBE_STABLE_N = 3  # poses without slot growth before probes stop
+
+    def _drain_overflow_checks(self, block: bool):
+        """Resolve deferred demand checks from probe-free poses. With
+        ``block=False`` only counters whose program already finished are
+        read (zero stall — the steady-state sample path); pose changes
+        and tests drain fully. Overflow recovery: regrow the sticky
+        slots from the recorded demand, drop the bins cache (the pose
+        rebuilds with covering capacities), resume probing, and
+        invalidate the accumulator — the overflowed bins may have
+        silently dropped boxes, so every sample they fed is discarded
+        (never a silent drop; VERDICT r3 weak #7)."""
+        if not self._pending_checks:
+            return
+        from voxtracer.kernels.raster import fit_near_slots, fit_pair_slots
+
+        keep = []
+        overflowed = False
+        for n_tier, slots, near in self._pending_checks:
+            if not block and not n_tier.is_ready():
+                keep.append((n_tier, slots, near))
+                continue
+            demand = np.asarray(n_tier).reshape(-1)
+            if int(demand[0]) > near or any(
+                    int(d) > s for d, s in zip(demand[1:], slots)):
+                overflowed = True
+                self._pair_slots = fit_pair_slots(demand, current=slots)
+                self._near_slots = fit_near_slots(int(demand[0]),
+                                                  current=near)
+        self._pending_checks = keep
+        if overflowed:
+            self.overflow_events += 1
+            self._bins = self._bins_key = None
+            self._probe_stable = 0
+            self.acc.invalidate()
 
     def _probe_slots(self, cam, soup):
         """Grow the sticky capacities from this pose's demand counters
@@ -421,6 +487,13 @@ class Renderer:
                                           current=self._pair_slots)
         self._near_slots = fit_near_slots(demand[0],
                                           current=self._near_slots)
+        # the readback is already paid — close the overflow invariant
+        # for good (VERDICT r3 weak #7): fitted capacities MUST cover
+        # this pose's pre-clip demand, else fit_* regressed
+        d = demand.reshape(-1)
+        assert int(d[0]) <= self._near_slots and all(
+            int(x) <= s for x, s in zip(d[1:], self._pair_slots)
+        ), f"probed demand {d} exceeds fitted slots {self._pair_slots}"
 
     def _soup_slots(self):
         """Static capacities matching the cached bins, for render_sample
@@ -589,6 +662,7 @@ class Renderer:
         samples per call when ``devices=N``)."""
         sun = np.asarray(sun, np.float64)
         sun_unit = (sun / np.linalg.norm(sun)).astype(np.float32)
+        self._drain_overflow_checks(block=False)  # zero-stall lag check
         self.acc.begin_sample(cam.pos, cam.yaw, cam.pitch, sun_unit)
         if self.devices:
             # keep the sharded step's static raster capacities covering
@@ -644,6 +718,7 @@ class Renderer:
 
         sun = np.asarray(sun, np.float64)
         sun_unit = (sun / np.linalg.norm(sun)).astype(np.float32)
+        self._drain_overflow_checks(block=False)  # zero-stall lag check
         self.acc.begin_sample(cam.pos, cam.yaw, cam.pitch, sun_unit)
         seeds = np.stack(
             [vrng.host_frame_seed(self.host_rng) for _ in range(k)]
