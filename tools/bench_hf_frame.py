@@ -21,6 +21,13 @@ per-pixel t_min resume. The timed function INCLUDES the cone march
 per-pose horizon table retires provably-sky tiles instantly), alone
 and — with --cone — composed with the cone prefix. The timed function
 INCLUDES the per-pose host skyline build (the pyramid is per-world).
+
+--env times the round-4 per-RAY horizon envelope
+(skyline.build_skyline_env / skyline_env_tmin): every lane resumes at
+its azimuth's certified-air ladder distance. Reported twice: with the
+per-pose HOST build inside the timed function (fly-through cost) and
+with it prebuilt (pose-held cost — the production loop holds a pose for
+1000 samples, main.rs:112). Composes with --cone.
 """
 
 from __future__ import annotations
@@ -106,6 +113,26 @@ def main():
                 d, jax.device_put(dc), jax.device_put(sig),
                 jax.device_put(nmin)))
 
+    env_mips = None
+    if "--env" in sys.argv:
+        from voxtracer.kernels.skyline import (build_sky_mips,
+                                               build_skyline_env,
+                                               skyline_env_tmin)
+
+        t0 = time.monotonic()
+        env_mips = build_sky_mips(heights)
+        log(f"env sky mips {time.monotonic() - t0:.1f}s")
+        t0 = time.monotonic()
+        envs = [build_skyline_env(env_mips, np.asarray(c.pos, np.float64))
+                for c in fcams]
+        log(f"env build {(time.monotonic() - t0) / len(fcams):.2f}s/pose")
+        env_args = [
+            (jax.device_put(jnp.asarray(c.pos, jnp.float32)),
+             np.asarray(c.pos, np.float64), d,
+             jax.device_put(jnp.asarray(e["E"])), e["d0"], e["g"], e["K"])
+            for c, (o, d), e in zip(fcams, cam_args, envs)
+        ]
+
     sky_mips = None
     if "--sky" in sys.argv:
         from voxtracer.kernels.skyline import build_sky_mips
@@ -137,6 +164,72 @@ def main():
                 dt, _ = _time_over(f, cam_args)
                 log(f"hf full-frame {W}x{H} tl={tl} ts={ts} mb={mb}: "
                     f"{dt * 1e3:.0f} ms -> {W * H / dt / 1e6:.2f} Mrays/s")
+
+                if env_mips is not None:
+                    def fenv(o, onp, d, E, d0, g, K, _mb=mb, _ts=ts):
+                        tm = skyline_env_tmin(E, d.reshape(-1, 3),
+                                              d0, g, K)
+                        return hf_raycast(hf_flat, hf_offs, height, o,
+                                          d.reshape(-1, 3),
+                                          min_bucket=_mb, tile_steps=_ts,
+                                          t_min=tm)["t"]
+
+                    dt, _ = _time_over(fenv, env_args)
+                    log(f"hf+env(held) {W}x{H} tl={tl} ts={ts} mb={mb}: "
+                        f"{dt * 1e3:.0f} ms -> "
+                        f"{W * H / dt / 1e6:.2f} Mrays/s")
+
+                    def fenv_fly(o, onp, d, E, d0, g, K, _mb=mb, _ts=ts):
+                        e = build_skyline_env(env_mips, onp)
+                        tm = skyline_env_tmin(
+                            jnp.asarray(e["E"]), d.reshape(-1, 3),
+                            e["d0"], e["g"], e["K"])
+                        return hf_raycast(hf_flat, hf_offs, height, o,
+                                          d.reshape(-1, 3),
+                                          min_bucket=_mb, tile_steps=_ts,
+                                          t_min=tm)["t"]
+
+                    dt, _ = _time_over(fenv_fly, env_args)
+                    log(f"hf+env(fly)  {W}x{H} tl={tl} ts={ts} mb={mb}: "
+                        f"{dt * 1e3:.0f} ms -> "
+                        f"{W * H / dt / 1e6:.2f} Mrays/s")
+                    o0, _, d0v, E0, dd0, gg0, KK0 = env_args[0]
+                    tm0 = np.asarray(skyline_env_tmin(
+                        E0, d0v.reshape(-1, 3), dd0, gg0, KK0))
+                    log(f"  env certified: {float((tm0 > 0).mean()):.1%} "
+                        f"lanes, {float((tm0 >= 1e37).mean()):.1%} "
+                        f"all-miss")
+
+                    if cone is not None:
+                        ce_args = [
+                            ea + (ca[2], ca[3], ca[4])
+                            for ea, ca in zip(env_args, cone_args)
+                        ]
+
+                        def fce(o, onp, d, E, d0, g, K, dc, sig, nmin,
+                                _mb=mb, _ts=ts):
+                            from voxtracer.kernels.conemarch import \
+                                cone_prefix
+                            tm = skyline_env_tmin(E, d.reshape(-1, 3),
+                                                  d0, g, K)
+                            S = cone_prefix(cone[0], cone[1], cone[2],
+                                            height, o, dc, sig,
+                                            max_iters=citers)
+                            ty, tx = -(-H // ctile), -(-W // ctile)
+                            tmt = (S * nmin).reshape(ty, tx)
+                            tmt = jnp.repeat(jnp.repeat(tmt, ctile, 0),
+                                             ctile, 1)[:H, :W].reshape(-1)
+                            tm = jnp.maximum(tm, tmt)
+                            return hf_raycast(hf_flat, hf_offs, height,
+                                              o, d.reshape(-1, 3),
+                                              min_bucket=_mb,
+                                              tile_steps=_ts,
+                                              t_min=tm)["t"]
+
+                        dt, _ = _time_over(fce, ce_args)
+                        log(f"hf+cone+env(held) {W}x{H} tl={tl} ts={ts} "
+                            f"mb={mb}: {dt * 1e3:.0f} ms -> "
+                            f"{W * H / dt / 1e6:.2f} Mrays/s")
 
                 if sky_mips is not None:
                     from voxtracer.kernels.skyline import (build_skyline,

@@ -667,7 +667,7 @@ def hf_frame_cast(flat_mips, offsets: tuple, height: int, cam_pos,
                   cam_basis, width_px: int, height_px: int, terrain_rgb,
                   terrain_node=-1, ray_dirs=None, distance=FAR,
                   min_bucket: int = 4096, tile_steps: int = 6,
-                  cone=None, sky=None):
+                  cone=None, sky=None, sky_env=None):
     """Full-frame primary visibility on UNEDITED terrain: one
     ``hf_raycast`` over every pixel's camera ray, returning the
     ``raster_cast_exact`` result dict (hit/t/normal/node/rgb/voxel,
@@ -716,6 +716,16 @@ def hf_frame_cast(flat_mips, offsets: tuple, height: int, cam_pos,
     walk already retires dead lanes nearly for free — the frame's cost
     is the alive grazing-ground tail), so production paths pass only
     ``cone``; ``sky`` stays for lane-count-sensitive callers.
+
+    ``sky_env``: optional ``(E, d0, g, K)`` from
+    skyline.build_skyline_env FOR THIS POSE's ``cam_pos`` — the
+    per-RAY horizon envelope (round 4): every lane resumes at the
+    ladder distance where its azimuth's monotone slope envelope first
+    reaches its own slope, and provable all-terrain misses resume past
+    the world. This is the per-ray refinement the tile certificates
+    could not provide for mixed horizon tiles, which is where the
+    grazing tail lives. BIT-IDENTICAL output (same t_min contract);
+    unedited terrain only (the envelope reads the heightmap).
     """
     from voxtracer.core import camera as vcam
 
@@ -749,6 +759,19 @@ def hf_frame_cast(flat_mips, offsets: tuple, height: int, cam_pos,
         tm = tm_tile.reshape(ty, tx)
         tm = jnp.repeat(jnp.repeat(tm, 8, axis=0), 8, axis=1)
         t_min = tm[:H, :W].reshape(-1)
+    if sky_env is not None:
+        # per-RAY horizon-envelope resume (kernels/skyline.py
+        # build_skyline_env, FOR THIS POSE's cam_pos): each lane
+        # certifies air up to the distance where its azimuth's
+        # monotone slope envelope reaches its own slope — near-horizon
+        # sky lanes (the measured grazing tail, PERF.md round 3)
+        # retire past the world exit in one row gather. Composes with
+        # the cone/sky tile prefixes by max (both are certified-air).
+        from voxtracer.kernels.skyline import skyline_env_tmin
+
+        env_E, env_d0, env_g, env_K = sky_env
+        tm_ray = skyline_env_tmin(env_E, d, env_d0, env_g, env_K)
+        t_min = tm_ray if t_min is None else jnp.maximum(t_min, tm_ray)
     r = hf_raycast(flat_mips, offsets, height,
                    jnp.asarray(cam_pos, jnp.float32), d,
                    distance=distance, min_bucket=min_bucket,

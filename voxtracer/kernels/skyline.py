@@ -77,12 +77,15 @@ soundness fuzz attacking the certificate on adversarial terrain).
 from __future__ import annotations
 
 import math
+from functools import partial
 
+import jax
 import numpy as np
 
 NUM_MARGIN = 0.5    # voxels added over every cell max (walk f32 wobble)
 REL_MARGIN = 1e-5   # relative tan slack (f32 direction/test rounding)
 ABS_MARGIN = 1e-6   # absolute tan slack
+ENV_SLACK = 2.0     # voxels shaved off per-ray envelope resumes (f32)
 
 
 def build_sky_mips(heights):
@@ -308,6 +311,175 @@ def tile_sky(sky, cam_basis, width_px: int, height_px: int,
                  sky["B_dil"][cb].astype(np.float64),
                  np.float64(sky["B_max"]))
     return tan_adj > B
+
+
+def build_skyline_env(sky_mips, origin, bins: int = 4096,
+                      ratio: int = 16, K: int = 64, d0: float = 4.0):
+    """Per-azimuth, per-DISTANCE horizon envelope — the per-RAY
+    generalization of ``build_skyline`` (round 4).
+
+    The max-slope table certifies only all-terrain misses; the frame's
+    measured cost is the near-horizon band — rays (sky AND ground)
+    whose slope sits just above the terrain ahead of them, which graze
+    coarse mip maxima for thousands of voxels (PERF.md round 3: a
+    perfect per-pixel t_min floors the flagship frame at 594 of
+    1031 ms; killing fully-sky TILES was neutral because the expensive
+    lanes live in mixed horizon tiles). This structure gives every ray
+    its own certified resume: ``E[az, k]`` bounds the max slope
+    ``(h_top + NUM_MARGIN - o_y) / d`` over every terrain column whose
+    azimuth is in bin ``az`` (padded as build_skyline) AND whose
+    horizontal distance is <= ``d_k`` of a log ladder
+    ``d_k = d0 * g^k`` (g set so d_{K-1} = 4n covers any in-grid
+    distance). ``E`` is monotone in k (cummax), so a ray with adjusted
+    slope ``tan`` is provably in air for horizontal distance
+    ``d_{k*-1}`` where ``k* = #{k : E[az,k] < tan}`` — and ``k* == K``
+    is the all-terrain miss (the old skyline test as the last rung).
+
+    Soundness inherits build_skyline's cell bounds (d_min for positive
+    numerators covers every point of the cell at ANY distance, azimuth
+    scatter pads >= 1 bin each side, NUM_MARGIN over cell tops);
+    the rung index uses an exact f64 searchsorted (smallest k with
+    d_k >= cell d_min), so every cell reachable within d_k is folded
+    into E[.., k]. Device consumers reconstruct d_{k*-1} with f32
+    exp2 (relative error ~1e-7, buried by ENV_SLACK).
+
+    Returns dict(E (bins, K) f32, d0, g, bins, K). Host f64; same
+    per-pose cost class as build_skyline (one cell sweep).
+    """
+    o = np.asarray(origin, np.float64)
+    ox, oy, oz = float(o[0]), float(o[1]), float(o[2])
+    n = sky_mips[0].shape[0]
+    top = len(sky_mips) - 1
+    bin_w = 2.0 * np.pi / bins
+    ladder = d0 * ((4.0 * n / d0) ** (np.arange(K) / (K - 1.0)))
+    n_cls = max(1, int(math.ceil(math.log2(max(bins, 2)))))
+    cls_b = np.full((n_cls, K, bins), -np.inf)
+    all_k = np.full((K,), -np.inf)  # bounds covering every bin
+
+    for L in range(top + 1):
+        c = float(1 << L)
+        a_lo = ratio * c if L > 0 else 0.0
+        a_hi = ratio * c * 2.0
+        dim = n >> L
+        ext = int(math.ceil(a_hi / c)) + 4
+        if L == top:
+            ext = max(ext, dim + abs(int(ox / c)) + abs(int(oz / c)))
+        ci0 = max(int(ox / c) - ext, 0)
+        ci1 = min(int(ox / c) + ext + 1, dim)
+        cj0 = max(int(oz / c) - ext, 0)
+        cj1 = min(int(oz / c) + ext + 1, dim)
+        if ci0 >= ci1 or cj0 >= cj1:
+            continue
+        ii = np.arange(ci0, ci1, dtype=np.float64)
+        jj = np.arange(cj0, cj1, dtype=np.float64)
+        x0 = (ii * c)[:, None] + np.zeros((1, jj.size))
+        z0 = (jj * c)[None, :] + np.zeros((ii.size, 1))
+        x1, z1 = x0 + c, z0 + c
+
+        def box_d(bx0, bx1, bz0, bz1):
+            dx = np.maximum(np.maximum(bx0 - ox, ox - bx1), 0.0)
+            dz = np.maximum(np.maximum(bz0 - oz, oz - bz1), 0.0)
+            dmin = np.hypot(dx, dz)
+            fx = np.maximum(np.abs(bx0 - ox), np.abs(bx1 - ox))
+            fz = np.maximum(np.abs(bz0 - oz), np.abs(bz1 - oz))
+            return dmin, np.hypot(fx, fz)
+
+        d_min, d_max = box_d(x0, x1, z0, z1)
+        if L < top:
+            pc = 2.0 * c
+            px0 = np.floor(x0 / pc) * pc
+            pz0 = np.floor(z0 / pc) * pc
+            pd_min, _ = box_d(px0, px0 + pc, pz0, pz0 + pc)
+            sel = (d_min >= a_lo) & (pd_min < a_hi)
+        else:
+            sel = d_min >= a_lo
+        if not np.any(sel):
+            continue
+
+        hm = sky_mips[L][ci0:ci1, cj0:cj1].astype(np.float64)
+        num = hm + NUM_MARGIN - oy
+        with np.errstate(divide="ignore", invalid="ignore"):
+            bound = np.where(
+                num >= 0.0,
+                num / d_min,
+                num / np.maximum(d_max, 1e-12),
+            )
+        bound = np.where(np.isnan(bound), np.inf, bound)
+        ac, hw = _cell_az_spread(ox, oz, x0, x1, z0, z1)
+        bound, ac, hw = bound[sel], ac[sel], hw[sel]
+        # smallest rung whose ladder distance reaches the cell (exact
+        # f64 compare — no log rounding); beyond-ladder cells clip to
+        # the last rung, which only over-includes (conservative)
+        rung = np.minimum(
+            np.searchsorted(ladder, d_min[sel], side="left"), K - 1)
+
+        wide = hw >= np.pi * (1.0 - 1e-12)
+        if np.any(wide):
+            np.maximum.at(all_k, rung[wide], bound[wide])
+        rest = ~wide
+        if np.any(rest):
+            wb = np.ceil(hw[rest] / bin_w).astype(np.int64) + 1
+            cls = np.ceil(np.log2(np.maximum(wb, 1))).astype(np.int64)
+            cls = np.minimum(cls, n_cls - 1)
+            cb = np.floor((ac[rest] % (2.0 * np.pi)) / bin_w)
+            cb = cb.astype(np.int64) % bins
+            np.maximum.at(cls_b, (cls, rung[rest], cb), bound[rest])
+
+    E = np.broadcast_to(all_k[:, None], (K, bins)).copy()
+    for cidx in range(n_cls):
+        if np.all(np.isneginf(cls_b[cidx])):
+            continue
+        E = np.maximum(E, _dilate_max(cls_b[cidx],
+                                      min(1 << cidx, bins // 2)))
+    E = np.maximum.accumulate(E, axis=0)  # monotone in distance
+    E = np.where(np.isneginf(E), np.float64(-3e38), E)
+    g = (4.0 * n / d0) ** (1.0 / (K - 1.0))
+    return dict(E=np.ascontiguousarray(E.T.astype(np.float32)),
+                d0=float(d0), g=float(g), bins=bins, K=K)
+
+
+@partial(jax.jit, static_argnames=("d0", "g", "K", "far"))
+def skyline_env_tmin(E, d, d0: float, g: float, K: int,
+                     far: float = 3e38):
+    """Per-ray certified-air ``t_min`` from a ``build_skyline_env``
+    table, in the parameterization of ``d`` itself (module doc on
+    ``hf_raycast``'s t_min contract: scale-free — tan and the
+    horizontal-distance -> t conversion both use the caller's own
+    direction components, so unnormalized camera dirs work
+    unchanged).
+
+    E: (bins, K) f32; d: (B, 3) f32 directions FROM THE ENVELOPE'S
+    ORIGIN. Returns (B,) f32 t_min: 0 where nothing certifies, ``far``
+    where the ray provably misses all terrain (the walk retires the
+    lane before its first gather), else ``(d_{k*-1} - ENV_SLACK) /
+    |d_xz|`` with the margins of ``rays_sky``. ONE (B, K) row gather
+    per lane — the envelope turns the near-horizon grazing tail
+    (PERF.md round 3) into in-register compares."""
+    import jax.numpy as jnp
+
+    dd = jnp.asarray(d, jnp.float32).reshape(-1, 3)
+    bins = E.shape[0]
+    az = jnp.arctan2(dd[:, 2], dd[:, 0])
+    two_pi = jnp.float32(2.0 * np.pi)
+    cb = jnp.floor((az % two_pi) / (two_pi / bins)).astype(jnp.int32)
+    cb = jnp.clip(cb, 0, bins - 1)
+    row = E[cb]  # (B, K) — one row gather per lane, width nearly free
+    xz = jnp.hypot(dd[:, 0], dd[:, 2])
+    tan = jnp.where(xz > 0.0, dd[:, 1] / jnp.maximum(xz, 1e-30),
+                    jnp.where(dd[:, 1] >= 0.0, jnp.float32(3e38),
+                              jnp.float32(-3e38)))
+    tan_adj = jnp.where(
+        jnp.abs(tan) >= 3e38, tan,
+        tan - (jnp.float32(REL_MARGIN) * jnp.abs(tan)
+               + jnp.float32(ABS_MARGIN)))
+    ks = jnp.sum((row < tan_adj[:, None]).astype(jnp.int32), axis=1)
+    dk = jnp.exp2(jnp.float32(math.log2(d0))
+                  + (ks - 1).astype(jnp.float32)
+                  * jnp.float32(math.log2(g)))
+    t = jnp.maximum(dk - jnp.float32(ENV_SLACK), 0.0) \
+        / jnp.maximum(xz, jnp.float32(1e-30))
+    return jnp.where(ks == 0, jnp.float32(0.0),
+                     jnp.where(ks == K, jnp.float32(far), t))
 
 
 def rays_sky(sky, dirs):

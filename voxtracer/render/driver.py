@@ -145,6 +145,8 @@ class Renderer:
         self.overflow_events = 0
         self._hf = None  # lazy heightfield engine args (terrain worlds)
         self._cone = None  # lazy cone-march pyramid (hf-only frames)
+        self._sky_mips = None  # lazy skyline pyramid (per world)
+        self._sky_env = None  # per-POSE ray horizon envelope (+ key)
         self._edit_bounds = None  # (2,3) box covering point edits
 
     def update_space(self, device_svo):
@@ -165,6 +167,7 @@ class Renderer:
         self.use_soup = self._use_soup_default
         self._hf = None  # re-gate the heightfield engine on the new space
         self._cone = None
+        self._sky_mips = self._sky_env = None  # heights changed
         self._probe_stable = 0  # new world: demand profile changed
         self._edit_bounds = None  # fresh world: no edits yet
         self._sun_maps_key = self._sun_maps = None  # heights changed
@@ -332,6 +335,37 @@ class Renderer:
             c = build_cone_mips(np.asarray(heights))
             self._cone = (jax.device_put(c[0]), c[1], c[2])
         return self._cone if isinstance(self._cone, tuple) else None
+
+    def _get_sky_env(self, cam):
+        """Per-pose per-ray horizon envelope for hf-only full frames
+        (kernels/skyline.py build_skyline_env): every primary lane
+        resumes at its azimuth's certified-air ladder distance —
+        near-horizon sky lanes (the measured flagship grazing tail,
+        PERF.md) retire before their first gather. Host build ~tens of
+        ms per pose, amortized over the pose's samples (the production
+        loop holds a pose for 1000 samples, main.rs:112); the world
+        pyramid is built once. Unedited terrain only (the envelope
+        reads the heightmap); returns (E, d0, g, K) or None."""
+        if not self._hf_only() or self._hf_bounds() is not None:
+            return None
+        sp = getattr(self._dev, "space", None)
+        if getattr(sp, "edited", False):
+            return None
+        key = tuple(np.asarray(cam.pos, np.float64).tolist())
+        if self._sky_env is not None and self._sky_env[0] == key:
+            return self._sky_env[1]
+        from voxtracer.kernels import skyline
+        import jax
+
+        if self._sky_mips is None:
+            self._sky_mips = skyline.build_sky_mips(
+                np.asarray(sp.heights))
+        env = skyline.build_skyline_env(
+            self._sky_mips, np.asarray(cam.pos, np.float64))
+        args = (jax.device_put(jnp.asarray(env["E"])), env["d0"],
+                env["g"], env["K"])
+        self._sky_env = (key, args)
+        return args
 
     def _get_soup(self, cam=None):
         """Device box-soup arrays for rasterized primaries (lazy). Big
@@ -589,6 +623,7 @@ class Renderer:
             r = hf_frame_cast(hf_flat, hf_offs, self.tree_height, op,
                               cam.basis(), self.width, self.height,
                               hf_rgb, cone=cone,
+                              sky_env=self._get_sky_env(cam),
                               tile_steps=3 if cone is not None else 6)
             rgb = r["rgb"]
         else:
