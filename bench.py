@@ -249,6 +249,7 @@ def main():
 
     results = {}
     results_4k = 0.0
+    results_held = 0.0
     soup_args = None
 
     # --- headline: gather-free box rasterizer, EXACT frames ---
@@ -348,6 +349,59 @@ def main():
         results["raster"] = W * H / dt / 1e6
         log(f"raster exact frame {dt * 1e3:.1f} ms -> "
             f"{results['raster']:.2f} Mrays/s")
+
+        # --- pose-HELD progressive rate (the reference's production
+        # loop holds a pose for 1000 samples, main.rs:112): bins cached
+        # per pose, each sample pays only the jittered resolve. Jitters
+        # are generated ON DEVICE from a fresh seed per rep (exactly the
+        # render_sample primary path; a host-built (H, W, 3) dirs upload
+        # would dominate the resolve over the axon tunnel, and fresh
+        # seeds defeat the cross-process execution cache).
+        try:
+            from voxtracer.core import rng as vrng
+
+            lo0, sz0, at0, op0, basis0 = pose_args[0]
+            bj = raster_mod.raster_bins(
+                lo0, sz0, op0, basis0, dev.height, W, H,
+                jittered=True, _stage=2,
+            )
+            psj = raster_mod.fit_pair_slots(bj["n_tier"])
+            nsj = raster_mod.fit_near_slots(bj["n_tier"][0])
+            bins_j = raster_mod.raster_bins(
+                lo0, sz0, op0, basis0, dev.height, W, H,
+                pair_slots=psj, near_slots=nsj, jittered=True,
+                box_attr=at0,
+            )
+            pyx, pxx = np.meshgrid(np.arange(H, dtype=np.int32),
+                                   np.arange(W, dtype=np.int32),
+                                   indexing="ij")
+            pyx, pxx = jnp.asarray(pyx), jnp.asarray(pxx)
+
+            @jax.jit
+            def f_held(seed, lo_a, sz_a, at_a, bins):
+                st = vrng.seed_pixels(seed, pxx, pyx)
+                _, rnd = vrng.random3(st)
+                ld = vcam.pixel_ndc(pxx, pyx, W, H)
+                dj = vcam.ray_directions(jnp.asarray(basis0), ld,
+                                         jitter=rnd[..., :2], height=H)
+                return raster_mod.raster_cast(
+                    lo_a, sz_a, at_a, op0, basis0, dev.height, W, H,
+                    ray_dirs=dj, bins=bins, want_voxel=False,
+                    pair_slots=psj, near_slots=nsj,
+                )["t"]
+
+            held_args = [
+                (jnp.asarray(np.frombuffer(os.urandom(12), np.uint32
+                                           ).copy()), lo0, sz0, at0,
+                 bins_j)
+                for _ in range(4)
+            ]
+            dth, _ = _time_over(f_held, held_args)
+            results_held = W * H / dth / 1e6
+            log(f"raster pose-held sample {dth * 1e3:.1f} ms -> "
+                f"{results_held:.2f} Mrays/s")
+        except Exception as e:
+            log("pose-held bench failed:", type(e).__name__, str(e)[:200])
 
         # 4K (BASELINE config 5's resolution): same soup, re-probed
         # slots — resolution only grows the tile/resolve side, so
@@ -566,21 +620,30 @@ def main():
             fhf_flat = jax.device_put(fhf_flat)
             ftrgb = jnp.asarray(fspace.terrain_rgb, jnp.float32)
             log(f"flagship hf mips {time.monotonic() - t0:.1f}s")
-            flagship["frame_engine"] = "heightfield+cone"
+            flagship["frame_engine"] = "heightfield+skyline_env"
 
-            # cone-march tile prefixes (kernels/conemarch.py): measured
-            # 963 -> ~905 ms at 1080p with tile_steps=3 (PERF.md)
+            # per-RAY horizon envelope (kernels/skyline.py, round 4):
+            # measured 969 -> 817 ms held / 869 ms with the 0.09 s/pose
+            # host build in-loop; subsumes the round-3 cone prefix
+            # (cone+env slower than env alone). The world pyramid is
+            # per-world; the envelope is per-pose (the production loop
+            # holds a pose for 1000 samples, main.rs:112).
             t0 = time.monotonic()
-            from voxtracer.kernels.conemarch import build_cone_mips
+            from voxtracer.kernels import skyline as sky_mod
 
-            fcone = build_cone_mips(fspace.heights)
-            fcone = (jax.device_put(fcone[0]), fcone[1], fcone[2])
-            log(f"flagship cone mips {time.monotonic() - t0:.1f}s")
+            fsky_mips = sky_mod.build_sky_mips(fspace.heights)
+            log(f"flagship sky mips {time.monotonic() - t0:.1f}s")
 
             def f_flag(op, basis):
+                # fly-through cost: the per-pose host build is charged
+                # to the frame (held-pose progressive cost is the same
+                # program with the env prebuilt)
+                e = sky_mod.build_skyline_env(
+                    fsky_mips, np.asarray(op, np.float64))
+                ea = (jnp.asarray(e["E"]), e["d0"], e["g"], e["K"])
                 return hf_frame_cast(
                     fhf_flat, fhf_offs, fdev.height, op, basis, W, H,
-                    ftrgb, cone=fcone, tile_steps=3,
+                    ftrgb, sky_env=ea, tile_steps=6,
                 )["t"]
 
             dt, _ = _time_over(f_flag, fcam_args)
@@ -588,6 +651,26 @@ def main():
             flagship["frame_1080p_mrays"] = round(W * H / dt / 1e6, 2)
             log(f"flagship exact 1080p frame {dt * 1e3:.0f} ms -> "
                 f"{flagship['frame_1080p_mrays']:.2f} Mrays/s")
+
+            # held-pose variant (the production progressive cost)
+            fenvs = [sky_mod.build_skyline_env(
+                fsky_mips, np.asarray(op, np.float64))
+                for op, _ in fcam_args]
+            fenv_args = [
+                (op, basis, jax.device_put(jnp.asarray(e["E"])),
+                 e["d0"], e["g"], e["K"])
+                for (op, basis), e in zip(fcam_args, fenvs)
+            ]
+
+            def f_flag_held(op, basis, E, d0, g, K):
+                return hf_frame_cast(
+                    fhf_flat, fhf_offs, fdev.height, op, basis, W, H,
+                    ftrgb, sky_env=(E, d0, g, K), tile_steps=6,
+                )["t"]
+
+            dth, _ = _time_over(f_flag_held, fenv_args)
+            flagship["frame_1080p_held_ms"] = round(dth * 1e3, 1)
+            log(f"flagship held-pose 1080p frame {dth * 1e3:.0f} ms")
 
             if _os.environ.get("BENCH_FLAGSHIP_SOUP") == "1":
                 _flagship_soup_frame(flagship, fdev, fspace, fcam_args,
@@ -613,24 +696,32 @@ def main():
             # constants into the HLO — the axon remote compile request
             # then fails with HTTP 413 (measured). Passing them as call
             # arguments keeps the program body small.
-            def fpt(seeds, op, basis):
+            def fpt(seeds, op, basis, E, d0, g):
                 return render_samples(
                     ftable, froot, fdev.height, lut, op, basis, sun_j,
                     seeds, PTW, PTH, max_bounces=8, fog_steps=64,
                     hf_mips=fhf_flat, hf_offsets=fhf_offs,
                     terrain_rgb=ftrgb, sun_maps=fsmaps,
+                    hf_sky_env=(E, d0, g),
                 )
             fpt_args = [
                 (jnp.asarray(np.frombuffer(
                     _os.urandom(12 * FK), np.uint32).copy().reshape(FK, 3)),
-                 np.asarray(c.pos, np.float32), c.basis())
-                for c in fcams
+                 np.asarray(c.pos, np.float32), c.basis(), ea[2],
+                 jnp.float32(ea[3]), jnp.float32(ea[4]))
+                for c, ea in zip(fcams, fenv_args)
             ]
             dt, _ = _time_over(fpt, fpt_args)
             flagship["pt_ms_per_sample"] = round(dt * 1e3 / FK, 1)
             flagship["pt_mpaths"] = round(PTW * PTH * FK / dt / 1e6, 3)
+            # the reference's own printed metric (main.rs:125-130):
+            # paths/px/sec over the 1000-sample day-cycle frame at the
+            # production config — the measured per-sample rate applies
+            # directly (the sun rotates BETWEEN frames, not samples)
+            flagship["day_cycle_paths_px_sec"] = round(FK / dt, 2)
             log(f"flagship PT {dt * 1e3 / FK:.0f} ms/sample -> "
-                f"{flagship['pt_mpaths']:.3f} Mpaths/s")
+                f"{flagship['pt_mpaths']:.3f} Mpaths/s "
+                f"({flagship['day_cycle_paths_px_sec']:.2f} paths/px/s)")
     except Exception as e:
         log("flagship bench failed:", type(e).__name__, str(e)[:300])
 
@@ -643,6 +734,7 @@ def main():
         "extras": {
             "pt_mpaths_853x480_svo1024": round(pt_mpaths, 3),
             "raster_4k_mrays": round(results_4k, 2),
+            "raster_poseheld_mrays": round(results_held, 2),
             "flagship_8192": flagship,
         },
     }))

@@ -262,11 +262,14 @@ def test_tile_size_invariant(world):
     start = rng.uniform(-0.25 * n, 1.25 * n, (B, 3)).astype(np.float32)
     d = _rand_dirs(rng, B)
     outs = []
-    for tl, steps in ((1, 3), (2, 3), (3, 2), (3, 5)):
+    for tl, steps, idesc in ((1, 3, 0), (2, 3, 0), (3, 2, 0), (3, 5, 0),
+                             (3, 3, 2)):  # init_desc: deeper gather-free
+        # init descent is a pruning-schedule choice too (round 4)
         flat, offs, hh = build_height_mips(space.heights, tile_log=tl)
         assert offs[0] == tl and hh == h
         outs.append(hf_raycast(flat, offs, hh, jnp.asarray(start),
-                               jnp.asarray(d), tile_steps=steps))
+                               jnp.asarray(d), tile_steps=steps,
+                               init_desc=idesc))
     a = outs[0]
     for b in outs[1:]:
         for k in ("hit", "t", "normal", "voxel"):

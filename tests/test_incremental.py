@@ -251,9 +251,13 @@ def test_renderer_edit_session_keeps_hf_engine(monkeypatch):
 
 
 def test_edit_bounds_cutoff_disables_hf():
-    """Edits spread across more than a quarter of the world edge grow
-    the hybrid's re-cast box past usefulness — the Renderer then drops
-    the heightfield engine instead of re-casting most lanes."""
+    """The quarter-world cutoff survives the round-4 bounds LIST: only
+    when non-heightfield edits form more distant clusters than
+    EDIT_BOXES — so merging is forced to grow some box past a quarter
+    of the world edge — does the Renderer drop the heightfield engine.
+    Two distant clusters (the old cutoff trigger) now stay tracked as
+    two small boxes with the engine ON (tests/test_hf_edit.py covers
+    the exact-hf and spread-out cases)."""
     from voxtracer.render.driver import Renderer
     from voxtracer.world import worldgen
 
@@ -261,12 +265,22 @@ def test_edit_bounds_cutoff_disables_hf():
     h0 = np.asarray(space.heights)
     r = Renderer(space.serialize(), 16, 12, max_bounces=2, fog_steps=4)
     assert r._get_hf()[0] is not None
-    e1 = (5, max(1, int(h0[5, 5])), 5)
-    e2 = (60, max(1, int(h0[60, 60])), 60)
-    space.set(e1, None)
+    # floating colored blocks (never heightfield-shaped) at opposite
+    # corners: a LIST of two small boxes, engine stays on
+    e1 = (5, min(int(h0[5, 5]) + 2, 62), 5)
+    e2 = (60, min(int(h0[60, 60]) + 2, 62), 60)
+    space.set(e1, (0.9, 0.2, 0.1))
     r.apply_edits(space, edits=[e1])
     assert r._get_hf()[0] is not None and r._hf_bounds() is not None
-    space.set(e2, None)
+    space.set(e2, (0.9, 0.2, 0.1))
     r.apply_edits(space, edits=[e2])
+    assert r._get_hf()[0] is not None and r._hf_bounds() is not None
+    assert len(r._edit_bounds) == 2
+    # one batch spanning most of the world edge still trips the cutoff
+    wide = [(2, min(int(h0[2, 2]) + 2, 62), 2),
+            (61, min(int(h0[61, 61]) + 2, 62), 61)]
+    for p in wide:
+        space.set(p, (0.9, 0.2, 0.1))
+    r.apply_edits(space, edits=wide)
     assert r._hf_bounds() is None
     assert r._get_hf()[0] is None  # engine off, plain SVO bounces

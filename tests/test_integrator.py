@@ -323,3 +323,41 @@ def test_render_samples_fused_soup_equals_serial():
             cam.basis(), sun_vec(), jnp.asarray(s), 48, 32, **kw))
         acc = r if acc is None else acc + r
     assert np.array_equal(np.asarray(total), acc)
+
+
+def test_fused_nee_loop_bit_identical():
+    """The round-4 fused-NEE bounce loop (one 2B-lane walk serving
+    bounce i's shadow rays and bounce i+1's indirect rays) must return
+    BIT-IDENTICAL radiance AND chained RNG state to the unfused loop:
+    every draw stays in its original place, and the uncapped pending
+    cast + head-side `t <= cap` comparison is the documented `primary`
+    contract (kernels/integrator.py bounce_fused)."""
+    from voxtracer.kernels.heightfield import build_height_mips
+    from voxtracer.world import worldgen
+
+    space = worldgen.generate(log2_size=6, verbose=False)
+    dev = space.serialize()
+    table = jnp.asarray(dev.table.view(np.int32))
+    root = np.int32(dev.root)
+    flat, offs, h = build_height_mips(space.heights)
+    rng = np.random.default_rng(17)
+    n = 64
+    kw = dict(max_bounces=6, fog_steps=8, hf_mips=flat, hf_offsets=offs,
+              terrain_rgb=jnp.asarray([0.5, 0.5, 0.5], jnp.float32))
+    for B in (768, 9216):  # below / above the compaction threshold
+        start = rng.uniform(4, n - 4, (B, 3)).astype(np.float32)
+        start[:, 1] = rng.uniform(2, n - 2, B)
+        d = rng.normal(size=(B, 3)).astype(np.float32)
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        wl = rng.random(B).astype(np.float32)
+        state = rng.integers(0, 2**32, (B, 3), dtype=np.uint32)
+        sun = sun_vec()
+        args = (table, root, h, LUT, jnp.asarray(start), jnp.asarray(d),
+                jnp.asarray(wl), sun, jnp.asarray(state))
+        st_a, a = trace_paths(*args, fuse_nee=False, **kw)
+        st_b, b = trace_paths(*args, fuse_nee=True, **kw)
+        assert np.array_equal(np.asarray(a), np.asarray(b)), (
+            f"B={B}: {int(np.any(np.asarray(a) != np.asarray(b), -1).sum())}"
+            " lanes differ"
+        )
+        assert np.array_equal(np.asarray(st_a), np.asarray(st_b))

@@ -119,13 +119,21 @@ def main():
                                                build_skyline_env,
                                                skyline_env_tmin)
 
+        ebins = 4096
+        if "--env-bins" in sys.argv:
+            ebins = int(sys.argv[sys.argv.index("--env-bins") + 1])
+        eK = 64
+        if "--env-K" in sys.argv:
+            eK = int(sys.argv[sys.argv.index("--env-K") + 1])
         t0 = time.monotonic()
         env_mips = build_sky_mips(heights)
         log(f"env sky mips {time.monotonic() - t0:.1f}s")
         t0 = time.monotonic()
-        envs = [build_skyline_env(env_mips, np.asarray(c.pos, np.float64))
+        envs = [build_skyline_env(env_mips, np.asarray(c.pos, np.float64),
+                                  bins=ebins, K=eK)
                 for c in fcams]
-        log(f"env build {(time.monotonic() - t0) / len(fcams):.2f}s/pose")
+        log(f"env build bins={ebins} K={eK} "
+            f"{(time.monotonic() - t0) / len(fcams):.2f}s/pose")
         env_args = [
             (jax.device_put(jnp.asarray(c.pos, jnp.float32)),
              np.asarray(c.pos, np.float64), d,
@@ -166,13 +174,19 @@ def main():
                     f"{dt * 1e3:.0f} ms -> {W * H / dt / 1e6:.2f} Mrays/s")
 
                 if env_mips is not None:
+                    idesc = 0
+                    if "--idesc" in sys.argv:
+                        idesc = int(
+                            sys.argv[sys.argv.index("--idesc") + 1])
+
                     def fenv(o, onp, d, E, d0, g, K, _mb=mb, _ts=ts):
                         tm = skyline_env_tmin(E, d.reshape(-1, 3),
                                               d0, g, K)
                         return hf_raycast(hf_flat, hf_offs, height, o,
                                           d.reshape(-1, 3),
                                           min_bucket=_mb, tile_steps=_ts,
-                                          t_min=tm)["t"]
+                                          t_min=tm,
+                                          init_desc=idesc)["t"]
 
                     dt, _ = _time_over(fenv, env_args)
                     log(f"hf+env(held) {W}x{H} tl={tl} ts={ts} mb={mb}: "

@@ -51,19 +51,30 @@ def main():
     log(f"active cull: max {n_act} of {len(soup)} -> cap {acap}")
     pose_args = [s + c for s, c in zip(pose_soups, cam_args)]
 
-    for ck in (16, 12, 10, 20):
+    cks = [16, 12, 10, 20]
+    if "--ck" in sys.argv:
+        cks = [int(x) for x in
+               sys.argv[sys.argv.index("--ck") + 1].split(",")]
+    wks = [104]
+    if "--wk" in sys.argv:
+        wks = [int(x) for x in
+               sys.argv[sys.argv.index("--wk") + 1].split(",")]
+
+    for ck in cks:
+      for wk in wks:
         ps = ns = ws = None
         for lo_a, sz_a, at_a, op, basis in pose_args:
             probe = raster_mod.raster_cast(
                 lo_a, sz_a, at_a, op, basis, dev.height, W, H,
-                want_voxel=False, cand_k=ck,
+                want_voxel=False, cand_k=ck, widen_k=wk,
             )
             ps = raster_mod.fit_pair_slots(probe["n_tier"], current=ps)
             ns = raster_mod.fit_near_slots(probe["n_tier"][0],
                                            current=ns or 0)
             ws = raster_mod.fit_widen_tiles(probe["n_widen"], current=ws)
         fit_kw = dict(pair_slots=ps, near_slots=ns, widen_tiles=ws[0],
-                      widen2_tiles=ws[1], widen3_tiles=ws[2], cand_k=ck)
+                      widen2_tiles=ws[1], widen3_tiles=ws[2], cand_k=ck,
+                      widen_k=wk)
         need_fb = 0
         for lo_a, sz_a, at_a, op, basis in pose_args:
             probe = raster_mod.raster_cast(
@@ -73,7 +84,7 @@ def main():
             need_fb = max(need_fb, int(probe["n_fallback"]))
         pairs = sum(s * a for s, a in zip(
             [min(s, acap) for s in ps], raster_mod.PAIR_ARITIES))
-        log(f"cand_k={ck} slots={ps} near={ns} widen={ws} "
+        log(f"cand_k={ck} wk={wk} slots={ps} near={ns} widen={ws} "
             f"fitted_fb={need_fb} PAIRS~{acap + pairs}")
 
         def f_raster(lo_a, sz_a, at_a, op, basis):
@@ -83,7 +94,7 @@ def main():
             )["t"]
 
         dt2, _ = _time_over(f_raster, pose_args)
-        log(f"cand_k={ck}: raster-only {dt2 * 1e3:.1f} ms -> "
+        log(f"cand_k={ck} wk={wk}: raster-only {dt2 * 1e3:.1f} ms -> "
             f"{W * H / dt2 / 1e6:.2f} Mrays/s (fb demand {need_fb})")
 
 

@@ -138,6 +138,63 @@ def build_height_mips(heights, tile_log: int = 3):
     return jnp.asarray(tiles), tuple(offsets), height
 
 
+def patch_height_mips(flat_mips, offsets: tuple, height: int, heights,
+                      cols):
+    """Incrementally update the DEVICE tiled mip pack after
+    ``heights[x, z]`` changed for the columns in ``cols`` (round 4: the
+    flagship editing-cliff fix — top-voxel place/delete edits keep the
+    world heightfield-exact, so the renderer re-derives the heightmap
+    instead of growing an edit-bounds box; reference keeps full speed
+    after any edit by re-uploading everything, fragment.rs:274-313).
+
+    heights: the POST-edit host heightmap. cols: iterable of (x, z)
+    ints. Recomputes, on host, every packed row whose tile contains an
+    edited column at any child level (the TS x TS block maxes come from
+    pooled maxes over ``heights`` — O(edits * n^2) worst case at the
+    top level, milliseconds at flagship edit rates), then updates the
+    device array with one scatter of the changed rows. Returns the new
+    flat_mips. Bit-identical to a fresh build_height_mips(heights)
+    (tests/test_hf_edit.py)."""
+    h = np.asarray(heights)
+    n = h.shape[0]
+    tl = offsets[0]
+    TS = 1 << tl
+    ltop = _top_child_level(height, tl)
+    rows, vals = [], []
+    for lc_i, lc in enumerate(range(0, ltop + 1, tl)):
+        dc = n >> lc  # child grid dim at this level
+        dp = max(dc // TS, 1)
+        cell = 1 << lc
+        # pooled max of heights at child resolution, restricted to the
+        # affected parent tiles
+        tiles_done = set()
+        for (x, z) in cols:
+            pr = ((x // cell) // TS, (z // cell) // TS) if dc >= TS \
+                else (0, 0)
+            if pr in tiles_done:
+                continue
+            tiles_done.add(pr)
+            if dc >= TS:
+                bx0 = pr[0] * TS * cell
+                bz0 = pr[1] * TS * cell
+                blk = h[bx0:bx0 + TS * cell, bz0:bz0 + TS * cell]
+                m = blk.reshape(TS, cell, TS, cell).max(axis=(1, 3))
+                r = np.zeros((TS * TS,), np.float32)
+                r[:] = m.astype(np.float32).reshape(-1)
+                rows.append(offsets[1 + lc_i] + pr[0] * dp + pr[1])
+                vals.append(r)
+            else:  # partial top grid: one zero-padded row
+                m = h.reshape(dc, n // dc, dc, n // dc).max(axis=(1, 3))
+                r = np.zeros((TS * TS,), np.float32)
+                for i in range(dc):
+                    for j in range(dc):
+                        r[i * TS + j] = m[i, j]
+                rows.append(offsets[1 + lc_i])
+                vals.append(r)
+    return flat_mips.at[jnp.asarray(np.asarray(rows, np.int32))].set(
+        jnp.asarray(np.stack(vals)))
+
+
 def _row_select(row, ii):
     """Per-lane in-register pick of element ``ii`` from a (B, W) row —
     one-hot multiply-sum, NOT take_along_axis (which lowers to another
@@ -147,7 +204,7 @@ def _row_select(row, ii):
 
 
 def _hf_init(tiles, offsets, height: int, start, d, distance,
-             skip_t0: bool, active, t_min=None):
+             skip_t0: bool, active, t_min=None, init_desc: int = 0):
     """Per-lane setup in the traversal's exact mirrored arithmetic
     (traverse._svo_cast_init), plus closed-form resolution of rays
     starting inside solid (module doc: the only place t == 0 hits can
@@ -179,6 +236,27 @@ def _hf_init(tiles, offsets, height: int, start, d, distance,
     dd = jnp.maximum(jnp.abs(d_in), EPS)
     inv_d = 1.0 / dd
     s0 = jnp.where(flip, bound - start, start)
+
+    # ---- terrain-ceiling cap (round 4) -------------------------------
+    # An ASCENDING lane can never hit once its y exceeds the global
+    # terrain max H (every solid voxel has y < h[col] <= H), so its
+    # strict `distance` shrinks to the t where y crosses H + slack —
+    # sky-tilted lanes starting above all terrain die at init, and
+    # every upward bounce/NEE walk stops at the terrain ceiling instead
+    # of coarsening its way to the world exit (~3x shorter for the
+    # high-sun NEE rays that dominate the shadow walk, PERF.md round 3:
+    # NEE's expensive lanes are the LIT ones). The +2-voxel slack
+    # buries f32 wobble between this division and the walk's own
+    # mirrored plane arithmetic; results are bit-identical because the
+    # shrunk-out region provably contains no hit (the walk's `distance`
+    # is strict, so capping only retires lanes earlier). The top tile
+    # row is the coarsest mip block — one (TS*TS,) row, zero-padded —
+    # so its max IS the global terrain max.
+    hmax_w = jnp.max(tiles[jnp.asarray(offsets, jnp.int32)[-1]])
+    up_y = ~flip[:, 1]
+    t_clear = (hmax_w + jnp.float32(2.0) - s0[:, 1]) * inv_d[:, 1]
+    distance = jnp.where(
+        up_y, jnp.minimum(distance, jnp.maximum(t_clear, 0.0)), distance)
 
     enter = -s0 * inv_d
     t0 = jnp.maximum(hmax(enter), 0.0)
@@ -249,9 +327,15 @@ def _hf_init(tiles, offsets, height: int, start, d, distance,
     # floats); descending without a dip test is a pure pruning-schedule
     # choice (module doc) — empty tiles advance out in O(1) iterations.
     ltop = _top_child_level(height, tl)
+    # optional deeper start (init_desc extra tile levels): the descent
+    # chain is gather-free, and a pruning-schedule choice cannot change
+    # recorded hits (module doc) — worth sweeping when t_min resumes
+    # place lanes near their hit (the coarse levels' dip tests would be
+    # re-proving the certified prefix)
+    lstart = max(ltop - tl * init_desc, 0)
     cxi = jnp.zeros((B,), jnp.int32)
     czi = jnp.zeros((B,), jnp.int32)
-    for lvl in range(height, ltop, -1):
+    for lvl in range(height, lstart, -1):
         half = jnp.float32(1 << (lvl - 1))
         tbx = ((2 * cxi + 1).astype(jnp.float32) * half
                - s0[:, 0]) * inv_d[:, 0]
@@ -266,7 +350,7 @@ def _hf_init(tiles, offsets, height: int, start, d, distance,
     hit_voxel = jnp.zeros((B, 3), jnp.int32)
     t_start = jnp.broadcast_to(t0, (B,))
     ax_start = axis0.astype(jnp.int32)
-    L_start = jnp.full((B,), ltop, jnp.int32)
+    L_start = jnp.full((B,), lstart, jnp.int32)
     cx_start = cxi
     cz_start = czi
     if skip_t0:
@@ -500,10 +584,12 @@ _HIT_KEYS = ("hit", "hit_t", "hit_axis", "hit_voxel")
 
 
 @partial(jax.jit, static_argnames=("height", "offsets", "skip_t0",
-                                   "min_bucket", "tile_steps"))
+                                   "min_bucket", "tile_steps",
+                                   "init_desc"))
 def hf_raycast(flat_mips, offsets: tuple, height: int, start, d,
                distance=FAR, skip_t0: bool = True, active=None,
-               min_bucket: int = 0, tile_steps: int = 3, t_min=None):
+               min_bucket: int = 0, tile_steps: int = 3, t_min=None,
+               init_desc: int = 0):
     """Cast rays against the heightfield terrain (module doc).
 
     flat_mips/offsets/height: build_height_mips output (the tiled
@@ -524,7 +610,7 @@ def hf_raycast(flat_mips, offsets: tuple, height: int, start, d,
     """
     state, consts, d_sign, batch_shape = _hf_init(
         flat_mips, offsets, height, start, d, distance, skip_t0, active,
-        t_min=t_min,
+        t_min=t_min, init_desc=init_desc,
     )
     B = state["t"].shape[0]
 
@@ -583,15 +669,18 @@ def hf_raycast_edited(flat_mips, offsets: tuple, height: int, table,
     walk plus an exact SVO re-cast for the (few) lanes whose segment
     can see the edits.
 
-    Point edits confine every geometry difference to ``edit_bounds``
-    ((2, 3) f32 [lo, hi), already inflated by >= 1 voxel by the caller
-    — render/driver.py apply_edits). A lane's pre-edit result is valid
-    unless its ray reaches the bounds no later than that result
-    (a dig can only remove a hit inside the bounds; a placed block can
-    only add one there), so only those lanes re-cast against the
-    CURRENT node table — the rest keep the ~4x cheaper walk
-    (PERF.md). Merged results equal a pure svo_raycast on the edited
-    world lane-for-lane (tests/test_heightfield.py, the usual
+    Point edits confine every geometry difference to ``edit_bounds`` —
+    (2, 3) f32 [lo, hi), or (K, 2, 3) for a LIST of disjoint-ish boxes
+    (round 4: spread-out editing sessions keep K small boxes instead of
+    one world-spanning union, so the affected-lane fraction tracks the
+    edits' true solid angle; render/driver.py apply_edits merges to a
+    cap) — each inflated by >= 1 voxel by the caller. A lane's
+    pre-edit result is valid unless its ray reaches SOME box no later
+    than that result (a dig can only remove a hit inside a box; a
+    placed block can only add one there), so only those lanes re-cast
+    against the CURRENT node table — the rest keep the ~4x cheaper
+    walk (PERF.md). Merged results equal a pure svo_raycast on the
+    edited world lane-for-lane (tests/test_heightfield.py, the usual
     edge-graze budget).
 
     Returns hit/t/normal/voxel plus ``node`` (the SVO leaf for re-cast
@@ -609,27 +698,34 @@ def hf_raycast_edited(flat_mips, offsets: tuple, height: int, table,
     p = jnp.broadcast_to(jnp.asarray(start, jnp.float32),
                          bshape + (3,)).reshape(-1, 3)
     dd = jnp.asarray(d, jnp.float32).reshape(-1, 3)
-    lo = jnp.asarray(edit_bounds, jnp.float32)[0]
-    hi = jnp.asarray(edit_bounds, jnp.float32)[1]
-    # conservative slab entry (the caller's >=1 voxel inflation buries
-    # f32 wobble): parallel axes pass iff the origin sits in-slab
-    par = jnp.abs(dd) < EPS
-    inv = 1.0 / jnp.where(par, jnp.float32(EPS), dd)
-    ta = (lo[None] - p) * inv
-    tb = (hi[None] - p) * inv
-    # parallel axes constrain nothing along t (par_ok gates them by the
-    # origin being in-slab) — force their interval to (-inf, inf)
-    mn = jnp.where(par, -jnp.inf, jnp.minimum(ta, tb))
-    mx = jnp.where(par, jnp.inf, jnp.maximum(ta, tb))
-    t_en = jnp.max(mn, axis=-1)
-    t_ex = jnp.min(mx, axis=-1)
-    par_ok = jnp.all(
-        ~par | ((p >= lo[None]) & (p <= hi[None])), axis=-1,
-    )
-    reaches = (t_en <= t_ex) & (t_ex >= 0.0) & par_ok
+    boxes = jnp.asarray(edit_bounds, jnp.float32)
+    if boxes.ndim == 2:
+        boxes = boxes[None]  # (K, 2, 3)
     hit1 = r1["hit"].reshape(-1)
     t1 = r1["t"].reshape(-1)
-    affected = reaches & (~hit1 | (jnp.maximum(t_en, 0.0) <= t1 + 2.0))
+    # conservative slab entry per box (the caller's >=1 voxel inflation
+    # buries f32 wobble): parallel axes pass iff the origin sits
+    # in-slab. K is small (driver caps the box list), so the K-fold
+    # test is pure vector math — no gathers.
+    par = jnp.abs(dd) < EPS
+    inv = 1.0 / jnp.where(par, jnp.float32(EPS), dd)
+    affected = jnp.zeros(p.shape[0], jnp.bool_)
+    for k in range(boxes.shape[0]):
+        lo, hi = boxes[k, 0], boxes[k, 1]
+        ta = (lo[None] - p) * inv
+        tb = (hi[None] - p) * inv
+        # parallel axes constrain nothing along t (par_ok gates them by
+        # the origin being in-slab) — force their interval to +-inf
+        mn = jnp.where(par, -jnp.inf, jnp.minimum(ta, tb))
+        mx = jnp.where(par, jnp.inf, jnp.maximum(ta, tb))
+        t_en = jnp.max(mn, axis=-1)
+        t_ex = jnp.min(mx, axis=-1)
+        par_ok = jnp.all(
+            ~par | ((p >= lo[None]) & (p <= hi[None])), axis=-1,
+        )
+        reaches = (t_en <= t_ex) & (t_ex >= 0.0) & par_ok
+        affected = affected | (
+            reaches & (~hit1 | (jnp.maximum(t_en, 0.0) <= t1 + 2.0)))
     if active is not None:
         affected = affected & jnp.asarray(active).reshape(-1)
 

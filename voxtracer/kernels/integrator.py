@@ -51,10 +51,17 @@ from voxtracer.kernels.traverse import (FAR, leaf_rgb, svo_raycast,
 # is timing the NEE walk's share of a fused PT batch on hardware
 # (tools/bench_pt_quick.py --nee-off). Never set in production.
 _PROF = os.environ.get("VOXT_PT_PROF", "")
+# Experiment knob (perf only, bit-identical either way): how deep the
+# fused batch's outer compaction descends — buckets shrink geometrically
+# to max(B // DIV, 4096). Round-3 shipped DIV=64; core/lanes.py made
+# boundaries ~cheap, so deeper descent is worth re-sweeping (VERDICT r3
+# next #3b). Read once at import (jit closures stay static).
+_FLOOR_DIV = int(os.environ.get("VOXT_PT_FLOOR_DIV", "64"))
 
 
 @partial(jax.jit, static_argnames=("height", "max_bounces", "fog_steps",
-                                   "bit_size", "compact", "hf_offsets"))
+                                   "bit_size", "compact", "hf_offsets",
+                                   "fuse_nee"))
 def trace_paths(
     table,
     root,
@@ -76,6 +83,7 @@ def trace_paths(
     terrain_rgb=None,
     sun_maps=None,
     hf_edit_bounds=None,
+    fuse_nee: bool = True,
 ):
     """Trace one spectral path per ray; returns (state, radiance (...,3)).
 
@@ -112,7 +120,8 @@ def trace_paths(
         shadow walk (two row gathers instead of ~7+); the residue takes
         the exact cast, so radiance is bit-identical
         (tests/test_sunshadow.py, tests/test_integrator.py).
-      hf_edit_bounds: optional (2, 3) f32 [lo, hi) covering every point
+      hf_edit_bounds: optional (2, 3) — or (K, 2, 3) box list — f32
+        [lo, hi) covering every point
         edit since worldgen (inflated >= 1 voxel). Keeps the heightfield
         engine on EDITED terrain: lanes whose segment can see the bounds
         re-cast against the current node table, shading placed blocks by
@@ -330,7 +339,7 @@ def trace_paths(
         # for mostly-dead lanes (the per-level argsort+gather overhead
         # is small: XLA fuses the same-perm takes into one pass)
         b = B // 2
-        floor = max(B // 64, 4096)
+        floor = max(B // _FLOOR_DIV, 4096)
         while b >= floor:
             buckets.append(b)
             b //= 2
@@ -341,10 +350,140 @@ def trace_paths(
         if primary is not None:
             primary = {k: flat(v) for k, v in primary.items()}
 
-    carry = (jnp.int32(0), state, pos, d, light, color, alive,
-             density)
-    if primary is not None:
-        carry = bounce(carry, pre=primary)
+    # ---- fused-NEE loop (round 4) --------------------------------------
+    # The production hf config runs a ROTATED bounce loop: each
+    # iteration processes the PENDING bounce cast (carried from the
+    # previous iteration), draws every stochastic stage, then issues
+    # ONE 2B-lane bucketed walk serving bounce i's NEE shadow rays AND
+    # bounce i+1's indirect rays together — both start at the same hit
+    # point, so pooling them halves the per-cast fixed costs and lets
+    # the compaction pools pack fast-retiring shadow lanes with bounce
+    # lanes (NEE was ~26% of the sample as a separate cast, PERF.md).
+    # Radiance AND the returned chained state are BIT-IDENTICAL to the
+    # unfused loop: every draw stays in its original place ([planet,
+    # sun, sun_planet, cos, rr] per iteration) — only the WALK moved
+    # (the bounce cast runs uncapped at the previous iteration's tail;
+    # the head's `t <= cap` comparison restores capped semantics, the
+    # documented `primary` contract) — and casts consume no RNG
+    # (tests/test_integrator.py::test_fused_nee_loop_bit_identical).
+    fuse = (fuse_nee and use_hf and hf_edit_bounds is None
+            and sun_maps is None and bitworld is None
+            and "nee_off" not in _PROF and wavelength.ndim >= 1)
+
+    def bounce_fused(carry):
+        i, state, pos, d, light, color, alive, density, pend = carry
+
+        # bounce i's fog/planet event — drawn at the iteration HEAD
+        # like the unfused loop, so the per-lane draw sequence (and the
+        # returned chained state) is identical; the pending world cast
+        # was made UNCAPPED at iteration i-1's tail, and the `t <= cap`
+        # comparison here restores exact capped semantics (the
+        # `primary` contract: an uncapped first hit nearer than the fog
+        # event is exactly what the capped cast would return)
+        state, planet = atmosphere.raycast_planet(
+            state, pos, d, density, n_steps=fog_steps)
+        cap = jnp.where(planet["hit"], planet["t"], FAR)
+        use_svo = pend["s_hit"] & (pend["s_t"] <= cap)
+        hit_any = planet["hit"] | use_svo
+        rgba = jnp.where(
+            use_svo[..., None],
+            jnp.concatenate(
+                [pend["s_rgb"], jnp.ones_like(pend["s_rgb"][..., :1])],
+                -1),
+            planet["rgba"],
+        )
+        t_hit = jnp.where(use_svo, pend["s_t"], planet["t"])
+        normal = jnp.where(use_svo[..., None], pend["s_normal"],
+                           planet["normal"])
+
+        sun_disk = (i == 0) & (dot(d, sun) > COS_SUN_RADIUS)
+        color = color + jnp.where(
+            (alive & ~hit_any & sun_disk)[..., None],
+            light * SUN_COLOR, 0.0)
+        pos = jnp.where(
+            (alive & hit_any)[..., None], pos + d * t_hit[..., None],
+            pos)
+
+        state, sun_dir = sampling.sample_sun(state, sun)
+        facing = dot(sun_dir, normal) > 0.0
+        state, sun_planet = atmosphere.raycast_planet(
+            state, pos, sun_dir, density, n_steps=fog_steps)
+        nee_act = alive & hit_any & facing & ~sun_planet["hit"]
+        light_nee = light
+
+        # emissive (pure-white placed blocks) — pre-bounce light
+        emissive = jnp.all(rgba == 1.0, axis=-1)
+        color = color + jnp.where(
+            (alive & hit_any & emissive)[..., None],
+            light * 10.0 * rgba[..., :3] * rgba[..., 3:4], 0.0)
+
+        nee = (SUN_COLOR * rgba[..., :3]
+               * sampling.brdf(d, sun_dir, normal)
+               * (dot(normal, sun_dir) * 2.0 * PI
+                  * SUN_WEIGHT)[..., None])
+
+        state, ind_dir = sampling.cos_hemisphere(state, normal)
+        light = jnp.where(
+            (alive & hit_any)[..., None],
+            light * rgba[..., :3]
+            * (sampling.brdf(d, ind_dir, normal) * PI),
+            light)
+        d_next = jnp.where((alive & hit_any)[..., None], ind_dir, d)
+
+        T = 0.5
+        state, rr = vrng.random3(state)
+        rr_active = alive & hit_any & jnp.all(light < T, axis=-1)
+        survive = rr[..., 0] < T
+        light = jnp.where((rr_active & survive)[..., None],
+                          light * (1.0 / T), light)
+        alive_next = alive & hit_any & (~rr_active | survive)
+
+        # the ONE fused walk: [NEE shadow | next bounce] lanes — the
+        # bounce half is uncapped (its fog cap is drawn next iteration)
+        act_b = alive_next & (i + 1 < max_bounces)
+        r2 = svo_cast(
+            jnp.concatenate([pos, pos], axis=0),
+            jnp.concatenate([sun_dir, d_next], axis=0),
+            active=jnp.concatenate([nee_act, act_b], axis=0),
+        )
+        n0 = pos.shape[0]
+        sun_occ = r2["hit"][:n0]
+        sun_visible = ~sun_planet["hit"] & ~sun_occ
+        color = color + jnp.where(
+            (alive & hit_any & facing & sun_visible)[..., None],
+            light_nee * nee, 0.0)
+
+        pend2 = dict(
+            s_hit=r2["hit"][n0:], s_t=r2["t"][n0:],
+            s_normal=r2["normal"][n0:],
+            s_rgb=jnp.broadcast_to(
+                jnp.asarray(terrain_rgb, jnp.float32), pos.shape),
+        )
+        return (i + 1, state, pos, d_next, light, color, alive_next,
+                density, pend2)
+
+    if fuse:
+        trgb_b = jnp.broadcast_to(
+            jnp.asarray(terrain_rgb, jnp.float32), pos.shape)
+        if primary is not None:
+            pend0 = dict(s_hit=primary["hit"], s_t=primary["t"],
+                         s_normal=primary["normal"],
+                         s_rgb=primary["rgb"])
+        else:
+            # uncapped (consumes no RNG; the `t <= cap` comparison in
+            # the first iteration applies bounce 0's fog cap exactly)
+            r0 = svo_cast(pos, d, active=alive)
+            pend0 = dict(s_hit=r0["hit"], s_t=r0["t"],
+                         s_normal=r0["normal"], s_rgb=trgb_b)
+        carry = (jnp.int32(0), state, pos, d, light, color, alive,
+                 density, pend0)
+        body = bounce_fused
+    else:
+        carry = (jnp.int32(0), state, pos, d, light, color, alive,
+                 density)
+        if primary is not None:
+            carry = bounce(carry, pre=primary)
+        body = bounce
 
     def seg_cond(limit):
         def cond(c):
@@ -357,20 +496,26 @@ def trace_paths(
 
     unwinds = []
     for nxt in buckets:
-        carry = jax.lax.while_loop(seg_cond(nxt), bounce, carry)
-        i_, st_, pos_, d_, light_, color_, alive_, den_ = carry
+        carry = jax.lax.while_loop(seg_cond(nxt), body, carry)
+        i_, st_, pos_, d_, light_, color_, alive_, den_ = carry[:8]
         perm = jnp.argsort(~alive_)[:nxt]
         unwinds.append((color_, st_, perm, i_))
         # ONE packed row gather for the ~17 per-lane columns
         # (core/lanes.py): separate takes pay the serialized per-row
         # gather toll per ARRAY at every bucket boundary
-        tk = take_lanes(dict(st=st_, pos=pos_, d=d_, light=light_,
-                             color=color_, alive=alive_, den=den_), perm)
+        cols = dict(st=st_, pos=pos_, d=d_, light=light_,
+                    color=color_, alive=alive_, den=den_)
+        if fuse:
+            cols.update({"pd_" + k: v for k, v in carry[8].items()})
+        tk = take_lanes(cols, perm)
         carry = (i_, tk["st"], tk["pos"], tk["d"], tk["light"],
                  tk["color"], tk["alive"], tk["den"])
+        if fuse:
+            carry = carry + ({k[3:]: v for k, v in tk.items()
+                              if k.startswith("pd_")},)
 
-    carry = jax.lax.while_loop(seg_cond(None), bounce, carry)
-    i_final, state, _, _, _, color, _, _ = carry
+    carry = jax.lax.while_loop(seg_cond(None), body, carry)
+    i_final, state, _, _, _, color = carry[:6]
     # Unwind the compaction: scatter the surviving lanes' colors AND RNG
     # states back through each bucket's permutation, so the returned
     # state is per-lane and full-shape regardless of compaction. Lanes
@@ -393,6 +538,36 @@ def trace_paths(
         color = color.reshape(batch_shape + (3,))
         state = state.reshape(batch_shape + (3,))
     return state, color
+
+
+def _hf_env_primary(hf_mips, hf_offsets, height, cam_pos, d,
+                    terrain_rgb, hf_sky_env):
+    """Flagship hf-only PT primaries with the per-pose horizon-envelope
+    resume (kernels/skyline.py build_skyline_env; round 4): camera rays
+    start at the envelope's origin, so every jittered primary lane
+    resumes at its certified-air ladder distance — the same 969->817 ms
+    lever the exact frame rides. hf_sky_env: (E (bins, K), d0, g)
+    pytree (d0/g may be traced). Bit-identical radiance: the resumed
+    walk equals the plain walk (tests/test_skyline_env.py), and an
+    uncapped first hit feeds trace_paths' pre path exactly like its own
+    capped bounce-0 cast (trace_paths docstring)."""
+    from voxtracer.kernels.heightfield import hf_raycast
+    from voxtracer.kernels.skyline import skyline_env_tmin_traced
+
+    sh = d.shape[:-1]
+    dfl = d.reshape(-1, 3)
+    tm = skyline_env_tmin_traced(hf_sky_env[0], dfl, hf_sky_env[1],
+                                 hf_sky_env[2])
+    pr = hf_raycast(hf_mips, hf_offsets, height,
+                    jnp.asarray(cam_pos, jnp.float32), dfl,
+                    min_bucket=4096, tile_steps=6, t_min=tm)
+    return dict(
+        hit=pr["hit"].reshape(sh),
+        t=pr["t"].reshape(sh),
+        normal=pr["normal"].reshape(sh + (3,)),
+        rgb=jnp.broadcast_to(jnp.asarray(terrain_rgb, jnp.float32),
+                             sh + (3,)),
+    )
 
 
 @partial(jax.jit, static_argnames=("height", "width_px", "height_px",
@@ -426,6 +601,7 @@ def render_sample(
     terrain_rgb=None,
     sun_maps=None,
     hf_edit_bounds=None,
+    hf_sky_env=None,
 ):
     """One progressive sample: 1 spectral path per pixel (raytrace.wgsl:415-430).
 
@@ -552,6 +728,12 @@ def render_sample(
         )
         primary = dict(hit=pr["hit"], t=pr["t"], normal=pr["normal"],
                        rgb=pr["rgb"])
+    elif (hf_mips is not None and hf_sky_env is not None
+          and hf_edit_bounds is None):
+        primary = _hf_env_primary(
+            hf_mips, hf_offsets, height, cam_pos, d, terrain_rgb,
+            hf_sky_env,
+        )
 
     if row_tiles <= 1:
         _, radiance = trace_paths(
@@ -616,6 +798,7 @@ def render_samples(
     soup_bins=None, soup_slots=None, bitworld=None, bit_size: int = 0,
     fused: bool = True, hf_mips=None, hf_offsets: tuple | None = None,
     terrain_rgb=None, sun_maps=None, hf_edit_bounds=None,
+    hf_sky_env=None,
 ):
     """Accumulate a batch of progressive samples in one device program.
 
@@ -697,6 +880,14 @@ def render_samples(
             )
             primary = dict(hit=pr["hit"], t=pr["t"],
                            normal=pr["normal"], rgb=pr["rgb"])
+        elif (hf_mips is not None and hf_sky_env is not None
+              and hf_edit_bounds is None):
+            # flagship hf-only primaries: per-pose horizon-envelope
+            # resume over all k samples' jittered rays (_hf_env_primary)
+            primary = _hf_env_primary(
+                hf_mips, hf_offsets, height, cam_pos, d, terrain_rgb,
+                hf_sky_env,
+            )
 
         B = k * height_px * width_px
         fl = lambda a: a.reshape((B,) + a.shape[3:])
@@ -724,7 +915,7 @@ def render_samples(
             soup_bins=soup_bins, soup_slots=soup_slots, bitworld=bitworld,
             bit_size=bit_size, hf_mips=hf_mips, hf_offsets=hf_offsets,
             terrain_rgb=terrain_rgb, sun_maps=sun_maps,
-            hf_edit_bounds=hf_edit_bounds,
+            hf_edit_bounds=hf_edit_bounds, hf_sky_env=hf_sky_env,
         )
         return acc + s, None
 

@@ -438,6 +438,38 @@ def build_skyline_env(sky_mips, origin, bins: int = 4096,
                 d0=float(d0), g=float(g), bins=bins, K=K)
 
 
+def skyline_env_tmin_traced(E, d, d0, g, far: float = 3e38):
+    """Traceable body of ``skyline_env_tmin`` for callers already
+    inside jit (the fused PT batch's primary resume,
+    kernels/integrator.py): ``d0``/``g`` may be traced f32 scalars; K
+    comes from ``E.shape[1]``."""
+    import jax.numpy as jnp
+
+    dd = jnp.asarray(d, jnp.float32).reshape(-1, 3)
+    bins, K = E.shape
+    az = jnp.arctan2(dd[:, 2], dd[:, 0])
+    two_pi = jnp.float32(2.0 * np.pi)
+    cb = jnp.floor((az % two_pi) / (two_pi / bins)).astype(jnp.int32)
+    cb = jnp.clip(cb, 0, bins - 1)
+    row = E[cb]  # (B, K) — one row gather per lane, width nearly free
+    xz = jnp.hypot(dd[:, 0], dd[:, 2])
+    tan = jnp.where(xz > 0.0, dd[:, 1] / jnp.maximum(xz, 1e-30),
+                    jnp.where(dd[:, 1] >= 0.0, jnp.float32(3e38),
+                              jnp.float32(-3e38)))
+    tan_adj = jnp.where(
+        jnp.abs(tan) >= 3e38, tan,
+        tan - (jnp.float32(REL_MARGIN) * jnp.abs(tan)
+               + jnp.float32(ABS_MARGIN)))
+    ks = jnp.sum((row < tan_adj[:, None]).astype(jnp.int32), axis=1)
+    dk = jnp.exp2(jnp.log2(jnp.asarray(d0, jnp.float32))
+                  + (ks - 1).astype(jnp.float32)
+                  * jnp.log2(jnp.asarray(g, jnp.float32)))
+    t = jnp.maximum(dk - jnp.float32(ENV_SLACK), 0.0) \
+        / jnp.maximum(xz, jnp.float32(1e-30))
+    return jnp.where(ks == 0, jnp.float32(0.0),
+                     jnp.where(ks == K, jnp.float32(far), t))
+
+
 @partial(jax.jit, static_argnames=("d0", "g", "K", "far"))
 def skyline_env_tmin(E, d, d0: float, g: float, K: int,
                      far: float = 3e38):
@@ -454,32 +486,13 @@ def skyline_env_tmin(E, d, d0: float, g: float, K: int,
     lane before its first gather), else ``(d_{k*-1} - ENV_SLACK) /
     |d_xz|`` with the margins of ``rays_sky``. ONE (B, K) row gather
     per lane — the envelope turns the near-horizon grazing tail
-    (PERF.md round 3) into in-register compares."""
-    import jax.numpy as jnp
-
-    dd = jnp.asarray(d, jnp.float32).reshape(-1, 3)
-    bins = E.shape[0]
-    az = jnp.arctan2(dd[:, 2], dd[:, 0])
-    two_pi = jnp.float32(2.0 * np.pi)
-    cb = jnp.floor((az % two_pi) / (two_pi / bins)).astype(jnp.int32)
-    cb = jnp.clip(cb, 0, bins - 1)
-    row = E[cb]  # (B, K) — one row gather per lane, width nearly free
-    xz = jnp.hypot(dd[:, 0], dd[:, 2])
-    tan = jnp.where(xz > 0.0, dd[:, 1] / jnp.maximum(xz, 1e-30),
-                    jnp.where(dd[:, 1] >= 0.0, jnp.float32(3e38),
-                              jnp.float32(-3e38)))
-    tan_adj = jnp.where(
-        jnp.abs(tan) >= 3e38, tan,
-        tan - (jnp.float32(REL_MARGIN) * jnp.abs(tan)
-               + jnp.float32(ABS_MARGIN)))
-    ks = jnp.sum((row < tan_adj[:, None]).astype(jnp.int32), axis=1)
-    dk = jnp.exp2(jnp.float32(math.log2(d0))
-                  + (ks - 1).astype(jnp.float32)
-                  * jnp.float32(math.log2(g)))
-    t = jnp.maximum(dk - jnp.float32(ENV_SLACK), 0.0) \
-        / jnp.maximum(xz, jnp.float32(1e-30))
-    return jnp.where(ks == 0, jnp.float32(0.0),
-                     jnp.where(ks == K, jnp.float32(far), t))
+    (PERF.md round 3) into in-register compares. Measured on the
+    flagship exact 1080p frame (round 4): 969 -> 817 ms held-pose /
+    869 ms with the 0.09 s/pose host build in-loop — and it SUBSUMES
+    the cone prefix (cone+env measured slower than env alone), so the
+    production flagship path passes only ``sky_env``."""
+    assert K == E.shape[1]
+    return skyline_env_tmin_traced(E, d, float(d0), float(g), far=far)
 
 
 def rays_sky(sky, dirs):

@@ -83,7 +83,12 @@ def extract_boxes(dev: DeviceSvo, cull_enclosed: bool = True,
     # and the only feasible route at flagship scale (8192^3)
     space = getattr(dev, "space", None)
     heights = getattr(space, "heights", None)
-    if heights is not None and not getattr(space, "edited", False):
+    if heights is not None and (
+            not getattr(space, "edited", False)
+            or getattr(space, "heights_exact", False)):
+        # heights_exact: heightfield-shaped edits re-derived the
+        # heightmap (render/driver._apply_hf_edits), so the terrain
+        # fast path stays valid on the edited world too
         leaf = terrain_leaf_id(dev)
         rgb = np.ascontiguousarray(table[leaf, :3]).view(np.float32)
         return extract_boxes_terrain(heights, leaf, rgb,

@@ -189,6 +189,10 @@ class NativeSvoSpace:
             f"voxel {tuple(p)} outside [0, {n})^3"
         )
         self.edited = True
+        # see world/svo.py set(): the renderer re-proves heights_exact
+        # for heightfield-shaped edits (render/driver.apply_edits)
+        self.heights_exact = False
+        self.edit_count = getattr(self, "edit_count", 0) + 1
         if rgb is None:
             self._lib.vx_set(self._h, int(p[0]), int(p[1]), int(p[2]), 0,
                              0.0, 0.0, 0.0)

@@ -260,6 +260,11 @@ class SvoSpace:
             return
 
         self.edited = True
+        # until a coordinator re-proves it (render/driver.apply_edits),
+        # the heightmap no longer certifiably describes the world; the
+        # counter lets the coordinator detect edits it was never shown
+        self.heights_exact = False
+        self.edit_count = getattr(self, "edit_count", 0) + 1
         new_node = self.create_block(rgb) if rgb is not None else None
         while stack:
             n, idx = stack.pop()

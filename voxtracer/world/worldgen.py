@@ -265,4 +265,10 @@ def generate(
     # also needs the interned terrain leaf color
     space.heights = h
     space.terrain_rgb = (0.5, 0.5, 0.5)
+    # heights exactly describe the voxel world (solid iff y < h[x, z],
+    # terrain-colored). Point edits clear it (svo/native .set); the
+    # renderer re-proves and restores it for top-voxel place/delete
+    # edits, which keep the world heightfield-shaped
+    # (render/driver.apply_edits, round 4).
+    space.heights_exact = True
     return space
