@@ -639,7 +639,7 @@ def main():
                 # to the frame (held-pose progressive cost is the same
                 # program with the env prebuilt)
                 e = sky_mod.build_skyline_env(
-                    fsky_mips, np.asarray(op, np.float64))
+                    fsky_mips, np.asarray(op, np.float64), K=128)
                 ea = (jnp.asarray(e["E"]), e["d0"], e["g"], e["K"])
                 return hf_frame_cast(
                     fhf_flat, fhf_offs, fdev.height, op, basis, W, H,
@@ -654,7 +654,7 @@ def main():
 
             # held-pose variant (the production progressive cost)
             fenvs = [sky_mod.build_skyline_env(
-                fsky_mips, np.asarray(op, np.float64))
+                fsky_mips, np.asarray(op, np.float64), K=128)
                 for op, _ in fcam_args]
             fenv_args = [
                 (op, basis, jax.device_put(jnp.asarray(e["E"])),

@@ -237,11 +237,16 @@ def test_trace_paths_hf_engine_bit_identical(world):
         jnp.asarray(wl), jnp.asarray(sun), jnp.asarray(state),
         max_bounces=6, fog_steps=16,
     )
+    # fuse_nee=False: engine parity is what's tested here; the fused
+    # loop's returned state intentionally leads by one planet draw
+    # (integrator.py bounce_fused doc) while its RADIANCE matches
+    # bit-for-bit (test_integrator.py::test_fused_nee_loop_bit_identical)
     st_b, rad_b = trace_paths(
         table, root, h, lut, jnp.asarray(start), jnp.asarray(d),
         jnp.asarray(wl), jnp.asarray(sun), jnp.asarray(state),
         max_bounces=6, fog_steps=16, hf_mips=flat, hf_offsets=offs,
         terrain_rgb=jnp.asarray([0.5, 0.5, 0.5], jnp.float32),
+        fuse_nee=False,
     )
     diff = np.any(np.asarray(rad_a) != np.asarray(rad_b), axis=-1)
     assert int(diff.sum()) <= 2, f"{int(diff.sum())} lanes differ"

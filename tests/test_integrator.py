@@ -328,10 +328,13 @@ def test_render_samples_fused_soup_equals_serial():
 def test_fused_nee_loop_bit_identical():
     """The round-4 fused-NEE bounce loop (one 2B-lane walk serving
     bounce i's shadow rays and bounce i+1's indirect rays) must return
-    BIT-IDENTICAL radiance AND chained RNG state to the unfused loop:
-    every draw stays in its original place, and the uncapped pending
-    cast + head-side `t <= cap` comparison is the documented `primary`
-    contract (kernels/integrator.py bounce_fused)."""
+    BIT-IDENTICAL radiance to the unfused loop: the per-lane draw
+    SEQUENCE is unchanged (bounce i+1's planet draw merely happens at
+    iteration i's tail) and casts consume no RNG. The returned chained
+    state leads the unfused loop's by EXACTLY one planet draw (3 pcg3d
+    steps, every lane) — pinned here (kernels/integrator.py
+    bounce_fused doc)."""
+    from voxtracer.core import rng as vrng
     from voxtracer.kernels.heightfield import build_height_mips
     from voxtracer.world import worldgen
 
@@ -360,4 +363,7 @@ def test_fused_nee_loop_bit_identical():
             f"B={B}: {int(np.any(np.asarray(a) != np.asarray(b), -1).sum())}"
             " lanes differ"
         )
-        assert np.array_equal(np.asarray(st_a), np.asarray(st_b))
+        lead = st_a
+        for _ in range(3):
+            lead = vrng.pcg3d(lead)
+        assert np.array_equal(np.asarray(lead), np.asarray(st_b))

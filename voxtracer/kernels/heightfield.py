@@ -763,7 +763,8 @@ def hf_frame_cast(flat_mips, offsets: tuple, height: int, cam_pos,
                   cam_basis, width_px: int, height_px: int, terrain_rgb,
                   terrain_node=-1, ray_dirs=None, distance=FAR,
                   min_bucket: int = 4096, tile_steps: int = 6,
-                  cone=None, sky=None, sky_env=None):
+                  cone=None, sky=None, sky_env=None,
+                  init_desc: int | None = None):
     """Full-frame primary visibility on UNEDITED terrain: one
     ``hf_raycast`` over every pixel's camera ray, returning the
     ``raster_cast_exact`` result dict (hit/t/normal/node/rgb/voxel,
@@ -868,10 +869,17 @@ def hf_frame_cast(flat_mips, offsets: tuple, height: int, cam_pos,
         env_E, env_d0, env_g, env_K = sky_env
         tm_ray = skyline_env_tmin(env_E, d, env_d0, env_g, env_K)
         t_min = tm_ray if t_min is None else jnp.maximum(t_min, tm_ray)
+    if init_desc is None:
+        # with a per-ray resume the coarse dip levels mostly re-prove
+        # the certified prefix: starting two tile-levels deeper
+        # measured 808 -> 713 ms on the flagship held-pose frame
+        # (plateau at 2; plain frames are neutral — PERF.md round 4)
+        init_desc = 2 if sky_env is not None else 0
     r = hf_raycast(flat_mips, offsets, height,
                    jnp.asarray(cam_pos, jnp.float32), d,
                    distance=distance, min_bucket=min_bucket,
-                   tile_steps=tile_steps, t_min=t_min)
+                   tile_steps=tile_steps, t_min=t_min,
+                   init_desc=init_desc)
     hit = r["hit"].reshape(H, W)
     trgb = jnp.broadcast_to(jnp.asarray(terrain_rgb, jnp.float32),
                             (H, W, 3))

@@ -57,6 +57,14 @@ _PROF = os.environ.get("VOXT_PT_PROF", "")
 # boundaries ~cheap, so deeper descent is worth re-sweeping (VERDICT r3
 # next #3b). Read once at import (jit closures stay static).
 _FLOOR_DIV = int(os.environ.get("VOXT_PT_FLOOR_DIV", "64"))
+# VOXT_PT_FUSE=1 turns the fused-NEE bounce loop on by default
+# (trace_paths fuse_nee=None). Measured SLOWER on TPU (853x480/1024^3
+# fused k=8: 0.871 vs 1.039 Mpaths/s): pooling the shadow and bounce
+# populations makes the bucketed walk run at the POOLED width until
+# total-alive crosses the next power of two, which costs more than the
+# shared fixed costs save. Default OFF; the machinery stays (bit-exact,
+# tests) for configs where the populations' alive curves align.
+_FUSE = os.environ.get("VOXT_PT_FUSE", "0") == "1"
 
 
 @partial(jax.jit, static_argnames=("height", "max_bounces", "fog_steps",
@@ -83,7 +91,7 @@ def trace_paths(
     terrain_rgb=None,
     sun_maps=None,
     hf_edit_bounds=None,
-    fuse_nee: bool = True,
+    fuse_nee: bool | None = None,
 ):
     """Trace one spectral path per ray; returns (state, radiance (...,3)).
 
@@ -359,42 +367,42 @@ def trace_paths(
     # point, so pooling them halves the per-cast fixed costs and lets
     # the compaction pools pack fast-retiring shadow lanes with bounce
     # lanes (NEE was ~26% of the sample as a separate cast, PERF.md).
-    # Radiance AND the returned chained state are BIT-IDENTICAL to the
-    # unfused loop: every draw stays in its original place ([planet,
-    # sun, sun_planet, cos, rr] per iteration) — only the WALK moved
-    # (the bounce cast runs uncapped at the previous iteration's tail;
-    # the head's `t <= cap` comparison restores capped semantics, the
-    # documented `primary` contract) — and casts consume no RNG
+    # Radiance is BIT-IDENTICAL to the unfused loop: the per-lane draw
+    # SEQUENCE is unchanged ([planet, sun, sun_planet, cos, rr] per
+    # bounce — bounce i+1's planet draw merely happens at iteration i's
+    # tail instead of iteration i+1's head, and casts consume no RNG)
     # (tests/test_integrator.py::test_fused_nee_loop_bit_identical).
-    fuse = (fuse_nee and use_hf and hf_edit_bounds is None
+    # Drawing the fog event EARLY keeps the bounce half of the fused
+    # walk distance-CAPPED — an uncapped variant measured 3.6x slower
+    # on TPU (0.275 vs ~1.0 Mpaths/s): the fog cap is what retires
+    # grazing sky-ward bounce lanes before the walk's horizon tail.
+    # The one observable difference: the RETURNED chained state carries
+    # one extra planet draw (the final iteration's tail), so it leads
+    # the unfused loop's state by 3 pcg3d steps — radiance and all
+    # in-loop draws are unaffected (trace_paths callers consume the
+    # returned state only for progressive chaining, which remains
+    # self-consistent).
+    fuse = ((_FUSE if fuse_nee is None else fuse_nee) and use_hf
+            and hf_edit_bounds is None
             and sun_maps is None and bitworld is None
             and "nee_off" not in _PROF and wavelength.ndim >= 1)
 
     def bounce_fused(carry):
         i, state, pos, d, light, color, alive, density, pend = carry
 
-        # bounce i's fog/planet event — drawn at the iteration HEAD
-        # like the unfused loop, so the per-lane draw sequence (and the
-        # returned chained state) is identical; the pending world cast
-        # was made UNCAPPED at iteration i-1's tail, and the `t <= cap`
-        # comparison here restores exact capped semantics (the
-        # `primary` contract: an uncapped first hit nearer than the fog
-        # event is exactly what the capped cast would return)
-        state, planet = atmosphere.raycast_planet(
-            state, pos, d, density, n_steps=fog_steps)
-        cap = jnp.where(planet["hit"], planet["t"], FAR)
+        cap = jnp.where(pend["p_hit"], pend["p_t"], FAR)
         use_svo = pend["s_hit"] & (pend["s_t"] <= cap)
-        hit_any = planet["hit"] | use_svo
+        hit_any = pend["p_hit"] | use_svo
         rgba = jnp.where(
             use_svo[..., None],
             jnp.concatenate(
                 [pend["s_rgb"], jnp.ones_like(pend["s_rgb"][..., :1])],
                 -1),
-            planet["rgba"],
+            pend["p_rgba"],
         )
-        t_hit = jnp.where(use_svo, pend["s_t"], planet["t"])
+        t_hit = jnp.where(use_svo, pend["s_t"], pend["p_t"])
         normal = jnp.where(use_svo[..., None], pend["s_normal"],
-                           planet["normal"])
+                           pend["p_normal"])
 
         sun_disk = (i == 0) & (dot(d, sun) > COS_SUN_RADIUS)
         color = color + jnp.where(
@@ -438,12 +446,19 @@ def trace_paths(
                           light * (1.0 / T), light)
         alive_next = alive & hit_any & (~rr_active | survive)
 
-        # the ONE fused walk: [NEE shadow | next bounce] lanes — the
-        # bounce half is uncapped (its fog cap is drawn next iteration)
+        # bounce i+1's fog event, drawn at this iteration's tail (same
+        # per-lane draw sequence; keeps the fused bounce half CAPPED)
+        state, planet2 = atmosphere.raycast_planet(
+            state, pos, d_next, density, n_steps=fog_steps)
+        cap2 = jnp.where(planet2["hit"], planet2["t"], FAR)
+
+        # the ONE fused walk: [NEE shadow | next bounce] lanes
         act_b = alive_next & (i + 1 < max_bounces)
         r2 = svo_cast(
             jnp.concatenate([pos, pos], axis=0),
             jnp.concatenate([sun_dir, d_next], axis=0),
+            distance=jnp.concatenate(
+                [jnp.full_like(cap2, FAR), cap2], axis=0),
             active=jnp.concatenate([nee_act, act_b], axis=0),
         )
         n0 = pos.shape[0]
@@ -454,6 +469,8 @@ def trace_paths(
             light_nee * nee, 0.0)
 
         pend2 = dict(
+            p_hit=planet2["hit"], p_t=planet2["t"],
+            p_rgba=planet2["rgba"], p_normal=planet2["normal"],
             s_hit=r2["hit"][n0:], s_t=r2["t"][n0:],
             s_normal=r2["normal"][n0:],
             s_rgb=jnp.broadcast_to(
@@ -465,16 +482,20 @@ def trace_paths(
     if fuse:
         trgb_b = jnp.broadcast_to(
             jnp.asarray(terrain_rgb, jnp.float32), pos.shape)
+        state, planet0 = atmosphere.raycast_planet(
+            state, pos, d, density, n_steps=fog_steps)
+        cap0 = jnp.where(planet0["hit"], planet0["t"], FAR)
         if primary is not None:
-            pend0 = dict(s_hit=primary["hit"], s_t=primary["t"],
-                         s_normal=primary["normal"],
-                         s_rgb=primary["rgb"])
+            sv0 = dict(s_hit=primary["hit"], s_t=primary["t"],
+                       s_normal=primary["normal"],
+                       s_rgb=primary["rgb"])
         else:
-            # uncapped (consumes no RNG; the `t <= cap` comparison in
-            # the first iteration applies bounce 0's fog cap exactly)
-            r0 = svo_cast(pos, d, active=alive)
-            pend0 = dict(s_hit=r0["hit"], s_t=r0["t"],
-                         s_normal=r0["normal"], s_rgb=trgb_b)
+            r0 = svo_cast(pos, d, distance=cap0, active=alive)
+            sv0 = dict(s_hit=r0["hit"], s_t=r0["t"],
+                       s_normal=r0["normal"], s_rgb=trgb_b)
+        pend0 = dict(p_hit=planet0["hit"], p_t=planet0["t"],
+                     p_rgba=planet0["rgba"],
+                     p_normal=planet0["normal"], **sv0)
         carry = (jnp.int32(0), state, pos, d, light, color, alive,
                  density, pend0)
         body = bounce_fused
@@ -560,7 +581,8 @@ def _hf_env_primary(hf_mips, hf_offsets, height, cam_pos, d,
                                  hf_sky_env[2])
     pr = hf_raycast(hf_mips, hf_offsets, height,
                     jnp.asarray(cam_pos, jnp.float32), dfl,
-                    min_bucket=4096, tile_steps=6, t_min=tm)
+                    min_bucket=4096, tile_steps=6, t_min=tm,
+                    init_desc=2)
     return dict(
         hit=pr["hit"].reshape(sh),
         t=pr["t"].reshape(sh),

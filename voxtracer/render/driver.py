@@ -503,7 +503,10 @@ class Renderer:
             self._sky_mips = skyline.build_sky_mips(
                 np.asarray(sp.heights))
         env = skyline.build_skyline_env(
-            self._sky_mips, np.asarray(cam.pos, np.float64))
+            self._sky_mips, np.asarray(cam.pos, np.float64), K=128)
+        # K=128 (finer ladder): held-pose flagship frame 817 -> 808 ms
+        # at 0.18 s/pose build; bins=8192 bought 795 but doubles the
+        # per-pose host build (PERF.md round 4 env sweep)
         args = (jax.device_put(jnp.asarray(env["E"])), env["d0"],
                 env["g"], env["K"])
         self._sky_env = (key, args)
