@@ -656,16 +656,20 @@ def main():
             fenvs = [sky_mod.build_skyline_env(
                 fsky_mips, np.asarray(op, np.float64), K=128)
                 for op, _ in fcam_args]
+            # held pose: env table AND the pixel-center dir grid are
+            # per-pose artifacts paid once (the Renderer caches both)
             fenv_args = [
                 (op, basis, jax.device_put(jnp.asarray(e["E"])),
-                 e["d0"], e["g"], e["K"])
-                for (op, basis), e in zip(fcam_args, fenvs)
+                 e["d0"], e["g"], e["K"],
+                 jax.device_put(vcam.generate_rays(c, W, H)[1]))
+                for (op, basis), e, c in zip(fcam_args, fenvs, fcams)
             ]
 
-            def f_flag_held(op, basis, E, d0, g, K):
+            def f_flag_held(op, basis, E, d0, g, K, dirs):
                 return hf_frame_cast(
                     fhf_flat, fhf_offs, fdev.height, op, basis, W, H,
-                    ftrgb, sky_env=(E, d0, g, K), tile_steps=6,
+                    ftrgb, sky_env=(E, d0, g, K), ray_dirs=dirs,
+                    tile_steps=6,
                 )["t"]
 
             dth, _ = _time_over(f_flag_held, fenv_args)

@@ -759,15 +759,6 @@ def hf_raycast_edited(flat_mips, offsets: tuple, height: int, table,
     return out
 
 
-@partial(jax.jit, static_argnames=("W", "H"))
-def _frame_dirs(basis, W: int, H: int):
-    from voxtracer.core import camera as vcam
-
-    py, px = vcam.pixel_grid(W, H)
-    ld = vcam.pixel_ndc(px, py, W, H)
-    return vcam.ray_directions(basis, ld)
-
-
 def hf_frame_cast(flat_mips, offsets: tuple, height: int, cam_pos,
                   cam_basis, width_px: int, height_px: int, terrain_rgb,
                   terrain_node=-1, ray_dirs=None, distance=FAR,
@@ -833,14 +824,20 @@ def hf_frame_cast(flat_mips, offsets: tuple, height: int, cam_pos,
     grazing tail lives. BIT-IDENTICAL output (same t_min contract);
     unedited terrain only (the envelope reads the heightmap).
     """
+    from voxtracer.core import camera as vcam
+
     W, H = width_px, height_px
     basis = jnp.asarray(cam_basis, jnp.float32)
     if ray_dirs is None:
-        # ONE jitted program for the pixel-grid dir generation: the
-        # eager path is ~5 axon round-trips (~tens of ms/frame over the
-        # tunnel, measured as the gap between the bench-tool frame and
-        # the driver frame — PERF.md round 4)
-        ray_dirs = _frame_dirs(basis, W, H)
+        # EAGER op-by-op on purpose: a jitted composite lets XLA fuse
+        # with FMA rounding, flipping edge-graze tie-breaks against the
+        # per-ray engines (measured: 1 lane of a 48x32 parity frame).
+        # The ~5 eager dispatches cost tens of ms over the axon tunnel
+        # per NEW pose — held-pose callers cache the grid instead
+        # (render/driver._get_frame_dirs).
+        py, px = vcam.pixel_grid(W, H)
+        ld = vcam.pixel_ndc(px, py, W, H)
+        ray_dirs = vcam.ray_directions(basis, ld)
     d = jnp.asarray(ray_dirs, jnp.float32).reshape(-1, 3)
     t_min = None
     ty, tx = -(-H // 8), -(-W // 8)

@@ -147,6 +147,7 @@ class Renderer:
         self._cone = None  # lazy cone-march pyramid (hf-only frames)
         self._sky_mips = None  # lazy skyline pyramid (per world)
         self._sky_env = None  # per-POSE ray horizon envelope (+ key)
+        self._frame_dirs = None  # per-POSE pixel-center dir grid (+ key)
         self._edit_bounds = None  # list of (2,3) boxes covering edits
         self._seen_edit_count = getattr(
             getattr(device_svo, "space", None), "edit_count", 0)
@@ -512,6 +513,25 @@ class Renderer:
         self._sky_env = (key, args)
         return args
 
+    def _get_frame_dirs(self, cam):
+        """Pixel-center direction grid for the hf full-frame cast,
+        cached per pose: the eager op-by-op generation (deliberate —
+        hf_frame_cast doc: jit fusion's FMA rounding flips edge-graze
+        tie-breaks) costs ~5 axon round-trips, which a held pose pays
+        once instead of per sample."""
+        from voxtracer.core import camera as vcam
+
+        key = (tuple(np.asarray(cam.pos, np.float64).tolist()),
+               float(cam.yaw), float(cam.pitch))
+        if self._frame_dirs is not None and self._frame_dirs[0] == key:
+            return self._frame_dirs[1]
+        py, px = vcam.pixel_grid(self.width, self.height)
+        ld = vcam.pixel_ndc(px, py, self.width, self.height)
+        d = vcam.ray_directions(jnp.asarray(cam.basis(), jnp.float32),
+                                ld)
+        self._frame_dirs = (key, d)
+        return d
+
     def _get_soup(self, cam=None):
         """Device box-soup arrays for rasterized primaries (lazy). Big
         worlds go through the ActiveSoup frustum + horizon-occlusion
@@ -790,6 +810,7 @@ class Renderer:
             r = hf_frame_cast(hf_flat, hf_offs, self.tree_height, op,
                               cam.basis(), self.width, self.height,
                               hf_rgb, sky_env=self._get_sky_env(cam),
+                              ray_dirs=self._get_frame_dirs(cam),
                               tile_steps=6)
             rgb = r["rgb"]
         else:
