@@ -418,12 +418,7 @@ def trace_paths(
             state, pos, sun_dir, density, n_steps=fog_steps)
         nee_act = alive & hit_any & facing & ~sun_planet["hit"]
         light_nee = light
-
-        # emissive (pure-white placed blocks) — pre-bounce light
         emissive = jnp.all(rgba == 1.0, axis=-1)
-        color = color + jnp.where(
-            (alive & hit_any & emissive)[..., None],
-            light * 10.0 * rgba[..., :3] * rgba[..., 3:4], 0.0)
 
         nee = (SUN_COLOR * rgba[..., :3]
                * sampling.brdf(d, sun_dir, normal)
@@ -467,6 +462,14 @@ def trace_paths(
         color = color + jnp.where(
             (alive & hit_any & facing & sun_visible)[..., None],
             light_nee * nee, 0.0)
+        # emissive AFTER the NEE add, matching `bounce`'s accumulation
+        # order exactly: a lane with both terms nonzero in one bounce
+        # (rgba all-ones) would otherwise break the bit-identity
+        # guarantee through f32 addition order (ADVICE r4). Uses the
+        # pre-bounce light (light_nee), like `bounce` does.
+        color = color + jnp.where(
+            (alive & hit_any & emissive)[..., None],
+            light_nee * 10.0 * rgba[..., :3] * rgba[..., 3:4], 0.0)
 
         pend2 = dict(
             p_hit=planet2["hit"], p_t=planet2["t"],

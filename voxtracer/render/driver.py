@@ -151,6 +151,8 @@ class Renderer:
         self._edit_bounds = None  # list of (2,3) boxes covering edits
         self._seen_edit_count = getattr(
             getattr(device_svo, "space", None), "edit_count", 0)
+        self._seen_set_calls = getattr(
+            getattr(device_svo, "space", None), "set_calls", 0)
         self._dev_count = self._seen_edit_count  # _dev snapshot age
 
     def update_space(self, device_svo):
@@ -177,6 +179,8 @@ class Renderer:
         self._sun_maps_key = self._sun_maps = None  # heights changed
         self._seen_edit_count = getattr(
             getattr(device_svo, "space", None), "edit_count", 0)
+        self._seen_set_calls = getattr(
+            getattr(device_svo, "space", None), "set_calls", 0)
         self._dev_count = self._seen_edit_count
         self.acc.invalidate()
 
@@ -298,6 +302,8 @@ class Renderer:
         self._probe_stable = 0  # edits shift the demand profile
         self._seen_edit_count = getattr(space, "edit_count",
                                         self._seen_edit_count)
+        self._seen_set_calls = getattr(space, "set_calls",
+                                       self._seen_set_calls)
         self.acc.invalidate()
 
     EDIT_BOXES = 24  # bounds-box list capacity (apply_edits merging)
@@ -322,12 +328,19 @@ class Renderer:
         # heights must be exact BEFORE this batch. This batch's .set
         # calls already cleared heights_exact, so the flag alone cannot
         # distinguish "stale from this batch" from "stale from a .set
-        # that bypassed apply_edits": the edit counter closes that hole
-        # — every non-no-op .set increments it, so a delta larger than
-        # this batch means unseen edits somewhere (stale heights) and
-        # the hf path refuses (the bounds path is always sound).
+        # that bypassed apply_edits": the CALL counter closes that hole
+        # — every .set bumps it, no-ops included, so a delta larger
+        # than this batch means set() calls the renderer was never
+        # shown (possibly mutating — stale heights) and the hf path
+        # refuses (the bounds path is always sound). The mutation
+        # counter (edit_count) alone under-detects: k no-op edits in
+        # the batch would mask up to k bypassed mutations (ADVICE r4).
+        scnt = getattr(space, "set_calls", None)
         cnt = getattr(space, "edit_count", None)
-        if cnt is not None and getattr(self, "_seen_edit_count", 0) \
+        if scnt is not None:
+            if scnt - getattr(self, "_seen_set_calls", 0) > len(edits):
+                return False
+        elif cnt is not None and getattr(self, "_seen_edit_count", 0) \
                 is not None:
             if cnt - getattr(self, "_seen_edit_count", 0) > len(edits):
                 return False
@@ -626,7 +639,11 @@ class Renderer:
         if self._bins_key != key:
             from voxtracer.kernels.raster import raster_bins
 
-            self._drain_overflow_checks(block=False)
+            # pose change: drain FULLY — the outgoing pose's deferred
+            # demand counters are long since computed, and a pose-free
+            # gap (e.g. interactive idling) must not let a tainted
+            # accumulation survive into presentation (ADVICE r4)
+            self._drain_overflow_checks(block=True)
             if self._probe_stable < self.PROBE_STABLE_N:
                 before = (self._pair_slots, self._near_slots)
                 self._probe_slots(cam, soup)  # demand is pose-exact
@@ -999,10 +1016,16 @@ class Renderer:
         return self.acc.mean()
 
     def save_exr(self, path):
+        # presentation boundary: any deferred overflow check must land
+        # BEFORE the image is read — a detected overflow invalidates
+        # the accumulator, so a tainted frame can never be saved
+        # (closes the last silent-drop window, ADVICE r4)
+        self._drain_overflow_checks(block=True)
         mean = self.acc.mean()
         film.save_exr(path, mean)
 
     def save_png(self, path):
+        self._drain_overflow_checks(block=True)
         film.save_png(path, self.acc.mean())
 
 

@@ -236,6 +236,12 @@ class SvoSpace:
         assert 0 <= x < n and 0 <= y < n and 0 <= z < n, (
             f"voxel {(x, y, z)} outside [0, {n})^3"
         )
+        # counts EVERY call, no-ops included (edit_count below counts
+        # only mutations): the renderer's heightfield-exact gate compares
+        # this delta against its batch size, so a batch containing no-op
+        # edits can never mask a set() that bypassed apply_edits
+        # (render/driver._apply_hf_edits)
+        self.set_calls = getattr(self, "set_calls", 0) + 1
         stack = []
         node = self.root
         for level in range(self.height() - 1, -1, -1):
