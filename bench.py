@@ -352,14 +352,23 @@ def main():
 
         # --- pose-HELD progressive rate (the reference's production
         # loop holds a pose for 1000 samples, main.rs:112): bins cached
-        # per pose, each sample pays only the jittered resolve. Jitters
-        # are generated ON DEVICE from a fresh seed per rep (exactly the
-        # render_sample primary path; a host-built (H, W, 3) dirs upload
-        # would dominate the resolve over the axon tunnel, and fresh
-        # seeds defeat the cross-process execution cache).
+        # per pose, each sample pays only the jittered resolve — and
+        # the resolve is K-BATCHED (round 5): KS samples' jitters ride
+        # ONE raster_cast via the leading ray_dirs axis, so the widen-
+        # round candidate row gathers (serialized, ~13 ns/row) and the
+        # fixed program overheads amortize over KS while the slab math
+        # (vector work) scales. Bit-identical per sample to KS separate
+        # casts (kernels/raster.py ray_dirs contract; the fused PT batch
+        # rides the same path). Measured sweep (tools/bench_held_k.py,
+        # round 5): KS 1/2/4/8/16/32 -> 19.8/17.2/14.8/13.3/12.1/10.7
+        # ms/sample; KS=64 OOMs HBM. Jitters are generated ON DEVICE
+        # from fresh seeds per rep (the render_sample primary path; a
+        # host-built dirs upload would dominate over the axon tunnel,
+        # and fresh seeds defeat the cross-process execution cache).
         try:
             from voxtracer.core import rng as vrng
 
+            KS = 2 if os.environ.get("BENCH_SMOKE") == "1" else 32
             lo0, sz0, at0, op0, basis0 = pose_args[0]
             bj = raster_mod.raster_bins(
                 lo0, sz0, op0, basis0, dev.height, W, H,
@@ -378,12 +387,16 @@ def main():
             pyx, pxx = jnp.asarray(pyx), jnp.asarray(pxx)
 
             @jax.jit
-            def f_held(seed, lo_a, sz_a, at_a, bins):
-                st = vrng.seed_pixels(seed, pxx, pyx)
-                _, rnd = vrng.random3(st)
-                ld = vcam.pixel_ndc(pxx, pyx, W, H)
-                dj = vcam.ray_directions(jnp.asarray(basis0), ld,
-                                         jitter=rnd[..., :2], height=H)
+            def f_held(seeds, lo_a, sz_a, at_a, bins):
+                def mk(seed):
+                    st = vrng.seed_pixels(seed, pxx, pyx)
+                    _, rnd = vrng.random3(st)
+                    ld = vcam.pixel_ndc(pxx, pyx, W, H)
+                    return vcam.ray_directions(
+                        jnp.asarray(basis0), ld, jitter=rnd[..., :2],
+                        height=H)
+
+                dj = jax.vmap(mk)(seeds)  # (KS, H, W, 3)
                 return raster_mod.raster_cast(
                     lo_a, sz_a, at_a, op0, basis0, dev.height, W, H,
                     ray_dirs=dj, bins=bins, want_voxel=False,
@@ -391,15 +404,16 @@ def main():
                 )["t"]
 
             held_args = [
-                (jnp.asarray(np.frombuffer(os.urandom(12), np.uint32
-                                           ).copy()), lo0, sz0, at0,
-                 bins_j)
+                (jnp.asarray(np.frombuffer(os.urandom(12 * KS), np.uint32
+                                           ).copy().reshape(KS, 3)),
+                 lo0, sz0, at0, bins_j)
                 for _ in range(4)
             ]
             dth, _ = _time_over(f_held, held_args)
+            dth /= KS  # amortized per-sample
             results_held = W * H / dth / 1e6
-            log(f"raster pose-held sample {dth * 1e3:.1f} ms -> "
-                f"{results_held:.2f} Mrays/s")
+            log(f"raster pose-held sample {dth * 1e3:.2f} ms (KS={KS} "
+                f"batched) -> {results_held:.2f} Mrays/s")
         except Exception as e:
             log("pose-held bench failed:", type(e).__name__, str(e)[:200])
 

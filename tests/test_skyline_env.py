@@ -17,6 +17,8 @@ from voxtracer.core import camera as vcam
 from voxtracer.kernels.heightfield import (build_height_mips,
                                            hf_frame_cast, hf_raycast)
 from voxtracer.kernels.skyline import (build_sky_mips, build_skyline_env,
+                                       build_skyline_env_device,
+                                       sky_levels_from_hf,
                                        skyline_env_tmin)
 from voxtracer.world import worldgen
 
@@ -43,11 +45,15 @@ def _env_args(env):
     return (jnp.asarray(env["E"]), env["d0"], env["g"], env["K"])
 
 
-def _assert_sound(mips, sky_mips, origin, dirs):
+def _assert_sound(mips, sky_mips, origin, dirs, device_build=False):
     """The resumed walk must equal the plain walk bit-for-bit; returns
     the mean certified prefix fraction (diagnostic)."""
     flat, offs, h = mips
-    env = build_skyline_env(sky_mips, origin)
+    if device_build:
+        levels = sky_levels_from_hf(flat, offs, h)
+        env = build_skyline_env_device(levels, origin)
+    else:
+        env = build_skyline_env(sky_mips, origin)
     E, d0, g, K = _env_args(env)
     tm = skyline_env_tmin(E, jnp.asarray(dirs), d0, g, K)
     o = jnp.asarray(origin, jnp.float32)
@@ -120,6 +126,82 @@ def test_vertical_and_degenerate_dirs():
     tm2 = np.asarray(skyline_env_tmin(
         E2, d[:1], d0, g, K))
     assert tm2[0] < 1e37
+
+
+def test_device_build_sound_on_terrain(world):
+    """The jnp on-device envelope build (round 5 — kills the per-pose
+    host build so the envelope pays on fly-through poses) must satisfy
+    the SAME soundness contract as the host build: t_min-resumed walks
+    bit-equal plain walks, all-miss certificates are real misses."""
+    heights, mips, sky_mips = world
+    rng = np.random.default_rng(77)
+    n = 1 << LOG2
+    dirs = _rand_dirs(rng, 4096)
+    hi = float(heights.max())
+    frac = _assert_sound(mips, sky_mips, (0.6 * n, hi + 9.0, 0.3 * n),
+                         dirs, device_build=True)
+    assert frac > 0.3  # must also be USEFUL, not trivially zero
+    _assert_sound(mips, sky_mips, (0.22 * n, hi * 0.7, 0.81 * n), dirs,
+                  device_build=True)
+    _assert_sound(mips, sky_mips, (-0.4 * n, hi + 20.0, 1.5 * n), dirs,
+                  device_build=True)
+    _assert_sound(mips, sky_mips, (3.0 * n, hi * 0.5, -2.0 * n), dirs,
+                  device_build=True)
+
+
+def test_device_build_sound_adversarial():
+    """Adversarial fields incl. FRACTIONAL heights (the device build
+    must re-ceil level 0: hf rows carry exact heights, and a fractional
+    column's solid top is ceil(h))."""
+    rng = np.random.default_rng(9)
+    n = 64
+    spike = np.zeros((n, n), np.float32)
+    spike[17, 23] = n - 1
+    spike[48, 9] = n / 2 + 0.49
+    wall = np.zeros((n, n), np.float32)
+    wall[:, 31] = n - 2
+    dirs = _rand_dirs(rng, 2048)
+    for hf in (spike, wall):
+        mips = build_height_mips(hf)
+        sky_mips = build_sky_mips(hf)
+        for origin in (
+                (0.4 * n, n + 3.0, 0.52 * n),
+                (0.9 * n, n * 0.6, 0.1 * n),
+                (23.5, float(np.ceil(spike[17, 23])) + 0.2, 17.5),
+                (9.6, n / 2 + 0.6, 48.2),  # just above the .49 spike
+                (17.5, 3.0, 23.5),
+        ):
+            _assert_sound(mips, sky_mips, origin, dirs,
+                          device_build=True)
+
+
+def test_device_build_close_to_host(world):
+    """Diagnostic tightness pin: the device table may differ from the
+    host table (f32 vs f64 sweep) but must stay a near-superset — the
+    device envelope at each (bin, rung) is allowed above the host value
+    (extra conservatism) only by a sliver, and below it only by f32
+    rounding slack. Catches gross regressions (e.g. a mis-windowed
+    level) that soundness fuzzing alone might miss."""
+    heights, mips, sky_mips = world
+    flat, offs, h = mips
+    n = 1 << LOG2
+    origin = (0.37 * n, float(heights.max()) * 0.8, 0.61 * n)
+    host = build_skyline_env(sky_mips, origin)
+    dev = build_skyline_env_device(sky_levels_from_hf(flat, offs, h),
+                                   origin)
+    assert host["g"] == pytest.approx(dev["g"], rel=1e-12)
+    Eh = np.asarray(host["E"], np.float64)
+    Ed = np.asarray(dev["E"], np.float64)
+    fin = (Eh > -1e38) & (Ed > -1e38) & np.isfinite(Eh) & np.isfinite(Ed)
+    assert ((Eh > -1e38) == (Ed > -1e38)).mean() > 0.999
+    scale = np.maximum(np.abs(Eh[fin]), 1e-3)
+    rel = np.abs(Ed[fin] - Eh[fin]) / scale
+    assert (rel < 1e-3).mean() > 0.995
+    # the device table may exceed the host's (extra conservatism from
+    # the eps-guarded rung rounding) but must never fall below it by
+    # more than f32 rounding — below-host entries would certify air the
+    # host build would not
+    assert (Ed[fin] >= Eh[fin] - 1e-3 * scale).all()
 
 
 def test_env_frame_bit_identical(world):

@@ -495,6 +495,246 @@ def skyline_env_tmin(E, d, d0: float, g: float, K: int,
     return skyline_env_tmin_traced(E, d, float(d0), float(g), far=far)
 
 
+# ---- device-side envelope build (round 5) -----------------------------
+#
+# The host build_skyline_env costs ~0.18 s/pose + a 2 MB upload, which
+# makes the envelope fly-NEUTRAL (PERF.md round-4 env sweep: held 713 ms
+# but fly 866 with the build charged in-loop) — the reference pays
+# nothing per pose (its per-frame upload is one uniform buffer,
+# fragment.rs:365-385). The same sweep is a few ms of pure vector math
+# + one ~40k-element scatter-max on device, over mip levels that are
+# ALREADY device-resident (the hf tiled pack's level-0 rows hold the
+# exact column heights). This section is the jnp twin: same ladder, same
+# cell bounds, same conservatism — in f32 with margins that bury the
+# precision drop (analysis at each step below). Soundness is what
+# matters (certified air must be air); the device table need not equal
+# the host table bit-for-bit, and the resumed frame is bit-identical to
+# the un-resumed frame for ANY sound table (hf_raycast's t_min
+# contract; tests/test_skyline_env.py fuzzes this build directly).
+
+def sky_levels_from_hf(flat_mips, offsets: tuple, height: int):
+    """Device max-pyramid levels (finest first) for the envelope build,
+    derived from the ALREADY-RESIDENT heightfield tile pack — zero new
+    host->device traffic. The pack's level-0 rows hold the exact column
+    heights (build_height_mips); worldgen heights are integers, so the
+    host build's ceil is the identity and the reduce-max pyramid equals
+    build_sky_mips bit-for-bit."""
+    import jax.numpy as jnp
+
+    tl = offsets[0]
+    TS = 1 << tl
+    n = 1 << height
+    dp = max(n >> tl, 1)
+    if n >= TS:
+        r0 = flat_mips[offsets[1]:offsets[1] + dp * dp]
+        h0 = r0.reshape(dp, dp, TS, TS).transpose(0, 2, 1, 3).reshape(n, n)
+    else:  # tiny worlds: one zero-padded row
+        h0 = flat_mips[offsets[1]].reshape(TS, TS)[:n, :n]
+    # a column of fractional height h fills the voxel it ends in — its
+    # solid top is ceil(h) (build_sky_mips does the same; identity for
+    # worldgen's integer heights)
+    h0 = jnp.ceil(h0)
+    levels = [h0]
+    while levels[-1].shape[0] > 1:
+        m = levels[-1].shape[0] // 2
+        a = levels[-1].reshape(m, 2, m, 2)
+        levels.append(jnp.max(jnp.max(a, axis=3), axis=1))
+    return tuple(levels)
+
+
+def _dilate_max_jnp(b, w: int):
+    """jnp twin of _dilate_max (wraparound sliding max over the last
+    axis by log-doubling rolls; identical shift schedule)."""
+    import jax.numpy as jnp
+
+    out = b
+    s = 1
+    done = 0
+    while done < w:
+        step = min(s, w - done)
+        out = jnp.maximum(out,
+                          jnp.maximum(jnp.roll(out, step, -1),
+                                      jnp.roll(out, -step, -1)))
+        done += step
+        s = min(2 * s, w - done) if w - done > 0 else s
+    return out
+
+
+@partial(jax.jit, static_argnames=("bins", "ratio", "K", "d0", "n",
+                                   "n_top"))
+def _env_device(levels, origin, bins: int, ratio: int, K: int,
+                d0: float, n: int, n_top: int):
+    """Jitted body of build_skyline_env_device. ``levels``: the full
+    pyramid tuple (device); ``n``: world edge; ``n_top`` unused except
+    to key the trace on the pyramid depth."""
+    import jax.numpy as jnp
+
+    o = jnp.asarray(origin, jnp.float32)
+    ox, oy, oz = o[0], o[1], o[2]
+    top = len(levels) - 1
+    bin_w = jnp.float32(2.0 * np.pi / bins)
+    ladder_g = (4.0 * n / d0) ** (1.0 / (K - 1.0))
+    log2_g = jnp.float32(math.log2(ladder_g))
+    log2_d0 = jnp.float32(math.log2(d0))
+    n_cls = max(1, int(math.ceil(math.log2(max(bins, 2)))))
+    # flattened (n_cls, K, bins) scatter-max target + per-rung all-bins
+    cls_b = jnp.full((n_cls * K * bins,), -jnp.inf, jnp.float32)
+    all_k = jnp.full((K,), -jnp.inf, jnp.float32)
+
+    ext = 2 * ratio + 4  # == ceil(a_hi / c) + 4 at every level
+    WSZ = 2 * ext + 1
+
+    def cell_stats(x0, z0, c):
+        """bound / rung / class / center-bin for cell boxes
+        [x0, x0+c) x [z0, z0+c) at level cell size c, plus parent d_min.
+        All f32; each rounding direction is covered by a margin (module
+        comment): NUM_MARGIN (0.5 voxel) buries numerator rounding, the
+        consumer's REL_MARGIN (1e-5) buries the ~1e-7 d_min/hypot
+        rounding, the one-bin azimuth pad buries arctan2 rounding, and
+        the rung index rounds DOWN (eps guard) so a boundary cell lands
+        one rung early (conservative) instead of one late (unsound)."""
+        x1, z1 = x0 + c, z0 + c
+
+        def box_d(bx0, bx1, bz0, bz1):
+            dx = jnp.maximum(jnp.maximum(bx0 - ox, ox - bx1), 0.0)
+            dz = jnp.maximum(jnp.maximum(bz0 - oz, oz - bz1), 0.0)
+            dmin = jnp.hypot(dx, dz)
+            fx = jnp.maximum(jnp.abs(bx0 - ox), jnp.abs(bx1 - ox))
+            fz = jnp.maximum(jnp.abs(bz0 - oz), jnp.abs(bz1 - oz))
+            return dmin, jnp.hypot(fx, fz)
+
+        d_min, d_max = box_d(x0, x1, z0, z1)
+        pc = 2.0 * c
+        px0 = jnp.floor(x0 / pc) * pc
+        pz0 = jnp.floor(z0 / pc) * pc
+        pd_min, _ = box_d(px0, px0 + pc, pz0, pz0 + pc)
+
+        # azimuth center + half-spread from the 4 corners (host twin)
+        cx = 0.5 * (x0 + x1) - ox
+        cz = 0.5 * (z0 + z1) - oz
+        ac = jnp.arctan2(cz, cx)
+        hw = jnp.zeros_like(ac)
+        for gx, gz in ((x0, z0), (x0, z1), (x1, z0), (x1, z1)):
+            dlt = jnp.arctan2(gz - oz, gx - ox) - ac
+            dlt = (dlt + np.pi) % (2.0 * np.pi) - np.pi
+            hw = jnp.maximum(hw, jnp.abs(dlt))
+        inside = (x0 <= ox) & (ox <= x1) & (z0 <= oz) & (oz <= z1)
+        hw = jnp.where(inside, jnp.float32(np.pi), hw)
+
+        # smallest rung whose ladder distance reaches the cell, rounded
+        # DOWN on f32 ambiguity (rung too high would let the consumer
+        # certify air inside the cell — unsound; one rung early merely
+        # over-includes). eps 1e-3 dwarfs the ~1e-5 abs log error.
+        rk = jnp.ceil((jnp.log2(jnp.maximum(d_min, jnp.float32(1e-6)))
+                       - log2_d0) / log2_g - jnp.float32(1e-3))
+        rung = jnp.clip(rk, 0, K - 1).astype(jnp.int32)
+        return d_min, d_max, pd_min, ac, hw, rung
+
+    def scatter_level(cls_b, all_k, hm, ii, jj, c, sel_extra, valid):
+        """Fold one level's cell window into the accumulators. hm: (P,)
+        cell maxima; ii/jj: (P,) integer cell coords; c: cell size;
+        sel_extra: ladder-membership mask; valid: in-grid mask."""
+        x0 = ii.astype(jnp.float32) * c
+        z0 = jj.astype(jnp.float32) * c
+        d_min, d_max, pd_min, ac, hw, rung = cell_stats(x0, z0,
+                                                        jnp.float32(c))
+        num = hm + jnp.float32(NUM_MARGIN) - oy
+        bound = jnp.where(num >= 0.0,
+                          num / d_min,  # inf at d_min == 0 (certifies none)
+                          num / jnp.maximum(d_max, jnp.float32(1e-12)))
+        bound = jnp.where(jnp.isnan(bound), jnp.inf, bound)
+        sel = sel_extra & valid
+        bound = jnp.where(sel, bound, -jnp.inf)
+
+        wide = hw >= jnp.float32(np.pi * (1.0 - 1e-6))
+        wb = jnp.ceil(hw / bin_w) + 1.0
+        cls = jnp.ceil(jnp.log2(jnp.maximum(wb, 1.0))).astype(jnp.int32)
+        cls = jnp.clip(cls, 0, n_cls - 1)
+        cb = jnp.floor((ac % jnp.float32(2.0 * np.pi)) / bin_w)
+        cb = jnp.clip(cb.astype(jnp.int32), 0, bins - 1)
+
+        all_k = all_k.at[rung].max(jnp.where(wide, bound, -jnp.inf),
+                                   mode="drop")
+        flat_idx = (cls * K + rung) * bins + cb
+        cls_b = cls_b.at[flat_idx].max(
+            jnp.where(wide, -jnp.inf, bound), mode="drop")
+        return cls_b, all_k
+
+    for L in range(top + 1):
+        c = float(1 << L)
+        a_lo = ratio * c if L > 0 else 0.0
+        a_hi = ratio * c * 2.0
+        dim = n >> L
+        hmL = levels[L]
+        if dim > WSZ:
+            ci0 = jnp.clip(jnp.floor(ox / c).astype(jnp.int32) - ext,
+                           0, dim - WSZ)
+            cj0 = jnp.clip(jnp.floor(oz / c).astype(jnp.int32) - ext,
+                           0, dim - WSZ)
+            hm = jax.lax.dynamic_slice(hmL, (ci0, cj0), (WSZ, WSZ))
+            ii = ci0 + jnp.arange(WSZ, dtype=jnp.int32)
+            jj = cj0 + jnp.arange(WSZ, dtype=jnp.int32)
+            valid = jnp.ones((WSZ, WSZ), jnp.bool_)
+        else:
+            hm = hmL
+            ii = jnp.arange(dim, dtype=jnp.int32)
+            jj = jnp.arange(dim, dtype=jnp.int32)
+            valid = jnp.ones((dim, dim), jnp.bool_)
+        iig, jjg = jnp.meshgrid(ii, jj, indexing="ij")
+        P = hm.shape[0] * hm.shape[1]
+        hm_f = hm.reshape(P)
+        iif, jjf = iig.reshape(P), jjg.reshape(P)
+        x0f = iif.astype(jnp.float32) * c
+        z0f = jjf.astype(jnp.float32) * c
+
+        def box_d2(bx0, bx1, bz0, bz1):
+            dx = jnp.maximum(jnp.maximum(bx0 - ox, ox - bx1), 0.0)
+            dz = jnp.maximum(jnp.maximum(bz0 - oz, oz - bz1), 0.0)
+            return jnp.hypot(dx, dz)
+
+        d_minf = box_d2(x0f, x0f + c, z0f, z0f + c)
+        if L < top:
+            pc = 2.0 * c
+            px0 = jnp.floor(x0f / pc) * pc
+            pz0 = jnp.floor(z0f / pc) * pc
+            pd_minf = box_d2(px0, px0 + pc, pz0, pz0 + pc)
+            sel_extra = (d_minf >= a_lo) & (pd_minf < a_hi)
+        else:
+            sel_extra = d_minf >= a_lo
+        cls_b, all_k = scatter_level(cls_b, all_k, hm_f, iif, jjf, c,
+                                     sel_extra, valid.reshape(P))
+
+    # fold: per-class wraparound dilation, then all-bins floor, cummax
+    E = jnp.broadcast_to(all_k[:, None], (K, bins))
+    cb3 = cls_b.reshape(n_cls, K, bins)
+    for cidx in range(n_cls):
+        E = jnp.maximum(E, _dilate_max_jnp(cb3[cidx],
+                                           min(1 << cidx, bins // 2)))
+    E = jax.lax.associative_scan(jnp.maximum, E, axis=0)
+    E = jnp.where(jnp.isneginf(E), jnp.float32(-3e38), E)
+    return E.T  # (bins, K), matching the host layout
+
+
+def build_skyline_env_device(levels, origin, bins: int = 4096,
+                             ratio: int = 16, K: int = 64,
+                             d0: float = 4.0):
+    """``build_skyline_env`` computed ON DEVICE from resident pyramid
+    levels (``sky_levels_from_hf``), returning the same
+    dict(E, d0, g, bins, K) with ``E`` a device array. ~ms per pose vs
+    the host build's ~0.18 s + upload — the lever that makes the
+    envelope pay on FLY-THROUGH poses, not just held ones (VERDICT r4
+    task #2b). Sound by the same cell-bound argument as the host build
+    (see _env_device's margin analysis); soundness is fuzz-tested
+    directly in tests/test_skyline_env.py."""
+    import jax.numpy as jnp
+
+    n = levels[0].shape[0]
+    E = _env_device(tuple(levels), jnp.asarray(origin, jnp.float32),
+                    bins, ratio, K, float(d0), n, len(levels))
+    g = (4.0 * n / d0) ** (1.0 / (K - 1.0))
+    return dict(E=E, d0=float(d0), g=float(g), bins=bins, K=K)
+
+
 def rays_sky(sky, dirs):
     """(B,) bool host mask for individual NORMALIZED (or any-scale)
     directions from the skyline's origin: ray provably misses all

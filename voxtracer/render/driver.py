@@ -511,18 +511,23 @@ class Renderer:
         if self._sky_env is not None and self._sky_env[0] == key:
             return self._sky_env[1]
         from voxtracer.kernels import skyline
-        import jax
 
         if self._sky_mips is None:
-            self._sky_mips = skyline.build_sky_mips(
-                np.asarray(sp.heights))
-        env = skyline.build_skyline_env(
+            # device pyramid, derived from the already-resident hf tile
+            # pack — zero new host->device traffic (round 5; the host
+            # build was ~tens of s per world at flagship scale)
+            flat, offs, _ = self._get_hf()
+            self._sky_mips = skyline.sky_levels_from_hf(
+                flat, offs, self.tree_height)
+        # ON-DEVICE per-pose build (round 5): ~ms instead of the host
+        # build's ~0.18 s + upload, so the envelope now pays on EVERY
+        # pose — fly-through included, where the host build made it
+        # neutral (PERF.md round-4 env sweep; VERDICT r4 task #2b).
+        # K=128 ladder per the round-4 sweep (finer than 64; 8192 bins
+        # bought little).
+        env = skyline.build_skyline_env_device(
             self._sky_mips, np.asarray(cam.pos, np.float64), K=128)
-        # K=128 (finer ladder): held-pose flagship frame 817 -> 808 ms
-        # at 0.18 s/pose build; bins=8192 bought 795 but doubles the
-        # per-pose host build (PERF.md round 4 env sweep)
-        args = (jax.device_put(jnp.asarray(env["E"])), env["d0"],
-                env["g"], env["K"])
+        args = (env["E"], env["d0"], env["g"], env["K"])
         self._sky_env = (key, args)
         return args
 
