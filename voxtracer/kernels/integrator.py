@@ -585,7 +585,7 @@ def _hf_env_primary(hf_mips, hf_offsets, height, cam_pos, d,
     pr = hf_raycast(hf_mips, hf_offsets, height,
                     jnp.asarray(cam_pos, jnp.float32), dfl,
                     min_bucket=4096, tile_steps=6, t_min=tm,
-                    init_desc=2)
+                    init_desc=3)
     return dict(
         hit=pr["hit"].reshape(sh),
         t=pr["t"].reshape(sh),

@@ -512,34 +512,55 @@ def skyline_env_tmin(E, d, d0: float, g: float, K: int,
 # the un-resumed frame for ANY sound table (hf_raycast's t_min
 # contract; tests/test_skyline_env.py fuzzes this build directly).
 
+def _strided_max2(a):
+    """2x2 max reduce keeping 2-D shapes throughout: a reshape to
+    (m, 2, m, 2) materializes 128-lane padded on TPU (64x memory at
+    8192^2 — an instant OOM; PERF.md's (M, small) rule)."""
+    import jax.numpy as jnp
+
+    return jnp.maximum(
+        jnp.maximum(a[0::2, 0::2], a[0::2, 1::2]),
+        jnp.maximum(a[1::2, 0::2], a[1::2, 1::2]),
+    )
+
+
 def sky_levels_from_hf(flat_mips, offsets: tuple, height: int):
-    """Device max-pyramid levels (finest first) for the envelope build,
-    derived from the ALREADY-RESIDENT heightfield tile pack — zero new
-    host->device traffic. The pack's level-0 rows hold the exact column
-    heights (build_height_mips); worldgen heights are integers, so the
-    host build's ceil is the identity and the reduce-max pyramid equals
-    build_sky_mips bit-for-bit."""
+    """Device pyramid pack for the on-device envelope build, derived
+    from the ALREADY-RESIDENT heightfield tile pack — zero new
+    host->device traffic and no full-grid materialization (the (n, n)
+    grid assembly from tile rows pads 16-64x on TPU; instead the
+    level-``tl`` grid is one row-wise max over the resident rows, and
+    the build gathers small LOCAL tile windows for the finer levels).
+
+    A column of fractional height h fills the voxel it ends in, so its
+    certified top is ceil(h) (build_sky_mips does the same; identity
+    for worldgen's integer heights). ceil is monotone, so
+    ceil(max) == max(ceil) and the coarse levels equal the host
+    pyramid's.
+
+    Returns an opaque pack dict consumed by build_skyline_env_device.
+    """
+    coarse = _coarse_levels(flat_mips, tuple(offsets), height)
+    return dict(flat=flat_mips, offsets=tuple(offsets), height=height,
+                coarse=coarse)
+
+
+@partial(jax.jit, static_argnames=("offsets", "height"))
+def _coarse_levels(flat_mips, offsets: tuple, height: int):
+    """One jitted program for the coarse pyramid (eager per-level ops
+    cost ~4 s/level in dispatches over the axon tunnel at flagship)."""
     import jax.numpy as jnp
 
     tl = offsets[0]
-    TS = 1 << tl
     n = 1 << height
     dp = max(n >> tl, 1)
-    if n >= TS:
-        r0 = flat_mips[offsets[1]:offsets[1] + dp * dp]
-        h0 = r0.reshape(dp, dp, TS, TS).transpose(0, 2, 1, 3).reshape(n, n)
-    else:  # tiny worlds: one zero-padded row
-        h0 = flat_mips[offsets[1]].reshape(TS, TS)[:n, :n]
-    # a column of fractional height h fills the voxel it ends in — its
-    # solid top is ceil(h) (build_sky_mips does the same; identity for
-    # worldgen's integer heights)
-    h0 = jnp.ceil(h0)
-    levels = [h0]
-    while levels[-1].shape[0] > 1:
-        m = levels[-1].shape[0] // 2
-        a = levels[-1].reshape(m, 2, m, 2)
-        levels.append(jnp.max(jnp.max(a, axis=3), axis=1))
-    return tuple(levels)
+    # level-tl grid: one (dp*dp,) row-max over the resident rows
+    r0max = jnp.max(flat_mips[offsets[1]:offsets[1] + dp * dp], axis=1)
+    ltl = jnp.ceil(r0max).reshape(dp, dp)
+    coarse = [ltl]  # coarse[i] = level tl + i
+    while coarse[-1].shape[0] > 1:
+        coarse.append(_strided_max2(coarse[-1]))
+    return tuple(coarse)
 
 
 def _dilate_max_jnp(b, w: int):
@@ -560,39 +581,58 @@ def _dilate_max_jnp(b, w: int):
     return out
 
 
-@partial(jax.jit, static_argnames=("bins", "ratio", "K", "d0", "n",
-                                   "n_top"))
-def _env_device(levels, origin, bins: int, ratio: int, K: int,
-                d0: float, n: int, n_top: int):
-    """Jitted body of build_skyline_env_device. ``levels``: the full
-    pyramid tuple (device); ``n``: world edge; ``n_top`` unused except
-    to key the trace on the pyramid depth."""
+@partial(jax.jit, static_argnames=("offsets", "bins", "ratio", "K",
+                                   "d0", "height", "cls_step"))
+def _env_device(flat, coarse, origin, offsets: tuple, bins: int,
+                ratio: int, K: int, d0: float, height: int,
+                cls_step: float = 1.0):
+    """Jitted body of build_skyline_env_device.
+
+    Fine levels (0..tl-1) come from a LOCAL tile window gathered
+    around the origin (every ladder-selected fine cell lies within
+    ~a_hi of the origin, so a static (WG, WG)-tile window covers them
+    without materializing the (n, n) grid); coarse levels (tl..top)
+    read the precomputed pyramid directly. All f32; each rounding
+    direction is covered by a margin: NUM_MARGIN (0.5 voxel) buries
+    numerator rounding, the consumer's REL_MARGIN (1e-5) buries the
+    ~1e-7 hypot/d_min rounding, the one-bin azimuth pad buries arctan2
+    rounding, and the rung index rounds DOWN (eps guard) so a boundary
+    cell lands one rung early (conservative) instead of one late
+    (unsound)."""
     import jax.numpy as jnp
 
     o = jnp.asarray(origin, jnp.float32)
     ox, oy, oz = o[0], o[1], o[2]
-    top = len(levels) - 1
+    tl = offsets[0]
+    TS = 1 << tl
+    n = 1 << height
+    dp = max(n >> tl, 1)
+    top = height
     bin_w = jnp.float32(2.0 * np.pi / bins)
-    ladder_g = (4.0 * n / d0) ** (1.0 / (K - 1.0))
-    log2_g = jnp.float32(math.log2(ladder_g))
+    log2_g = jnp.float32(math.log2((4.0 * n / d0) ** (1.0 / (K - 1.0))))
     log2_d0 = jnp.float32(math.log2(d0))
-    n_cls = max(1, int(math.ceil(math.log2(max(bins, 2)))))
-    # flattened (n_cls, K, bins) scatter-max target + per-rung all-bins
+    # azimuth width classes: class c dilates by ceil(2^(c * cls_step))
+    # bins, covering cells with wb <= that. cls_step < 1 (e.g. 0.5 =
+    # sqrt2 steps) narrows the over-dilation from <= 2x to
+    # <= 2^cls_step x — each cell's bound then pollutes fewer
+    # neighboring azimuth bins, tightening every ray's certified
+    # prefix (measured on the flagship frame, PERF.md round 5) at the
+    # cost of proportionally more scatter planes.
+    n_cls = max(1, int(math.ceil(math.log2(max(bins, 2)) / cls_step)))
+    cls_w = [min(int(math.ceil(2.0 ** (c * cls_step))), bins // 2)
+             for c in range(n_cls)]
+    inv_step = jnp.float32(1.0 / cls_step)
     cls_b = jnp.full((n_cls * K * bins,), -jnp.inf, jnp.float32)
     all_k = jnp.full((K,), -jnp.inf, jnp.float32)
 
     ext = 2 * ratio + 4  # == ceil(a_hi / c) + 4 at every level
     WSZ = 2 * ext + 1
 
-    def cell_stats(x0, z0, c):
-        """bound / rung / class / center-bin for cell boxes
-        [x0, x0+c) x [z0, z0+c) at level cell size c, plus parent d_min.
-        All f32; each rounding direction is covered by a margin (module
-        comment): NUM_MARGIN (0.5 voxel) buries numerator rounding, the
-        consumer's REL_MARGIN (1e-5) buries the ~1e-7 d_min/hypot
-        rounding, the one-bin azimuth pad buries arctan2 rounding, and
-        the rung index rounds DOWN (eps guard) so a boundary cell lands
-        one rung early (conservative) instead of one late (unsound)."""
+    def fold(cls_b, all_k, hm, ii, jj, c: float, is_top: bool):
+        """Fold one level's cells into the accumulators. hm: (P,) cell
+        maxima; ii/jj: (P,) integer cell coords (units of c)."""
+        x0 = ii.astype(jnp.float32) * c
+        z0 = jj.astype(jnp.float32) * c
         x1, z1 = x0 + c, z0 + c
 
         def box_d(bx0, bx1, bz0, bz1):
@@ -604,10 +644,23 @@ def _env_device(levels, origin, bins: int, ratio: int, K: int,
             return dmin, jnp.hypot(fx, fz)
 
         d_min, d_max = box_d(x0, x1, z0, z1)
-        pc = 2.0 * c
-        px0 = jnp.floor(x0 / pc) * pc
-        pz0 = jnp.floor(z0 / pc) * pc
-        pd_min, _ = box_d(px0, px0 + pc, pz0, pz0 + pc)
+        a_lo = ratio * c if c > 1.0 else 0.0
+        a_hi = ratio * c * 2.0
+        if is_top:
+            sel = d_min >= a_lo
+        else:
+            pc = 2.0 * c
+            px0 = jnp.floor(x0 / pc) * pc
+            pz0 = jnp.floor(z0 / pc) * pc
+            pd_min, _ = box_d(px0, px0 + pc, pz0, pz0 + pc)
+            sel = (d_min >= a_lo) & (pd_min < a_hi)
+
+        num = hm + jnp.float32(NUM_MARGIN) - oy
+        bound = jnp.where(num >= 0.0,
+                          num / d_min,  # inf at d_min == 0: certifies none
+                          num / jnp.maximum(d_max, jnp.float32(1e-12)))
+        bound = jnp.where(jnp.isnan(bound), jnp.inf, bound)
+        bound = jnp.where(sel, bound, -jnp.inf)
 
         # azimuth center + half-spread from the 4 corners (host twin)
         cx = 0.5 * (x0 + x1) - ox
@@ -621,34 +674,18 @@ def _env_device(levels, origin, bins: int, ratio: int, K: int,
         inside = (x0 <= ox) & (ox <= x1) & (z0 <= oz) & (oz <= z1)
         hw = jnp.where(inside, jnp.float32(np.pi), hw)
 
-        # smallest rung whose ladder distance reaches the cell, rounded
-        # DOWN on f32 ambiguity (rung too high would let the consumer
-        # certify air inside the cell — unsound; one rung early merely
-        # over-includes). eps 1e-3 dwarfs the ~1e-5 abs log error.
         rk = jnp.ceil((jnp.log2(jnp.maximum(d_min, jnp.float32(1e-6)))
                        - log2_d0) / log2_g - jnp.float32(1e-3))
         rung = jnp.clip(rk, 0, K - 1).astype(jnp.int32)
-        return d_min, d_max, pd_min, ac, hw, rung
-
-    def scatter_level(cls_b, all_k, hm, ii, jj, c, sel_extra, valid):
-        """Fold one level's cell window into the accumulators. hm: (P,)
-        cell maxima; ii/jj: (P,) integer cell coords; c: cell size;
-        sel_extra: ladder-membership mask; valid: in-grid mask."""
-        x0 = ii.astype(jnp.float32) * c
-        z0 = jj.astype(jnp.float32) * c
-        d_min, d_max, pd_min, ac, hw, rung = cell_stats(x0, z0,
-                                                        jnp.float32(c))
-        num = hm + jnp.float32(NUM_MARGIN) - oy
-        bound = jnp.where(num >= 0.0,
-                          num / d_min,  # inf at d_min == 0 (certifies none)
-                          num / jnp.maximum(d_max, jnp.float32(1e-12)))
-        bound = jnp.where(jnp.isnan(bound), jnp.inf, bound)
-        sel = sel_extra & valid
-        bound = jnp.where(sel, bound, -jnp.inf)
 
         wide = hw >= jnp.float32(np.pi * (1.0 - 1e-6))
         wb = jnp.ceil(hw / bin_w) + 1.0
-        cls = jnp.ceil(jnp.log2(jnp.maximum(wb, 1.0))).astype(jnp.int32)
+        # +1e-4 guards f32 log rounding DOWN a class (whose narrower
+        # dilation would under-cover the cell — unsound); one class up
+        # merely over-dilates. Top class dilates bins//2, which covers
+        # the whole circle, so the clip is always sound.
+        cls = jnp.ceil(jnp.log2(jnp.maximum(wb, 1.0)) * inv_step
+                       + jnp.float32(1e-4)).astype(jnp.int32)
         cls = jnp.clip(cls, 0, n_cls - 1)
         cb = jnp.floor((ac % jnp.float32(2.0 * np.pi)) / bin_w)
         cb = jnp.clip(cb.astype(jnp.int32), 0, bins - 1)
@@ -660,66 +697,80 @@ def _env_device(levels, origin, bins: int, ratio: int, K: int,
             jnp.where(wide, -jnp.inf, bound), mode="drop")
         return cls_b, all_k
 
-    for L in range(top + 1):
+    # ---- fine levels 0..tl-1: local tile window around the origin ----
+    # coverage: a ladder-selected cell at fine level Lf has
+    # pd_min < a_hi(Lf) = 2 * ratio * 2^Lf, so it lies within
+    # 2 * ratio * 2^Lf + 2^(Lf+1) <= (ratio + 1) * 2^tl voxels of the
+    # origin; the window spans >= (ratio + 2) * 2^tl voxels each side
+    # of the origin's tile (or the whole grid when it's small), so it
+    # covers every selected fine cell — clamped at grid edges, where
+    # the shifted window still covers the in-grid side (same argument
+    # as the coarse dynamic_slice windows).
+    span_half = (ratio + 2) * (1 << tl)
+    WG = min(2 * (-(-span_half // TS)) + 2, dp)
+    if dp > WG:
+        tx0 = jnp.clip(jnp.floor(ox / TS).astype(jnp.int32) - WG // 2,
+                       0, dp - WG)
+        tz0 = jnp.clip(jnp.floor(oz / TS).astype(jnp.int32) - WG // 2,
+                       0, dp - WG)
+    else:
+        tx0 = jnp.int32(0)
+        tz0 = jnp.int32(0)
+    ridx = (offsets[1] + (tx0 + jnp.arange(WG, dtype=jnp.int32))[:, None]
+            * dp + (tz0 + jnp.arange(WG, dtype=jnp.int32))[None, :])
+    rows = flat[ridx.reshape(-1)]  # (WG*WG, TS*TS) row gather
+    grid = jnp.ceil(rows).reshape(WG, WG, TS, TS).transpose(
+        0, 2, 1, 3).reshape(WG * TS, WG * TS)
+    lv = grid
+    for Lf in range(0, min(tl, top)):
+        dimL = (WG * TS) >> Lf
+        ci = ((tx0 * TS) >> Lf) + jnp.arange(dimL, dtype=jnp.int32)
+        cj = ((tz0 * TS) >> Lf) + jnp.arange(dimL, dtype=jnp.int32)
+        iig, jjg = jnp.meshgrid(ci, cj, indexing="ij")
+        cls_b, all_k = fold(cls_b, all_k, lv.reshape(-1),
+                            iig.reshape(-1), jjg.reshape(-1),
+                            float(1 << Lf), is_top=False)
+        if Lf + 1 < tl:
+            lv = _strided_max2(lv)
+
+    # ---- coarse levels tl..top: the precomputed pyramid --------------
+    for idx in range(len(coarse)):
+        L = tl + idx
         c = float(1 << L)
-        a_lo = ratio * c if L > 0 else 0.0
-        a_hi = ratio * c * 2.0
-        dim = n >> L
-        hmL = levels[L]
+        dim = max(dp >> idx, 1)
+        hmL = coarse[idx]
         if dim > WSZ:
             ci0 = jnp.clip(jnp.floor(ox / c).astype(jnp.int32) - ext,
                            0, dim - WSZ)
             cj0 = jnp.clip(jnp.floor(oz / c).astype(jnp.int32) - ext,
                            0, dim - WSZ)
             hm = jax.lax.dynamic_slice(hmL, (ci0, cj0), (WSZ, WSZ))
-            ii = ci0 + jnp.arange(WSZ, dtype=jnp.int32)
-            jj = cj0 + jnp.arange(WSZ, dtype=jnp.int32)
-            valid = jnp.ones((WSZ, WSZ), jnp.bool_)
+            ci = ci0 + jnp.arange(WSZ, dtype=jnp.int32)
+            cj = cj0 + jnp.arange(WSZ, dtype=jnp.int32)
         else:
             hm = hmL
-            ii = jnp.arange(dim, dtype=jnp.int32)
-            jj = jnp.arange(dim, dtype=jnp.int32)
-            valid = jnp.ones((dim, dim), jnp.bool_)
-        iig, jjg = jnp.meshgrid(ii, jj, indexing="ij")
-        P = hm.shape[0] * hm.shape[1]
-        hm_f = hm.reshape(P)
-        iif, jjf = iig.reshape(P), jjg.reshape(P)
-        x0f = iif.astype(jnp.float32) * c
-        z0f = jjf.astype(jnp.float32) * c
-
-        def box_d2(bx0, bx1, bz0, bz1):
-            dx = jnp.maximum(jnp.maximum(bx0 - ox, ox - bx1), 0.0)
-            dz = jnp.maximum(jnp.maximum(bz0 - oz, oz - bz1), 0.0)
-            return jnp.hypot(dx, dz)
-
-        d_minf = box_d2(x0f, x0f + c, z0f, z0f + c)
-        if L < top:
-            pc = 2.0 * c
-            px0 = jnp.floor(x0f / pc) * pc
-            pz0 = jnp.floor(z0f / pc) * pc
-            pd_minf = box_d2(px0, px0 + pc, pz0, pz0 + pc)
-            sel_extra = (d_minf >= a_lo) & (pd_minf < a_hi)
-        else:
-            sel_extra = d_minf >= a_lo
-        cls_b, all_k = scatter_level(cls_b, all_k, hm_f, iif, jjf, c,
-                                     sel_extra, valid.reshape(P))
+            ci = jnp.arange(dim, dtype=jnp.int32)
+            cj = jnp.arange(dim, dtype=jnp.int32)
+        iig, jjg = jnp.meshgrid(ci, cj, indexing="ij")
+        cls_b, all_k = fold(cls_b, all_k, hm.reshape(-1),
+                            iig.reshape(-1), jjg.reshape(-1), c,
+                            is_top=(L == top))
 
     # fold: per-class wraparound dilation, then all-bins floor, cummax
     E = jnp.broadcast_to(all_k[:, None], (K, bins))
     cb3 = cls_b.reshape(n_cls, K, bins)
     for cidx in range(n_cls):
-        E = jnp.maximum(E, _dilate_max_jnp(cb3[cidx],
-                                           min(1 << cidx, bins // 2)))
+        E = jnp.maximum(E, _dilate_max_jnp(cb3[cidx], cls_w[cidx]))
     E = jax.lax.associative_scan(jnp.maximum, E, axis=0)
     E = jnp.where(jnp.isneginf(E), jnp.float32(-3e38), E)
     return E.T  # (bins, K), matching the host layout
 
 
-def build_skyline_env_device(levels, origin, bins: int = 4096,
+def build_skyline_env_device(pack, origin, bins: int = 4096,
                              ratio: int = 16, K: int = 64,
-                             d0: float = 4.0):
-    """``build_skyline_env`` computed ON DEVICE from resident pyramid
-    levels (``sky_levels_from_hf``), returning the same
+                             d0: float = 4.0, cls_step: float = 1.0):
+    """``build_skyline_env`` computed ON DEVICE from the resident
+    pyramid pack (``sky_levels_from_hf``), returning the same
     dict(E, d0, g, bins, K) with ``E`` a device array. ~ms per pose vs
     the host build's ~0.18 s + upload — the lever that makes the
     envelope pay on FLY-THROUGH poses, not just held ones (VERDICT r4
@@ -728,9 +779,13 @@ def build_skyline_env_device(levels, origin, bins: int = 4096,
     directly in tests/test_skyline_env.py."""
     import jax.numpy as jnp
 
-    n = levels[0].shape[0]
-    E = _env_device(tuple(levels), jnp.asarray(origin, jnp.float32),
-                    bins, ratio, K, float(d0), n, len(levels))
+    height = pack["height"]
+    n = 1 << height
+    assert pack["offsets"][0] <= height, "world smaller than one tile"
+    E = _env_device(pack["flat"], pack["coarse"],
+                    jnp.asarray(np.asarray(origin, np.float32)),
+                    pack["offsets"], bins, ratio, K, float(d0), height,
+                    cls_step=float(cls_step))
     g = (4.0 * n / d0) ** (1.0 / (K - 1.0))
     return dict(E=E, d0=float(d0), g=float(g), bins=bins, K=K)
 

@@ -507,9 +507,29 @@ class Renderer:
         if getattr(sp, "edited", False) \
                 and not getattr(sp, "heights_exact", False):
             return None  # envelope reads the (stale) heightmap
+        # ADAPTIVE richness ladder (round 5): the envelope's tightness
+        # is now a per-pose budget choice because the build runs ON
+        # DEVICE (build_skyline_env_device) instead of the round-4 host
+        # build (~0.18 s + upload, which made env fly-NEUTRAL). A fresh
+        # pose (fly-through) gets the cheap table; a repeating pose is
+        # being HELD, so richer tables — whose builds amortize over the
+        # hold (the reference holds 1000 samples, main.rs:112) — kick
+        # in. Measured on the flagship exact 1080p frame (PERF.md
+        # round-5 sweep): ratio 32 = 23 ms build / 645 ms frame,
+        # ratio 128 = 199 ms / 583, ratio 256 = 720 ms / 548.
+        TIERS = ((dict(bins=8192, K=256, ratio=32), 0),
+                 (dict(bins=8192, K=512, ratio=128), 1),
+                 (dict(bins=8192, K=512, ratio=256), 4))
         key = tuple(np.asarray(cam.pos, np.float64).tolist())
+        uses = 0
         if self._sky_env is not None and self._sky_env[0] == key:
-            return self._sky_env[1]
+            k2, args, tier, uses = self._sky_env
+            uses += 1
+            want = max(t for t, (_, thr) in enumerate(TIERS)
+                       if uses >= thr)
+            if want == tier:
+                self._sky_env = (key, args, tier, uses)
+                return args
         from voxtracer.kernels import skyline
 
         if self._sky_mips is None:
@@ -519,16 +539,12 @@ class Renderer:
             flat, offs, _ = self._get_hf()
             self._sky_mips = skyline.sky_levels_from_hf(
                 flat, offs, self.tree_height)
-        # ON-DEVICE per-pose build (round 5): ~ms instead of the host
-        # build's ~0.18 s + upload, so the envelope now pays on EVERY
-        # pose — fly-through included, where the host build made it
-        # neutral (PERF.md round-4 env sweep; VERDICT r4 task #2b).
-        # K=128 ladder per the round-4 sweep (finer than 64; 8192 bins
-        # bought little).
+        tier = max(t for t, (_, thr) in enumerate(TIERS) if uses >= thr)
         env = skyline.build_skyline_env_device(
-            self._sky_mips, np.asarray(cam.pos, np.float64), K=128)
+            self._sky_mips, np.asarray(cam.pos, np.float64),
+            **TIERS[tier][0])
         args = (env["E"], env["d0"], env["g"], env["K"])
-        self._sky_env = (key, args)
+        self._sky_env = (key, args, tier, uses)
         return args
 
     def _get_frame_dirs(self, cam):
@@ -747,11 +763,24 @@ class Renderer:
             from voxtracer.dist.mesh import make_mesh
             from voxtracer.dist.shard import (replicate_world,
                                               sample_sharded_step)
+            from voxtracer.world.active import ActiveSoup
+            from voxtracer.world.boxes import SoupPatcher
 
             mesh = make_mesh(self.devices)
-            # rasterized primaries on every chip (tuple soups only — the
-            # camera-dependent ActiveSoup cull is single-device)
-            soup = self._get_soup()
+            self._dist_mesh = mesh
+            # rasterized primaries on every chip. A camera-dependent
+            # culled view (ActiveSoup, or SoupPatcher + occlusion view)
+            # rides the step as PER-POSE CALL ARGS (dist/shard.py
+            # dynamic_soup — round 5, VERDICT r4 weak #5: a multi-chip
+            # 1024^3 step previously fell back to hf-walk primaries
+            # because the view could not close over the step); a plain
+            # per-world soup still closes over it (replicated once).
+            self._get_soup()  # materialize the lazy wrapper
+            self._dist_dyn_soup = self.use_soup and (
+                isinstance(self._soup, ActiveSoup)
+                or (isinstance(self._soup, SoupPatcher)
+                    and self._act is not None))
+            soup = None if self._dist_dyn_soup else self._get_soup()
             soup = soup if isinstance(soup, tuple) else None
             # heightfield bounce/NEE engine on every chip (world-fixed,
             # so it closes over the step like the node table). Edited
@@ -776,11 +805,14 @@ class Renderer:
                 mesh, self.table, self.root, self.tree_height, self.lut,
                 self.width, self.height, max_bounces=self.max_bounces,
                 fog_steps=self.fog_steps, soup=soup,
-                soup_slots=(self._soup_slots() if soup is not None
+                soup_slots=(self._soup_slots()
+                            if soup is not None or self._dist_dyn_soup
                             else None),
                 hf_mips=hf_flat, hf_offsets=hf_offs, terrain_rgb=hf_rgb,
+                dynamic_soup=self._dist_dyn_soup,
             )
             self._dist_slots = self._soup_slots()
+            self._dist_soup_key = None  # per-pose replicated view cache
         return self._dist_step
 
     def preview_frame(self, cam: vcam.Camera, sun: np.ndarray):
@@ -922,14 +954,16 @@ class Renderer:
             # keep the sharded step's static raster capacities covering
             # this pose's demand (probe grows them stickily; a growth
             # event rebuilds the step)
-            from voxtracer.world.boxes import SoupPatcher
-
             self._get_soup()  # materialize the (lazy) soup wrapper
-            if self.use_soup and isinstance(self._soup, SoupPatcher):
-                self._probe_slots(cam, self._soup.device_soup)
-                if getattr(self, "_dist_slots", None) not in (
-                        None, self._soup_slots()):
-                    self._dist_step = None
+            view = None
+            if self.use_soup and self._soup is not None:
+                view = self._get_soup(cam)  # per-pose culled view or full
+                if view is not None:
+                    self._probe_slots(cam, view)
+                    if getattr(self, "_dist_slots", None) not in (
+                            None, self._soup_slots()):
+                        self._dist_step = None
+            step = self._dist()
             seeds = np.stack(
                 [vrng.host_frame_seed(self.host_rng)
                  for _ in range(self.devices)]
@@ -938,13 +972,29 @@ class Renderer:
                 jnp.asarray(seeds), np.asarray(cam.pos, np.float32),
                 cam.basis(), jnp.asarray(sun_unit),
             )
+            if self._dist_dyn_soup:
+                # the pose's occlusion-culled view rides the step as
+                # call args (round 5): replicate it once per pose, then
+                # every sample of the pose reuses the resident copy
+                key = (tuple(np.asarray(cam.pos, np.float64).tolist()),
+                       float(cam.yaw), float(cam.pitch))
+                if getattr(self, "_dist_soup_key", None) != key:
+                    import jax
+                    from jax.sharding import NamedSharding
+                    from jax.sharding import PartitionSpec as P
+
+                    rep = NamedSharding(self._dist_mesh, P())
+                    self._dist_soup_rep = tuple(
+                        jax.device_put(a, rep) for a in view)
+                    self._dist_soup_key = key
+                dist_args += self._dist_soup_rep
             env = self._get_sky_env(cam)
             if env is not None:
                 # per-pose horizon envelope rides the sharded step too
                 # (dist/shard.py sample_sharded_step trailing args)
                 dist_args += (env[0], jnp.float32(env[1]),
                               jnp.float32(env[2]))
-            total = self._dist()(*dist_args)
+            total = step(*dist_args)
             self.acc.buffer = self.acc.buffer + total
             self.acc.samples += self.devices
             return
@@ -1044,6 +1094,7 @@ def headless_run(
     max_frames: int | None = None,
     checkpoint_every: int | None = None,
     checkpoint_path="render_state.npz",
+    batch: int = 1,
     log=print,
 ):
     """Day-cycle batch render (main.rs:112-145, 402-408).
@@ -1051,7 +1102,12 @@ def headless_run(
     Failure recovery beyond the reference's file-cadence granularity
     (SURVEY.md §5): transient device errors retry the sample (resetting
     the in-flight frame at worst), and ``checkpoint_every`` snapshots the
-    full render state every N samples (render/checkpoint.py)."""
+    full render state every N samples (render/checkpoint.py).
+
+    ``batch`` > 1 accumulates that many samples per device program
+    (Renderer.sample_batch — the fused trace amortizes the wavefront
+    compaction tail across samples, PERF.md); radiance per sample is
+    bit-identical to batch=1, so the frames are too."""
     from voxtracer.render import checkpoint as ckpt
 
     out = Path(out_dir)
@@ -1066,7 +1122,11 @@ def headless_run(
         retries = 0
         while done_samples < frame_samples:
             try:
-                renderer.sample(cam, sun)
+                k = min(batch, frame_samples - renderer.acc.samples)
+                if k > 1 and not renderer.devices:
+                    renderer.sample_batch(cam, sun, k)
+                else:
+                    renderer.sample(cam, sun)
             except Exception as e:  # transient device failure: retry
                 retries += 1
                 log(f"sample failed ({type(e).__name__}); retry {retries}")
