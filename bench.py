@@ -747,70 +747,43 @@ def main():
                 f"{flagship['pt_mpaths']:.3f} Mpaths/s "
                 f"({flagship['day_cycle_paths_px_sec']:.2f} paths/px/s)")
 
-            # --- REAL day-cycle unit, end-to-end (VERDICT r4 task #6):
-            # 2 frames of the production headless loop through the
-            # Renderer — EXR saves, sun stepping, per-pose env rebuild
-            # included — at a reduced sample count; paths/px/sec scales
-            # linearly in samples (per-sample cost is flat at steady
-            # state), so the measured rate compares directly with the
-            # derived one above.
-            try:
-                import tempfile
+            # --- REAL day-cycle unit (VERDICT r4 task #6) and editing
+            # session (task #4), each in a SUBPROCESS: the bench
+            # process keeps several GB of flagship buffers resident
+            # (tables, mips, env tables, pose args), which measurably
+            # perturbs an in-process Renderer run; a fresh process sees
+            # a clean device and the persistent compile cache.
+            import subprocess
+            import sys as _sys
 
-                from voxtracer.core import camera as vcam2
-                from voxtracer.render.driver import Renderer, headless_run
-
-                dc_samples = 8 if _os.environ.get("BENCH_SMOKE") == "1" \
-                    else 60
-                rdr = Renderer(fdev, PTW, PTH, max_bounces=8,
-                               fog_steps=64)
-                dc_cam = fcams[0]
-                times = []
-                with tempfile.TemporaryDirectory() as td:
-                    t_last = time.monotonic()
-
-                    def dc_log(msg):
-                        log("  day-cycle:", msg)
-
-                    # warm: one frame compiles + clocks the device
-                    headless_run(rdr, dc_cam, out_dir=td,
-                                 frame_samples=dc_samples, max_frames=1,
-                                 batch=4, log=dc_log)
-                    _warm_device()
-                    t0 = time.monotonic()
-                    headless_run(rdr, dc_cam, out_dir=td,
-                                 frame_samples=dc_samples, max_frames=2,
-                                 batch=4, log=dc_log)
-                    dt_dc = (time.monotonic() - t0) / 2
-                flagship["day_cycle_measured_paths_px_s"] = round(
-                    dc_samples / dt_dc, 2)
-                log(f"flagship day-cycle measured "
-                    f"{flagship['day_cycle_measured_paths_px_s']} "
-                    f"paths/px/s ({dc_samples} spp frames, EXR incl.)")
-            except Exception as e:
-                log("day-cycle bench failed:", type(e).__name__,
-                    str(e)[:200])
-
-            # --- editing session (VERDICT r4 task #4): edit-to-preview
-            # latency through the production API, exact/hybrid phases
-            # (tools/bench_edit_session.py is the full 50-edit version)
-            try:
-                from tools.bench_edit_session import run_session
-            except Exception:
-                import sys as _sys
-
-                _sys.path.insert(0, str(
-                    __import__("pathlib").Path(__file__).parent / "tools"))
-                from bench_edit_session import run_session
-            try:
-                ne, no = (3, 3) if _os.environ.get(
-                    "BENCH_SMOKE") == "1" else (12, 12)
-                flagship["edit_session"] = run_session(
-                    log2_size=flog2, width=W, height=H, n_exact=ne,
-                    n_overhang=no)
-            except Exception as e:
-                log("edit-session bench failed:", type(e).__name__,
-                    str(e)[:200])
+            here = __import__("pathlib").Path(__file__).parent
+            for name, script, keys in (
+                ("day_cycle_measured_paths_px_s",
+                 "tools/bench_day_cycle.py",
+                 ("day_cycle_measured_paths_px_s", "frame_s")),
+                ("edit_session", "tools/bench_edit_session.py", None),
+            ):
+                try:
+                    proc = subprocess.run(
+                        [_sys.executable, str(here / script)],
+                        capture_output=True, text=True, timeout=2400,
+                    )
+                    for line in proc.stderr.splitlines()[-12:]:
+                        log("  ", line)
+                    if proc.returncode != 0:
+                        raise RuntimeError(
+                            f"rc={proc.returncode}: {proc.stderr[-300:]}")
+                    parsed = json.loads(
+                        proc.stdout.strip().splitlines()[-1])
+                    if keys is None:
+                        flagship[name] = parsed
+                    else:
+                        for k in keys:
+                            if k in parsed:
+                                flagship[k] = parsed[k]
+                except Exception as e:
+                    log(f"{name} bench failed:", type(e).__name__,
+                        str(e)[:300])
     except Exception as e:
         log("flagship bench failed:", type(e).__name__, str(e)[:300])
 

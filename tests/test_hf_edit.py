@@ -178,3 +178,75 @@ def test_spread_out_session_keeps_hf(space6):
                       yaw=0.8, pitch=-0.35)
     sun = np.array([0.5, 0.8, 0.33])
     _fresh_equal(r, space, cam, sun, budget=8)  # hybrid-vs-pure grazes
+
+
+def test_hf_only_edit_patches_sky_pack(monkeypatch):
+    """Flagship-mode (hf-only) editing keeps the sky-env machinery live:
+    an hf-exact edit PATCHES the device sky pack (round 5 —
+    skyline.patch_sky_levels; a full rebuild per edit cost ~2 s at
+    flagship) and the next preview equals a from-scratch Renderer of
+    the edited world bit-for-bit."""
+    space = worldgen.generate(log2_size=6, verbose=False)
+    monkeypatch.setattr(Renderer, "HF_FRAME_SIZE", 32)
+    r = Renderer(space.serialize(), 48, 32, max_bounces=3, fog_steps=8,
+                 seed=5)
+    h0 = np.asarray(space.heights)
+    cx, cz = np.unravel_index(np.argmax(h0[8:56, 8:56]), (48, 48))
+    cx, cz = int(cx) + 8, int(cz) + 8
+    top = int(h0[cx, cz])
+    cam = vcam.Camera(pos=(cx - 14.0, top + 9.0, cz - 10.0),
+                      yaw=0.65, pitch=-0.45)
+    sun = np.array([0.5, 0.8, 0.33])
+    img0 = r.preview_frame(cam, sun)
+    assert img0 is not None and r._sky_env is not None
+    assert r._sky_mips is not None
+
+    e = (cx, top - 1, cz)
+    space.set(e, None)
+    r.apply_edits(space, edits=[e])
+    assert getattr(space, "heights_exact", False)
+    assert r._sky_mips is not None, "pack should be patched, not dropped"
+    assert r._sky_env is None  # per-pose table must rebuild
+    img1 = np.asarray(r.preview_frame(cam, sun))
+
+    r2 = Renderer(space.serialize(), 48, 32, max_bounces=3, fog_steps=8,
+                  seed=5)
+    img2 = np.asarray(r2.preview_frame(cam, sun))
+    assert (img1 == img2).all()
+
+
+def test_hf_only_overhang_preview_env_resumed(monkeypatch):
+    """Bounds-tracked (overhang) editing keeps the horizon envelope on
+    the hybrid preview's pre-edit walk half (round 5): the envelope
+    certifies air in exactly the pre-edit heightfield that walk casts
+    against, so the resumed preview is bit-identical to the unresumed
+    one."""
+    space = worldgen.generate(log2_size=6, verbose=False)
+    monkeypatch.setattr(Renderer, "HF_FRAME_SIZE", 32)
+    r = Renderer(space.serialize(), 48, 32, max_bounces=3, fog_steps=8,
+                 seed=5)
+    h0 = np.asarray(space.heights)
+    cx, cz = np.unravel_index(np.argmax(h0[8:56, 8:56]), (48, 48))
+    cx, cz = int(cx) + 8, int(cz) + 8
+    top = int(h0[cx, cz])
+    cam = vcam.Camera(pos=(cx - 14.0, top + 9.0, cz - 10.0),
+                      yaw=0.65, pitch=-0.45)
+    sun = np.array([0.5, 0.8, 0.33])
+
+    e = (cx, top + 3, cz)  # floating white block: bounds path
+    space.set(e, (1.0, 1.0, 1.0))
+    r.apply_edits(space, edits=[e])
+    assert r._hf_bounds() is not None
+    assert r._get_sky_env(cam) is not None, "env dropped on bounds edit"
+    img_env = np.asarray(r.preview_frame(cam, sun))
+
+    r2 = Renderer(space.serialize(), 48, 32, max_bounces=3, fog_steps=8,
+                  seed=5)
+    r2._edit_bounds = r._edit_bounds
+    r2._dev = r._dev
+    monkeypatch.setattr(
+        type(r2), "_get_sky_env", lambda self, cam: None)
+    img_plain = np.asarray(r2.preview_frame(cam, sun))
+    assert (img_env == img_plain).all()
+    # the placed emissive block must actually be visible somewhere
+    assert img_env.max() > 0

@@ -207,6 +207,34 @@ def test_device_build_close_to_host(world):
     assert (Ed[fin] >= Eh[fin] - 1e-3 * scale).all()
 
 
+def test_patch_sky_levels_matches_rebuild(world):
+    """Incremental sky-pack patch after hf-exact edits == full rebuild,
+    bit-for-bit (same max chains over the same patched rows)."""
+    from voxtracer.kernels.heightfield import patch_height_mips
+    from voxtracer.kernels.skyline import (patch_sky_levels,
+                                           sky_levels_from_hf)
+
+    heights, (flat, offs, h), _ = world
+    pack = sky_levels_from_hf(flat, offs, h)
+    h2 = np.array(heights).astype(np.int64)
+    cols = [(5, 9), (41, 33), (41, 34), (63, 0)]
+    for i, (x, z) in enumerate(cols):
+        h2[x, z] = max(int(h2[x, z]) + (3 if i % 2 == 0 else -1), 0)
+    flat2 = patch_height_mips(flat, offs, h, h2, cols)
+    p2 = patch_sky_levels(pack, flat2, cols)
+    full = sky_levels_from_hf(flat2, offs, h)
+    assert len(p2["coarse"]) == len(full["coarse"])
+    for a, b in zip(p2["coarse"], full["coarse"]):
+        assert (np.asarray(a) == np.asarray(b)).all()
+    # >16 columns falls back to the full rebuild path
+    many = [(i, i) for i in range(20)]
+    flat3 = patch_height_mips(flat2, offs, h, h2, many)
+    p3 = patch_sky_levels(p2, flat3, many)
+    full3 = sky_levels_from_hf(flat3, offs, h)
+    for a, b in zip(p3["coarse"], full3["coarse"]):
+        assert (np.asarray(a) == np.asarray(b)).all()
+
+
 def test_env_frame_bit_identical(world):
     heights, (flat, offs, h), sky_mips = world
     from voxtracer.kernels.conemarch import build_cone_mips

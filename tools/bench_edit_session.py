@@ -132,8 +132,20 @@ def run_session(log2_size=FLOG2, width=W, height=H, n_exact=N_EXACT,
 if __name__ == "__main__":
     import jax
 
-    jax.config.update("jax_compilation_cache_dir",
-                      str(__import__("pathlib").Path(__file__).parents[1]
-                          / ".jax_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
-    run_session()
+    try:
+        if jax.default_backend() != "cpu":
+            jax.config.update(
+                "jax_compilation_cache_dir",
+                str(__import__("pathlib").Path(__file__).parents[1]
+                    / ".jax_cache"))
+            jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
+    smoke = os.environ.get("BENCH_SMOKE") == "1"
+    out = run_session(
+        log2_size=7 if smoke else FLOG2,
+        width=256 if smoke else W, height=144 if smoke else H,
+        n_exact=3 if smoke else N_EXACT,
+        n_overhang=3 if smoke else N_OVERHANG)
+    print(json.dumps(out), flush=True)

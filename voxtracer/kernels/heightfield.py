@@ -664,7 +664,7 @@ def hf_raycast(flat_mips, offsets: tuple, height: int, start, d,
 def hf_raycast_edited(flat_mips, offsets: tuple, height: int, table,
                       root, edit_bounds, start, d, distance=FAR,
                       active=None, min_bucket: int = 0,
-                      tile_steps: int = 3):
+                      tile_steps: int = 3, t_min=None):
     """Heightfield cast for an EDITED terrain world: the fast pre-edit
     walk plus an exact SVO re-cast for the (few) lanes whose segment
     can see the edits.
@@ -687,13 +687,22 @@ def hf_raycast_edited(flat_mips, offsets: tuple, height: int, table,
     lanes, -1 where the heightfield answered — placed blocks shade by
     their own leaf color, terrain by the interned terrain color) and
     ``from_svo`` (the re-cast mask).
+
+    ``t_min``: optional per-ray certified-air resume for the PRE-EDIT
+    walk (hf_raycast's contract) — e.g. the horizon envelope, which
+    reads the same pre-edit heightmap this walk casts against, so its
+    certificate stays sound on the edited world's hybrid (round 5).
+    The SVO re-cast of affected lanes is untouched (its geometry
+    includes the edits).
     """
     from voxtracer.kernels.traverse import (svo_raycast,
                                             svo_raycast_bucketed)
 
     r1 = hf_raycast(flat_mips, offsets, height, start, d,
                     distance=distance, active=active,
-                    min_bucket=min_bucket, tile_steps=tile_steps)
+                    min_bucket=min_bucket, tile_steps=tile_steps,
+                    t_min=t_min,
+                    init_desc=(3 if t_min is not None else 0))
     bshape = r1["hit"].shape
     p = jnp.broadcast_to(jnp.asarray(start, jnp.float32),
                          bshape + (3,)).reshape(-1, 3)

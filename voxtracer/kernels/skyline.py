@@ -581,6 +581,68 @@ def _dilate_max_jnp(b, w: int):
     return out
 
 
+def patch_sky_levels(pack, new_flat, cols):
+    """Incrementally update a sky pack after heightfield-exact edits:
+    ``new_flat`` is the POST-edit hf tile pack (patch_height_mips
+    output) and ``cols`` the edited (x, z) columns. Recomputes only the
+    affected coarse-pyramid cells (one tiny jitted program — the full
+    pack rebuild reads the whole 256 MB level-0 and costs ~2 s at
+    flagship, which dominated the exact-edit preview latency; round 5).
+    Returns the new pack. Falls back to a full rebuild for large
+    batches."""
+    cols = list(cols)
+    NC = 16
+    if len(cols) > NC:
+        return sky_levels_from_hf(new_flat, pack["offsets"],
+                                  pack["height"])
+    import jax.numpy as jnp
+
+    arr = np.zeros((NC, 2), np.int32)
+    for i, (x, z) in enumerate(cols):
+        arr[i] = (int(x), int(z))
+    valid = np.zeros((NC,), bool)
+    valid[:len(cols)] = True
+    coarse = _patch_coarse(new_flat, pack["coarse"], jnp.asarray(arr),
+                           jnp.asarray(valid), pack["offsets"],
+                           pack["height"])
+    return dict(pack, flat=new_flat, coarse=coarse)
+
+
+@partial(jax.jit, static_argnames=("offsets", "height"))
+def _patch_coarse(flat, coarse, cols, valid, offsets: tuple,
+                  height: int):
+    """Jitted body of patch_sky_levels. Duplicate cells among the
+    columns scatter the SAME recomputed value (each level's cell value
+    is a pure function of the already-updated level below), so
+    duplicate-index .set order is immaterial."""
+    import jax.numpy as jnp
+
+    tl = offsets[0]
+    n = 1 << height
+    dp = max(n >> tl, 1)
+    cx = jnp.clip(cols[:, 0] >> tl, 0, dp - 1)
+    cz = jnp.clip(cols[:, 1] >> tl, 0, dp - 1)
+    ridx = offsets[1] + cx * dp + cz
+    v = jnp.ceil(jnp.max(flat[ridx], axis=1))  # level-tl cell maxima
+    c0 = coarse[0]
+    old0 = c0[cx, cz]
+    c0 = c0.at[cx, cz].set(jnp.where(valid, v, old0))
+    out = [c0]
+    prev = c0
+    for i in range(1, len(coarse)):
+        cx, cz = cx >> 1, cz >> 1
+        m = jnp.maximum(
+            jnp.maximum(prev[2 * cx, 2 * cz], prev[2 * cx, 2 * cz + 1]),
+            jnp.maximum(prev[2 * cx + 1, 2 * cz],
+                        prev[2 * cx + 1, 2 * cz + 1]),
+        )
+        ci = coarse[i]
+        ci = ci.at[cx, cz].set(jnp.where(valid, m, ci[cx, cz]))
+        out.append(ci)
+        prev = ci
+    return tuple(out)
+
+
 @partial(jax.jit, static_argnames=("offsets", "bins", "ratio", "K",
                                    "d0", "height", "cls_step"))
 def _env_device(flat, coarse, origin, offsets: tuple, bins: int,

@@ -207,11 +207,22 @@ class Renderer:
             self.update_space(space.serialize())
             return
         if cap > self.table.shape[0]:  # slot store grew: pad with EMPTY rows
-            pad = jnp.full((cap - self.table.shape[0], 8), -1, jnp.int32)
+            # QUANTIZED growth (round 5): padding to the exact new
+            # capacity changes the device table's SHAPE on almost every
+            # edit (a placed block allocates a fresh root-to-leaf path),
+            # and every program that closes over the table — the hybrid
+            # edited cast above all — then RECOMPILES per edit (~80 s
+            # remote at flagship, measured as the edit-session tail).
+            # Growing in 64k-row steps (2 MB) makes the shape stable
+            # for thousands of edits; EMPTY padding rows are inert (the
+            # traversal only follows root-reachable slots).
+            newcap = -(-cap // (1 << 16)) * (1 << 16)
+            pad = jnp.full((newcap - self.table.shape[0], 8), -1,
+                           jnp.int32)
             self.table = jnp.concatenate([self.table, pad])
             self.solid_leaf = np.concatenate([
                 self.solid_leaf,
-                np.full(cap - len(self.solid_leaf), -1, np.int32),
+                np.full(newcap - len(self.solid_leaf), -1, np.int32),
             ])
         if len(rows):
             self.table = self.table.at[jnp.asarray(rows)].set(
@@ -406,8 +417,22 @@ class Renderer:
         # replaces was ~50x)
         if self._cone is not None:
             self._cone = False
-        self._sky_mips = self._sky_env = None
-        self._sun_maps_key = self._sun_maps = None
+        if new_h:
+            if self._sky_mips is not None and isinstance(self._hf,
+                                                         tuple):
+                # incremental sky-pack patch (round 5): the full pack
+                # rebuild reads the whole level-0 (~2 s at flagship)
+                # and dominated the exact-edit preview latency; the
+                # patch recomputes only the changed columns' pyramid
+                # cells (kernels/skyline.py patch_sky_levels)
+                from voxtracer.kernels import skyline
+
+                self._sky_mips = skyline.patch_sky_levels(
+                    self._sky_mips, self._hf[0], list(new_h))
+            else:
+                self._sky_mips = None
+            self._sky_env = None  # per-pose table reads the heightmap
+            self._sun_maps_key = self._sun_maps = None
         return True
 
     def _get_hf(self):
@@ -501,12 +526,17 @@ class Renderer:
         loop holds a pose for 1000 samples, main.rs:112); the world
         pyramid is built once. Unedited terrain only (the envelope
         reads the heightmap); returns (E, d0, g, K) or None."""
-        if not self._hf_only() or self._hf_bounds() is not None:
+        if not self._hf_only():
             return None
         sp = getattr(self._dev, "space", None)
         if getattr(sp, "edited", False) \
-                and not getattr(sp, "heights_exact", False):
-            return None  # envelope reads the (stale) heightmap
+                and not getattr(sp, "heights_exact", False) \
+                and self._hf_bounds() is None:
+            # untracked staleness: the envelope reads the heightmap.
+            # Bounds-TRACKED edits keep it: the hybrid's pre-edit walk
+            # casts against exactly the (pre-edit) heightfield the
+            # envelope certifies (round 5 — _hf_preview resumes it).
+            return None
         # ADAPTIVE richness ladder (round 5): the envelope's tightness
         # is now a per-pose budget choice because the build runs ON
         # DEVICE (build_skyline_env_device) instead of the round-4 host
@@ -871,9 +901,21 @@ class Renderer:
             from voxtracer.kernels.traverse import leaf_rgb
 
             _, d = vcam.generate_rays(cam, self.width, self.height)
+            tm = None
+            if (env := self._get_sky_env(cam)) is not None:
+                # the envelope certifies air in the PRE-edit
+                # heightfield — exactly what the hybrid's walk half
+                # casts against, so it resumes that walk soundly; the
+                # SVO re-cast of affected lanes is untouched (round 5)
+                from voxtracer.kernels.skyline import skyline_env_tmin
+
+                tm = skyline_env_tmin(
+                    env[0], jnp.asarray(d).reshape(-1, 3), env[1],
+                    env[2], env[3]).reshape(d.shape[:-1])
             r = hf_raycast_edited(
                 hf_flat, hf_offs, self.tree_height, self.table,
                 self.root, bounds, jnp.asarray(op), d, min_bucket=4096,
+                t_min=tm,
             )
             # placed blocks shade by their own leaf color; terrain by
             # the interned terrain color
