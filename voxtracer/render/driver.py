@@ -579,10 +579,14 @@ class Renderer:
 
     def _get_frame_dirs(self, cam):
         """Pixel-center direction grid for the hf full-frame cast,
-        cached per pose: the eager op-by-op generation (deliberate —
-        hf_frame_cast doc: jit fusion's FMA rounding flips edge-graze
-        tie-breaks) costs ~5 axon round-trips, which a held pose pays
-        once instead of per sample."""
+        cached per pose. Generation is EAGER op-by-op on purpose —
+        commit f0012f8 jitted it, but that was reverted: a jitted
+        composite lets XLA fuse with FMA rounding, flipping edge-graze
+        tie-breaks against the per-ray engines (measured: 1 lane of a
+        48x32 parity frame; see hf_frame_cast's fallback, which makes
+        the same choice). The ~5 eager axon round-trips cost tens of
+        ms, which the per-pose cache pays once per NEW pose instead of
+        per sample."""
         from voxtracer.core import camera as vcam
 
         key = (tuple(np.asarray(cam.pos, np.float64).tolist()),
